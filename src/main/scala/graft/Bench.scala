@@ -1,24 +1,150 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
+import graft.corpus.CorpusGen
+import graft.extract.Extractor
+import graft.graph.GraphOps
+import graft.normalize.Normalize
+import graft.normalize.Normalize.Snapshot
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Headline = the north-rule metric: PageRank edges/sec to 1e-6
+  * convergence over the synthesized repo-entity edge table, plus
+  * end-to-end superstep wall time for each iterative algorithm and the
+  * relational/dedup surface on the sf tables. Emits ONE JSON line.
+  *
+  * Scale knobs:
+  *   SPARK_GRAFT_SF_DIR   sf directory (default sf0.1)
+  *   SPARK_GRAFT_CPUS     local[N] (default 4)
+  *   GRAFT_BENCH_FILES    corpus file count (default 40×documents)
+  *   GRAFT_VSCALE         vertex fan-out (default 40 → ~40k distinct
+  *                        vertices at the default file count)
+  */
 object Bench {
+
+  def buildSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = buildSession(cpus)
+    val P = spark.sparkContext.defaultParallelism
+
+    val docN = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val nFiles = sys.env.getOrElse("GRAFT_BENCH_FILES", (40L * docN).toString).toLong
+    val vScale = sys.env.getOrElse("GRAFT_VSCALE", "40").toInt
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var extra = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ── pipeline: corpus → extract → normalize → graph ──
+    val (snap, tPipe) = time {
+      val c = CorpusGen.corpus(spark, nFiles, seed = 42L, vertexScale = vScale)
+      val s0 = Snapshot(Extractor.entities(c), Extractor.relationships(c))
+      val out = Normalize.fullChain(s0)
+      out.entities.count(); out.edges.count()
+      out
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results += "pipeline_normalize" -> tPipe
+
+    val (g, tGraph) = time {
+      val gt = GraphOps.semanticGraph(snap)
+      GraphOps.GraphTables(gt.vertices.localCheckpoint(true), gt.edges.localCheckpoint(true))
+    }
+    results += "graph_build" -> tGraph
+    val sym = GraphOps.symmetrize(g.edges).localCheckpoint(true)
+    val mEdges = sym.count()
+
+    // ── iterative algorithms (the headline) ──
+    val (pr, tPr) = time(PageRank.run(spark, sym, P))
+    results += "pagerank" -> tPr
+    extra += "pagerank_iterations" -> pr.iterations.toDouble
+    extra += "pagerank_edges" -> mEdges.toDouble
+    extra += "pagerank_edges_per_sec" -> mEdges.toDouble * pr.iterations / tPr
+
+    val (_, tCc) = time(
+      ConnectedComponents.run(spark, g.edges, Some(g.vertices), P).count())
+    results += "connected_components" -> tCc
+
+    val (_, tLpa) = time(LabelPropagation.run(spark, sym, P, maxIter = 10).labels.count())
+    results += "label_propagation" -> tLpa
+
+    val (tri, tTri) = time(
+      Triangles.countTriangles(spark, GraphOps.undirectedPairs(g.edges), P))
+    results += "triangles" -> tTri
+    extra += "triangle_count" -> tri.toDouble
+
+    // ── relational / dedup / text surface on the sf tables ──
+    val hot = Seq("q1_agg_pricing_summary", "j1_edge_expansion", "a4_degree_count",
+      "w1_row_number_per_group", "dedup_exact", "dedup_minhash_lsh",
+      "text_fingerprint", "sim_topk_bruteforce")
+    hot.foreach { name =>
+      val (_, dt) = time(SparkEntry.queries(name)(spark, sfDir).count())
+      results += name -> dt
+    }
+
+    val total = results.values.sum
+    val qs = (results ++ extra).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","files":$nFiles,"pagerank_edges_per_sec":${extra("pagerank_edges_per_sec")}}""")
     spark.stop()
+  }
+}
+
+/** Two-parallelism scaling evidence (north rule's N vs 4N executor
+  * criterion, sandbox proxy per BASELINE.md): the identical PageRank
+  * job at local[8] and local[32] on the same input; prints throughput
+  * at both plus efficiency = (T8/T32)/4.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val lo = sys.env.getOrElse("GRAFT_SCALE_LO", "8")
+    val hi = sys.env.getOrElse("GRAFT_SCALE_HI", "32")
+
+    def runAt(cpus: String): (Double, Long, Int) = {
+      val spark = Bench.buildSession(cpus)
+      val P = spark.sparkContext.defaultParallelism
+      val docN = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      val nFiles = sys.env.getOrElse("GRAFT_BENCH_FILES", (40L * docN).toString).toLong
+      val vScale = sys.env.getOrElse("GRAFT_VSCALE", "40").toInt
+      val c = CorpusGen.corpus(spark, nFiles, seed = 42L, vertexScale = vScale)
+      val s0 = Snapshot(Extractor.entities(c), Extractor.relationships(c))
+      val g = GraphOps.semanticGraph(Normalize.fullChain(s0))
+      val sym = GraphOps.symmetrize(g.edges).localCheckpoint(true)
+      val m = sym.count()
+      val (pr, dt) = Bench.time(PageRank.run(spark, sym, P))
+      spark.stop()
+      (dt, m, pr.iterations)
+    }
+
+    val (tLo, m, itLo) = runAt(lo)
+    val (tHi, _, itHi) = runAt(hi)
+    val thLo = m.toDouble * itLo / tLo
+    val thHi = m.toDouble * itHi / tHi
+    val eff = (thHi / thLo) / (hi.toDouble / lo.toDouble)
+    println(
+      s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","lo_cpus":$lo,"hi_cpus":$hi,"edges":$m,"throughput_lo":$thLo,"throughput_hi":$thHi,"sec_lo":$tLo,"sec_hi":$tHi,"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,74 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Synchronous label propagation — G-2: the north rule's stand-in for
+  * the reference's Leiden community detection
+  * (community_detection.py:46-118, leidenalg γ=1.0 seed=42).
+  *
+  * Deterministic schedule: every superstep each vertex adopts the MODE
+  * of its neighbors' labels, ties broken to the MINIMUM label — pure DF
+  * (`max_by(label, struct(cnt, -label))`, SURVEY.md §2.8); reproducible
+  * at any partition count. Converges when no label changes (capped to
+  * break bipartite 2-cycles). Community ids are canonicalized to the
+  * min member vertex id ("exact up to relabeling").
+  */
+object LabelPropagation {
+
+  final case class Result(labels: DataFrame, iterations: Int, converged: Boolean)
+
+  /** @param symEdges symmetrized undirected edges (both directions present)
+    * @return (id, community) — community = min member id of the cluster
+    */
+  def run(spark: SparkSession,
+          symEdges: DataFrame,
+          numPartitions: Int = 32,
+          maxIter: Int = 20,
+          ckpt: Option[Superstep] = None): Result = {
+
+    val e = symEdges.select(col("src"), col("dst"))
+      .repartition(numPartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
+    var labels = resumed.map(_._2).getOrElse(
+      e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .repartition(numPartitions, col("id")))
+      .localCheckpoint(true)
+
+    var step = resumed.map(_._1).getOrElse(0)
+    var converged = false
+    while (step < maxIter && !converged) {
+      val votes = e
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes.groupBy(col("dst").as("id"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("newLabel"))
+
+      val next = labels.join(winner, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newLabel"), col("label")).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint(true)
+
+      val changes = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
+      step += 1
+      converged = changes == 0L
+      ckpt.foreach { c =>
+        if (step % c.every == 0 || converged)
+          labels = c.save(step, labels, Map("changes" -> changes.toDouble))
+      }
+    }
+    e.unpersist()
+
+    // canonicalize: community id = min member vertex id
+    val canon = labels.groupBy(col("label")).agg(min(col("id")).as("community"))
+    val out = labels.join(canon, Seq("label")).select(col("id"), col("community"))
+    Result(out, step, converged)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pregel-style PageRank as DataFrame joins/aggregations (G-4, mandated
+  * by the north rule — the reference has no PageRank; semantics follow
+  * the standard formulation: Page et al., "The PageRank Citation
+  * Ranking", 1999).
+  *
+  * r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u)/outDeg(u) + D_t/N )
+  * with dangling mass D_t = Σ_{outDeg(u)=0} r_t(u). Ranks sum to 1 every
+  * iteration; convergence when max|Δr| < tol (north rule allclose 1e-6).
+  *
+  * Scale design:
+  *  - edges are hash-partitioned on `src` ONCE and cached; the per-
+  *    iteration join re-shuffles only the (skinny) rank state, never the
+  *    edge table;
+  *  - the contribution aggregation is a partial (map-side) + final agg
+  *    on `dst`, so skewed in-degree vertices combine locally before the
+  *    shuffle (AQE skew handling stays on as backstop);
+  *  - state is localCheckpoint'ed each superstep (plan truncation) and
+  *    durably checkpointed every `Superstep.every` supersteps with
+  *    per-partition lineage; resume picks up the last complete one;
+  *  - ONE action per iteration computes (maxDelta, danglingMass) together.
+  */
+object PageRank {
+
+  final case class Result(ranks: DataFrame, iterations: Int, converged: Boolean,
+                          edgeCount: Long)
+
+  /** @param edges directed (src, dst), duplicate-free
+    * @param numPartitions hash-partition width for state and edges
+    * @param ckpt optional durable checkpoint/resume handle
+    */
+  def run(spark: SparkSession,
+          edges: DataFrame,
+          numPartitions: Int,
+          tol: Double = 1e-6,
+          maxIter: Int = 100,
+          damping: Double = 0.85,
+          ckpt: Option[Superstep] = None): Result = {
+
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(numPartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e.count()
+
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
+
+    val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
+
+    var state = resumed.map(_._2).getOrElse {
+      verts.join(outDeg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("outDeg"), lit(0L)).as("outDeg"),
+          lit(Double.NaN).as("rank"), lit(Double.NaN).as("prev"))
+        .repartition(numPartitions, col("id"))
+    }
+    val n = state.count()
+    if (resumed.isEmpty) {
+      state = state.withColumn("rank", lit(1.0 / n))
+    }
+    state = state.localCheckpoint(true)
+
+    var step = resumed.map(_._1).getOrElse(0)
+    var converged = false
+
+    def aggState(s: DataFrame): (Double, Double) = {
+      val row = s.agg(
+        max(abs(col("rank") - col("prev"))).as("delta"),
+        sum(when(col("outDeg") === 0, col("rank")).otherwise(0.0)).as("dangling"))
+        .first()
+      (if (row.isNullAt(0)) Double.NaN else row.getDouble(0),
+        if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+    }
+
+    var (_, dangling) = aggState(state)
+
+    while (step < maxIter && !converged) {
+      val contribs = e
+        .join(state.filter(col("outDeg") > 0)
+          .select(col("id").as("src"), (col("rank") / col("outDeg")).as("c")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("contrib"))
+
+      val next = state
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"), col("outDeg"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"),
+          col("rank").as("prev"))
+
+      state = next.localCheckpoint(true)
+      step += 1
+
+      val (delta, danglingNext) = aggState(state)
+      dangling = danglingNext
+      converged = delta < tol
+
+      ckpt.foreach { c =>
+        if (step % c.every == 0 || converged) {
+          state = c.save(step, state, Map("delta" -> delta, "dangling" -> dangling))
+        }
+      }
+    }
+
+    e.unpersist()
+    Result(state.select(col("id"), col("rank")), step, converged, edgeCount)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.algo
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-superstep durable checkpointing with per-partition lineage and
+  * convergence metrics (north rule; reference analogue: community-id
+  * write-back batches, community_detection.py:156-181, G-7).
+  *
+  * Layout under `dir` (parquet-as-Iceberg table layout):
+  *
+  *   superstep=N/            state parquet for superstep N
+  *   metrics/superstep=N.json  per-partition (partitionId, rowCount,
+  *                             lineageHash) + driver metrics (delta …)
+  *   _LATEST                   marker, written last → commit point
+  *
+  * `save` writes the state, re-reads it (truncating the Catalyst plan —
+  * without this the per-iteration plan grows unboundedly), computes the
+  * per-partition lineage of what was actually persisted, and only then
+  * advances the `_LATEST` marker, so a kill mid-write resumes from the
+  * previous complete superstep.
+  */
+final class Superstep(spark: SparkSession, dir: String, val every: Int = 5) {
+
+  private val base = Paths.get(dir)
+  Files.createDirectories(base.resolve("metrics"))
+
+  private def latestPath = base.resolve("_LATEST")
+
+  /** Highest committed superstep, if any. */
+  def latest(): Option[Int] =
+    if (Files.exists(latestPath))
+      Some(new String(Files.readAllBytes(latestPath)).trim.toInt)
+    else None
+
+  def load(step: Int): DataFrame =
+    spark.read.parquet(base.resolve(s"superstep=$step").toString)
+
+  /** Persist `state` for `step`; returns the re-read (plan-truncated)
+    * frame. `driverMetrics` are appended to the metrics JSON.
+    */
+  def save(step: Int, state: DataFrame,
+           driverMetrics: Map[String, Double] = Map.empty): DataFrame = {
+    val path = base.resolve(s"superstep=$step").toString
+    state.write.mode("overwrite").parquet(path)
+    val reread = spark.read.parquet(path)
+
+    // per-partition lineage: row count + order-independent content hash
+    val cols = reread.columns.map(col)
+    val partStats = reread
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__h", xxhash64(cols: _*))
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("rowCount"),
+        expr("bit_xor(__h)").as("lineageHash"))
+      .collect()
+      .map(r => s"""{"partitionId":${r.getInt(0)},"rowCount":${r.getLong(1)},"lineageHash":${r.getLong(2)}}""")
+      .mkString("[", ",", "]")
+
+    val dm = driverMetrics
+      .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val json =
+      s"""{"superstep":$step,"partitions":$partStats${if (dm.nonEmpty) "," + dm else ""}}"""
+    Files.write(base.resolve(s"metrics/superstep=$step.json"),
+      json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+    Files.write(latestPath, step.toString.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    reread
+  }
+}

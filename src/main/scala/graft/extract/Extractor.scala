@@ -1,0 +1,102 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Regex entity/edge extraction over corpus `content`.
+  *
+  * Stand-in for the reference's LLM extraction stage
+  * (extraction/pipeline.py:313-538 + gleaning.py:43-313): a pure
+  * Catalyst `regexp_extract_all` pass that emits rows in the
+  * reference's extraction shape (tests/conftest.py:174-224):
+  * entities (name, label, properties) and relationships
+  * (type, start, end). Whole-stage-codegen friendly — no UDFs.
+  *
+  * Output grain is the RAW surface form: one entity row per distinct
+  * (rawName, label) with `id = xxhash64(rawName, label)`; the
+  * normalization chain (graft.normalize) is what merges variants, as
+  * in the reference where extraction writes raw nodes and
+  * post-processing dedups them (scraper.py:721-884).
+  */
+object Extractor {
+
+  private val markerRe = "(ent|rel|def)\\[[^\\]]*\\]"
+
+  /** All markers, one row each, tagged with the source file path. */
+  def markers(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("path"),
+        explode(regexp_extract_all(col("content"), lit(markerRe), lit(0))).as("m"))
+
+  /** Entity table at raw-surface grain:
+    * (id, name, displayName, label, definition, aliases, sourceSpans).
+    */
+  def entities(corpus: DataFrame): DataFrame = {
+    val m = markers(corpus)
+
+    val ents = m.filter(col("m").startsWith("ent["))
+      .select(
+        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 2).as("name"),
+        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 1).as("label"),
+        lit(null).cast("string").as("definition"),
+        col("path"))
+
+    val defs = m.filter(col("m").startsWith("def["))
+      .select(
+        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 2).as("name"),
+        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 1).as("label"),
+        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 3).as("definition"),
+        col("path"))
+
+    val relRe = "^rel\\[([^|]+)\\|([^:]+):([^|]*)\\|([^:]+):([^\\]]*)\\]$"
+    val relEnds = m.filter(col("m").startsWith("rel["))
+      .select(col("m"), col("path"))
+    val relSrc = relEnds.select(
+      regexp_extract(col("m"), relRe, 3).as("name"),
+      regexp_extract(col("m"), relRe, 2).as("label"),
+      lit(null).cast("string").as("definition"), col("path"))
+    val relDst = relEnds.select(
+      regexp_extract(col("m"), relRe, 5).as("name"),
+      regexp_extract(col("m"), relRe, 4).as("label"),
+      lit(null).cast("string").as("definition"), col("path"))
+
+    ents.unionByName(defs).unionByName(relSrc).unionByName(relDst)
+      .filter(col("name") =!= "")
+      .groupBy(col("name"), col("label"))
+      .agg(
+        // longest definition wins deterministically (ties → lexicographic)
+        max_by(col("definition"),
+          when(col("definition").isNotNull,
+            struct(length(col("definition")), col("definition")))).as("definition"),
+        array_sort(collect_set(col("path"))).as("sourceSpans"))
+      .select(
+        xxhash64(col("name"), col("label")).as("id"),
+        col("name"),
+        lit(null).cast("string").as("displayName"),
+        col("label"),
+        col("definition"),
+        array().cast("array<string>").as("aliases"),
+        col("sourceSpans"))
+  }
+
+  /** Typed edge table (src, dst, relType) at raw grain; MERGE semantics
+    * (edges are a set — mentioned_in_backfill.py:94, M-10).
+    */
+  def relationships(corpus: DataFrame): DataFrame = {
+    val relRe = "^rel\\[([^|]+)\\|([^:]+):([^|]*)\\|([^:]+):([^\\]]*)\\]$"
+    markers(corpus).filter(col("m").startsWith("rel["))
+      .select(
+        xxhash64(
+          regexp_extract(col("m"), relRe, 3),
+          regexp_extract(col("m"), relRe, 2)).as("src"),
+        xxhash64(
+          regexp_extract(col("m"), relRe, 5),
+          regexp_extract(col("m"), relRe, 4)).as("dst"),
+        regexp_extract(col("m"), relRe, 1).as("relType"),
+        regexp_extract(col("m"), relRe, 3).as("srcName"),
+        regexp_extract(col("m"), relRe, 5).as("dstName"))
+      .filter(col("srcName") =!= "" && col("dstName") =!= "")
+      .select("src", "dst", "relType")
+      .dropDuplicates("src", "dst", "relType")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model
+import graft.normalize.Normalize.Snapshot
+
+/** Edge-table builders (G-1) and degree/partition helpers (SURVEY.md §2.7).
+  *
+  * The community graph in the reference is name-keyed: it exports
+  * DISTINCT (source name, target name) over the 14 semantic relationship
+  * types and builds an UNDIRECTED igraph from the pairs
+  * (community_detection.py:120-154, 85). Here the same projection yields
+  * a columnar vertex dictionary (id, name) with id = xxhash64(name) and
+  * a distinct directed edge table; `symmetrize` produces the undirected
+  * view the iterative algorithms consume. Self-loops (possible after
+  * dedup merges) are dropped.
+  */
+object GraphOps {
+
+  final case class GraphTables(vertices: DataFrame, edges: DataFrame)
+
+  /** J-1/G-1 semantic-edge projection over a normalized snapshot. */
+  def semanticGraph(s: Snapshot): GraphTables = {
+    val sem = s.edges.filter(col("relType").isin(model.SemanticRelTypes: _*))
+    val names = s.entities.select(col("id"), col("name"))
+    val pairs = sem
+      .join(names.withColumnRenamed("id", "src").withColumnRenamed("name", "srcName"), Seq("src"))
+      .join(names.withColumnRenamed("id", "dst").withColumnRenamed("name", "dstName"), Seq("dst"))
+      .select(col("srcName"), col("dstName"))
+      .filter(col("srcName").isNotNull && col("dstName").isNotNull)
+      .distinct()
+
+    val vertices = pairs.select(col("srcName").as("name"))
+      .union(pairs.select(col("dstName").as("name")))
+      .distinct()
+      .select(xxhash64(col("name")).as("id"), col("name"))
+
+    val edges = pairs.select(
+      xxhash64(col("srcName")).as("src"),
+      xxhash64(col("dstName")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    GraphTables(vertices, edges)
+  }
+
+  /** Undirected view: both directions, self-loops dropped, distinct. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Canonical undirected pair form (u < v), one row per edge. */
+  def undirectedPairs(edges: DataFrame): DataFrame =
+    edges.select(
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Undirected degree per vertex (each incident edge counted once). */
+  def degrees(symEdges: DataFrame): DataFrame =
+    symEdges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+
+  /** A-4 Neo4j-style degree over the typed edge table:
+    * count of incident relationships per entity, direction-agnostic
+    * (entity_cleanup.py:479-490).
+    */
+  def relationshipCounts(typedEdges: DataFrame): DataFrame =
+    typedEdges
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("relationship_count"))
+}

@@ -1,0 +1,357 @@
+package graft.normalize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.indel_ratio
+
+/** The reference's deterministic entity-normalization rules (the
+  * "10-step" pipeline, scraper.py:721-884 / CLAUDE.md:128-141) as pure
+  * DataFrame snapshot transformations — no in-place mutation; every
+  * stage maps an (entities, edges) snapshot to a new one (SURVEY.md
+  * §2.6 M-1…M-7).
+  *
+  * Entities schema: (id LONG, name STRING, displayName STRING,
+  *   label STRING, definition STRING, aliases ARRAY<STRING>,
+  *   sourceSpans ARRAY<STRING>).
+  * Edges schema: (src LONG, dst LONG, relType STRING).
+  *
+  * Documented divergences from the reference (SURVEY.md §7 hard parts):
+  * the reference's "first node wins" uses Neo4j elementId insertion
+  * order (normalizer.py:256-265); our winner is min stable vertex id.
+  * Fuzzy ties over Python sets are iteration-order dependent there; we
+  * break ties deterministically (best score, then first taxonomy key /
+  * lexicographic term order).
+  */
+object Normalize {
+
+  final case class Snapshot(entities: DataFrame, edges: DataFrame)
+
+  // ───────────────────────────── helpers ─────────────────────────────
+
+  /** Remap edge endpoints through a (id → canonId) mapping and re-apply
+    * MERGE set-semantics (M-10). Mapping rows exist only for ids that
+    * move, so both joins are left joins with coalesce.
+    */
+  private def remapEdges(edges: DataFrame, mapping: DataFrame): DataFrame = {
+    val mSrc = mapping.withColumnRenamed("id", "src").withColumnRenamed("canonId", "srcCanon")
+    val mDst = mapping.withColumnRenamed("id", "dst").withColumnRenamed("canonId", "dstCanon")
+    edges
+      .join(mSrc, Seq("src"), "left")
+      .join(mDst, Seq("dst"), "left")
+      .select(
+        coalesce(col("srcCanon"), col("src")).as("src"),
+        coalesce(col("dstCanon"), col("dst")).as("dst"),
+        col("relType"))
+      .dropDuplicates("src", "dst", "relType")
+  }
+
+  /** Drop entities by id and all their incident edges (DETACH DELETE). */
+  private def detachDelete(s: Snapshot, ids: DataFrame): Snapshot = {
+    val doomed = ids.select(col("id")).distinct()
+    Snapshot(
+      s.entities.join(doomed, Seq("id"), "left_anti"),
+      s.edges
+        .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+  }
+
+  private val entityCols = Seq("id", "name", "displayName", "label",
+    "definition", "aliases", "sourceSpans").map(col)
+
+  // ───────────────────────── M-1: name normalization ─────────────────
+
+  /** Lowercase + trim + collapse whitespace + strip edge punctuation;
+    * preserve the original surface form in displayName on first change
+    * (normalizer.py:20-53, 161-185). `(?U)` matches Python's
+    * unicode-aware `\w`.
+    */
+  def normalizedName(name: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(trim(name)), "\\s+", " "),
+      "(?U)^[^\\w]+|[^\\w]+$", "")
+
+  def m1NormalizeNames(s: Snapshot): Snapshot = {
+    val e = s.entities
+      .withColumn("newName", normalizedName(col("name")))
+      .withColumn("displayName",
+        when(col("displayName").isNull && col("name") =!= col("newName"), col("name"))
+          .otherwise(col("displayName")))
+      .withColumn("name", col("newName"))
+      .drop("newName")
+    Snapshot(e, s.edges)
+  }
+
+  // ─────────────────── M-2: same-label dedup merge ────────────────────
+
+  /** Merge rows with identical (label, name): min-id row is primary;
+    * scalar props keep the first non-null in id order; list props are
+    * set-unioned; in/out edges transfer to the primary
+    * (normalizer.py:207-323).
+    */
+  def m2SameLabelDedup(s: Snapshot): Snapshot = {
+    val merged = s.entities
+      .groupBy(col("label"), col("name"))
+      .agg(
+        min(col("id")).as("id"),
+        min_by(col("displayName"), when(col("displayName").isNotNull, col("id"))).as("displayName"),
+        min_by(col("definition"), when(col("definition").isNotNull, col("id"))).as("definition"),
+        array_sort(array_distinct(flatten(collect_list(col("aliases"))))).as("aliases"),
+        array_sort(array_distinct(flatten(collect_list(col("sourceSpans"))))).as("sourceSpans"))
+      .select(entityCols: _*)
+
+    val mapping = s.entities.select(col("id"), col("label"), col("name"))
+      .join(merged.select(col("label"), col("name"), col("id").as("canonId")),
+        Seq("label", "name"))
+      .filter(col("id") =!= col("canonId"))
+      .select("id", "canonId")
+
+    Snapshot(merged, remapEdges(s.edges, mapping))
+  }
+
+  // ─────────────────── M-3: cross-label dedup merge ───────────────────
+
+  /** Merge same-name rows across labels. Winner label by LABEL_PRIORITY;
+    * primary = min id among rows bearing the winning label; list props
+    * unioned; longest definition wins (normalizer.py:354-577).
+    * Run after M-2 so (label, name) is unique per row.
+    */
+  def m3CrossLabelDedup(s: Snapshot): Snapshot = {
+    val prio = typedLit(Vocab.LabelPriority)
+    // array_position = 0 when absent; reference skips unknown labels
+    // (all 12 entity labels are ranked, so 99 is unreachable in practice)
+    val rank = when(array_position(prio, col("label")) === 0, lit(99L))
+      .otherwise(array_position(prio, col("label")))
+
+    val ranked = s.entities.withColumn("rank", rank)
+    val dupNames = ranked.groupBy(col("name"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select("name")
+
+    val groups = ranked.join(dupNames, Seq("name"))
+    val mergedGroups = groups
+      .groupBy(col("name"))
+      .agg(
+        min_by(col("id"), struct(col("rank"), col("id"))).as("id"),
+        min_by(col("label"), struct(col("rank"), col("id"))).as("label"),
+        min_by(col("displayName"),
+          when(col("displayName").isNotNull, struct(col("rank"), col("id")))).as("displayName"),
+        max_by(col("definition"),
+          when(col("definition").isNotNull,
+            struct(length(col("definition")), -col("rank"), -col("id")))).as("definition"),
+        array_sort(array_distinct(flatten(collect_list(col("aliases"))))).as("aliases"),
+        array_sort(array_distinct(flatten(collect_list(col("sourceSpans"))))).as("sourceSpans"))
+      .select(entityCols: _*)
+
+    val untouched = ranked.join(dupNames, Seq("name"), "left_anti").select(entityCols: _*)
+
+    val mapping = groups.select(col("id"), col("name"))
+      .join(mergedGroups.select(col("name"), col("id").as("canonId")), Seq("name"))
+      .filter(col("id") =!= col("canonId"))
+      .select("id", "canonId")
+
+    Snapshot(untouched.unionByName(mergedGroups), remapEdges(s.edges, mapping))
+  }
+
+  // ──────────────────── M-4: generic-entity delete ────────────────────
+
+  /** DETACH DELETE entities whose lower(name) is in the ~110-term
+    * generic list (entity_cleanup.py:43-144, 530-554).
+    */
+  def m4DeleteGeneric(s: Snapshot): Snapshot = {
+    val doomed = s.entities
+      .filter(lower(col("name")).isin(Vocab.GenericTermsToDelete.toSeq: _*))
+      .select("id")
+    detachDelete(s, doomed)
+  }
+
+  // ──────────────────── M-5: plural→singular merge ────────────────────
+
+  /** Dynamic pairs plural.name = singular.name + 's' with equal label
+    * (entity_cleanup.py:556-670, J-2): transfer edges to the singular,
+    * drop the plural row. Single pass, like the reference.
+    */
+  def m5MergePlurals(s: Snapshot): Snapshot = {
+    val singular = s.entities
+      .filter(col("name").isNotNull && !col("name").endsWith("s"))
+      .select(col("id").as("canonId"), concat(col("name"), lit("s")).as("pluralName"),
+        col("label"))
+    val pairs = s.entities.select(col("id"), col("name").as("pluralName"), col("label"))
+      .join(singular, Seq("pluralName", "label"))
+      .select("id", "canonId")
+
+    val entities = s.entities.join(pairs.select("id"), Seq("id"), "left_anti")
+    Snapshot(entities, remapEdges(s.edges, pairs))
+  }
+
+  // ──────────────── M-6: industry taxonomy consolidation ──────────────
+
+  /** classify_industry_term (industry_taxonomy.py:246-320) for every
+    * Industry row: exact/fuzzy(≥80) taxonomy → rename canonical;
+    * concepts (exact or fuzzy ≥75) → relabel Concept; organizations →
+    * relabel Organization; generic (exact or fuzzy ≥75) → delete; else
+    * keep unknown. Fuzzy = indel_ratio with best-score,
+    * first-taxonomy-key tie-break, matching rapidfuzz process.extractOne
+    * over the (insertion-ordered) taxonomy dict. After applying actions,
+    * a same-label dedup merges rows that now collide (merge-if-exists,
+    * industry_taxonomy.py:558-654).
+    */
+  def m6IndustryConsolidation(s: Snapshot): Snapshot = {
+    val spark = s.entities.sparkSession
+    import spark.implicits._
+
+    val industries = s.entities.filter(col("label") === "Industry")
+    val others = s.entities.filter(col("label") =!= "Industry")
+
+    val tax = Vocab.IndustryTaxonomy.zipWithIndex
+      .map { case ((v, c), i) => (v, c, i) }
+      .toDF("variant", "canonical", "ord")
+    val concepts = Vocab.ConceptsNotIndustries.toSeq.sorted.toDF("term")
+    val generics = Vocab.IndustryGenericToDelete.toSeq.sorted.toDF("term")
+
+    // best fuzzy taxonomy match per industry row (121-row broadcast NL join)
+    val taxBest = industries.select(col("id"), lower(col("name")).as("n"))
+      .crossJoin(broadcast(tax))
+      .groupBy(col("id"))
+      .agg(
+        max(indel_ratio(col("n"), col("variant"))).as("taxScore"),
+        max_by(col("canonical"),
+          struct(indel_ratio(col("n"), col("variant")), -col("ord"))).as("taxCanonical"))
+
+    val conceptBest = industries.select(col("id"), lower(col("name")).as("n"))
+      .crossJoin(broadcast(concepts))
+      .groupBy(col("id"))
+      .agg(max(indel_ratio(col("n"), col("term"))).as("conceptScore"))
+
+    val genericBest = industries.select(col("id"), lower(col("name")).as("n"))
+      .crossJoin(broadcast(generics))
+      .groupBy(col("id"))
+      .agg(max(indel_ratio(col("n"), col("term"))).as("genericScore"))
+
+    val exactTax = broadcast(tax.select(col("variant"), col("canonical").as("exactCanonical")))
+
+    val lowered = lower(col("name"))
+    val classified = industries
+      .join(exactTax, lowered === col("variant"), "left")
+      .join(taxBest, Seq("id"), "left")
+      .join(conceptBest, Seq("id"), "left")
+      .join(genericBest, Seq("id"), "left")
+      .withColumn("action",
+        when(lowered.isin(Vocab.OrganizationsNotIndustries.toSeq: _*), "reclassify_org")
+          .when(lowered.isin(Vocab.ConceptsNotIndustries.toSeq: _*), "reclassify")
+          .when(lowered.isin(Vocab.IndustryGenericToDelete.toSeq: _*), "delete")
+          .when(col("exactCanonical").isNotNull, "keep_exact")
+          .when(col("taxScore") >= 80, "keep_fuzzy")
+          .when(col("conceptScore") >= 75, "reclassify")
+          .when(col("genericScore") >= 75, "delete")
+          .otherwise("unknown"))
+
+    val doomed = classified.filter(col("action") === "delete").select("id")
+
+    val surviving = classified.filter(col("action") =!= "delete")
+      .withColumn("label",
+        when(col("action") === "reclassify", "Concept")
+          .when(col("action") === "reclassify_org", "Organization")
+          .otherwise(col("label")))
+      .withColumn("name",
+        when(col("action") === "keep_exact", col("exactCanonical"))
+          .when(col("action") === "keep_fuzzy", col("taxCanonical"))
+          .otherwise(col("name")))
+      .select(entityCols: _*)
+
+    val afterDelete = detachDelete(Snapshot(others.unionByName(surviving), s.edges), doomed)
+    // merge-if-exists: renamed/relabeled rows that now collide with an
+    // existing (label, name) merge into it
+    m2SameLabelDedup(afterDelete)
+  }
+
+  // ──────────────── M-7: relabel mislabeled Challenges ────────────────
+
+  /** Challenge rows whose FIRST word is a positive-outcome word become
+    * Concept, unless a Concept with the same name already exists
+    * (validation/fixes.py:233-315; first-word semantics per
+    * entity_cleanup.py:275-293).
+    */
+  def m7RelabelMislabeledChallenges(s: Snapshot): Snapshot = {
+    val firstWord = element_at(split(lower(trim(col("name"))), " "), 1)
+    val conceptNames = s.entities.filter(col("label") === "Concept")
+      .select(col("name")).distinct().withColumn("conceptExists", lit(true))
+
+    val e = s.entities
+      .join(conceptNames, Seq("name"), "left")
+      .withColumn("label",
+        when(col("label") === "Challenge" &&
+          firstWord.isin(Vocab.PositiveOutcomeWords.toSeq: _*) &&
+          col("conceptExists").isNull, "Concept")
+          .otherwise(col("label")))
+      .select(entityCols: _*)
+    Snapshot(e, s.edges)
+  }
+
+  // ──────────── Backfill: Standard→Industry APPLIES_TO (J-11) ─────────
+
+  /** MERGE the 21 well-known (Standard, Industry) APPLIES_TO pairs for
+    * standards present in the graph, creating missing Industry nodes
+    * (mentioned_in_backfill.py:106-135).
+    */
+  def backfillAppliesTo(s: Snapshot): Snapshot = {
+    val spark = s.entities.sparkSession
+    import spark.implicits._
+    val pairs = broadcast(Vocab.StandardIndustryMap.toDF("stdName", "indName"))
+
+    val present = s.entities.filter(col("label") === "Standard")
+      .select(col("id").as("src"), col("name").as("stdName"))
+      .join(pairs, Seq("stdName"))
+      .select(col("src"), col("indName"),
+        xxhash64(col("indName"), lit("Industry")).as("dst"))
+
+    val newIndustries = present.select(col("indName")).distinct()
+      .join(s.entities.filter(col("label") === "Industry").select(col("name").as("indName")),
+        Seq("indName"), "left_anti")
+      .select(
+        xxhash64(col("indName"), lit("Industry")).as("id"),
+        col("indName").as("name"),
+        lit(null).cast("string").as("displayName"),
+        lit("Industry").as("label"),
+        lit(null).cast("string").as("definition"),
+        array().cast("array<string>").as("aliases"),
+        array().cast("array<string>").as("sourceSpans"))
+
+    // existing Industry rows may carry a different id for the same name
+    // (extraction grain is (name, label) at RAW form; post-M-1 names are
+    // normalized, so hash on the normalized name matches only fresh
+    // nodes) — remap dst onto the surviving industry id by name
+    val indIds = s.entities.filter(col("label") === "Industry")
+      .select(col("name").as("indName"), col("id").as("realDst"))
+    val newEdges = present
+      .join(indIds, Seq("indName"), "left")
+      .select(col("src"), coalesce(col("realDst"), col("dst")).as("dst"),
+        lit("APPLIES_TO").as("relType"))
+
+    Snapshot(
+      s.entities.unionByName(newIndustries),
+      s.edges.unionByName(newEdges).dropDuplicates("src", "dst", "relType"))
+  }
+
+  /** Materialize a stage boundary. Every stage references its input
+    * snapshot several times (merged + mapping + anti-join sides), so an
+    * unmaterialized 8-stage chain builds an exponentially-sized plan
+    * tree; truncating lineage per stage keeps optimization O(stages)
+    * and matches the reference's sequential snapshot semantics. At
+    * cluster scale this is where the per-stage Iceberg snapshot commit
+    * goes (SURVEY.md §7 "each stage snapshot-checkpointed").
+    */
+  def materialize(s: Snapshot): Snapshot =
+    Snapshot(s.entities.localCheckpoint(true), s.edges.localCheckpoint(true))
+
+  /** The full Phase A/B chain in reference order (scraper.py:742-833):
+    * backfill → M-1 → M-2 → M-3 → M-4 → M-5 → M-6, plus the M-7
+    * validation fix. Stage-checkpointed.
+    */
+  def fullChain(s0: Snapshot): Snapshot = {
+    val stages: Seq[Snapshot => Snapshot] = Seq(
+      m1NormalizeNames, backfillAppliesTo, m2SameLabelDedup,
+      m3CrossLabelDedup, m4DeleteGeneric, m5MergePlurals,
+      m6IndustryConsolidation, m7RelabelMislabeledChallenges)
+    stages.foldLeft(materialize(s0))((s, f) => materialize(f(s)))
+  }
+}

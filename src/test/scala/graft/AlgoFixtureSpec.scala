@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.{ConnectedComponents, LabelPropagation, Modularity, PageRank, Triangles}
+import graft.graph.GraphOps
+
+/** The reference's own community fixtures as exact golden outputs for
+  * all four algorithms: two-triangle graph (tests/test_community.py:55-84)
+  * and K3 (:86-103); see /root/repo/FIXTURES.md §2-3.
+  */
+class AlgoFixtureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two disjoint triangles, name-keyed like the reference export
+  val twoTriNames: Seq[(String, String)] = Seq(
+    ("traceability", "scope creep"),
+    ("traceability", "requirements elicitation"),
+    ("scope creep", "requirements elicitation"),
+    ("iso 26262", "automotive"),
+    ("iso 26262", "functional safety"),
+    ("automotive", "functional safety"))
+
+  def nameEdges(pairs: Seq[(String, String)]): DataFrame =
+    pairs.toDF("a", "b").select(
+      xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+
+  def idsOf(pairs: Seq[(String, String)]): Map[String, Long] = {
+    val names = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    names.toDF("n").select(col("n"), xxhash64(col("n")).as("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("two-triangle fixture: PageRank uniform 1/6, allclose 1e-6") {
+    val sym = GraphOps.symmetrize(nameEdges(twoTriNames))
+    val res = PageRank.run(spark, sym, numPartitions = 4)
+    assert(res.converged)
+    val ranks = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 6)
+    ranks.values.foreach(v => assert(math.abs(v - 1.0 / 6) < 1e-6, s"rank $v"))
+  }
+
+  test("two-triangle fixture: 2 components, labels = min member id") {
+    val edges = nameEdges(twoTriNames)
+    val cc = ConnectedComponents.run(spark, edges, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = idsOf(twoTriNames)
+    val t1 = Seq("traceability", "scope creep", "requirements elicitation").map(ids)
+    val t2 = Seq("iso 26262", "automotive", "functional safety").map(ids)
+    assert(cc.size == 6)
+    t1.foreach(v => assert(cc(v) == t1.min))
+    t2.foreach(v => assert(cc(v) == t2.min))
+    assert(cc.values.toSet.size == 2)
+  }
+
+  test("two-triangle fixture: LPA finds 2 communities, all 6 assigned") {
+    val sym = GraphOps.symmetrize(nameEdges(twoTriNames))
+    val res = LabelPropagation.run(spark, sym, numPartitions = 4)
+    assert(res.converged)
+    val labs = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 6)
+    val ids = idsOf(twoTriNames)
+    val t1 = Seq("traceability", "scope creep", "requirements elicitation").map(ids)
+    val t2 = Seq("iso 26262", "automotive", "functional safety").map(ids)
+    assert(t1.map(labs).toSet.size == 1)
+    assert(t2.map(labs).toSet.size == 1)
+    assert(labs.values.toSet.size == 2)
+    // canonical form: community id = min member vertex id
+    assert(labs(t1.head) == t1.min && labs(t2.head) == t2.min)
+  }
+
+  test("two-triangle fixture: exactly 2 triangles; modularity = 0.5") {
+    val pairs = GraphOps.undirectedPairs(nameEdges(twoTriNames))
+    assert(Triangles.countTriangles(spark, pairs, 4) == 2L)
+    // perfect 2-community split of two disjoint triangles:
+    // Q = Σ_c [3/6 - (6/12)²] = 2*(0.5 - 0.25) = 0.5 (leidenalg value)
+    val comms = ConnectedComponents.run(spark, nameEdges(twoTriNames), numPartitions = 4)
+      .withColumnRenamed("component", "community")
+    assert(math.abs(Modularity.modularity(pairs, comms) - 0.5) < 1e-9)
+  }
+
+  test("K3 fixture: 1 component, 1 community, 1 triangle, PageRank 1/3") {
+    val k3 = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    val edges = nameEdges(k3)
+    val sym = GraphOps.symmetrize(edges)
+
+    val pr = PageRank.run(spark, sym, numPartitions = 4)
+    pr.ranks.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-6))
+
+    val cc = ConnectedComponents.run(spark, edges, numPartitions = 4).collect()
+    assert(cc.map(_.getLong(1)).toSet.size == 1)
+
+    val lpa = LabelPropagation.run(spark, sym, numPartitions = 4)
+    assert(lpa.labels.collect().map(_.getLong(1)).toSet.size == 1)
+
+    assert(Triangles.countTriangles(spark, GraphOps.undirectedPairs(edges), 4) == 1L)
+  }
+
+  test("directed random graph: PageRank matches driver oracle, allclose 1e-6") {
+    // deterministic pseudo-random digraph: 120 vertices, 480 edges
+    val edges = (0 until 480).map { i =>
+      val u = (i * 37 + 11) % 120
+      val v = (u + 1 + (i * i * 17 + 5) % 97) % 120
+      (u.toLong, v.toLong)
+    }.distinct.filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val res = PageRank.run(spark, df, numPartitions = 4, tol = 1e-9)
+    assert(res.converged)
+    val got = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Oracles.pageRank(edges, tol = 1e-9)
+    assert(got.keySet == want.keySet)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    want.foreach { case (v, r) => assert(math.abs(got(v) - r) < 1e-6, s"vertex $v") }
+  }
+
+  test("random graph: components match union-find; triangles match brute force") {
+    val edges = (0 until 300).map { i =>
+      val u = (i * 53 + 7) % 200
+      val v = (i * 29 + 3) % 200
+      (u.toLong, v.toLong)
+    }.filter(e => e._1 != e._2).distinct
+    val verts = (0L until 200L)
+    val df = edges.toDF("src", "dst")
+
+    val got = ConnectedComponents.run(spark, df,
+      vertices = Some(verts.toDF("id")), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Oracles.components(edges, verts)
+    assert(got == want)
+
+    val pairs = GraphOps.undirectedPairs(df)
+    assert(Triangles.countTriangles(spark, pairs, 4) == Oracles.triangles(edges))
+  }
+
+  test("PageRank handles dangling vertices (sinks) and keeps sum = 1") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L)) // 3 is a sink
+    val res = PageRank.run(spark, edges.toDF("src", "dst"), numPartitions = 2)
+    assert(res.converged)
+    val got = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Oracles.pageRank(edges)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    want.foreach { case (v, r) => assert(math.abs(got(v) - r) < 1e-6) }
+  }
+}
