@@ -14,7 +14,7 @@ import graft.extract.Extractor
 import graft.functions.indel_ratio
 import graft.graph.GraphOps
 import graft.multimodal.Multimodal
-import graft.normalize.{Normalize, Vocab}
+import graft.normalize.{GlossaryLinker, Normalize, Vocab}
 import graft.normalize.Normalize.Snapshot
 import graft.sim.Similarity
 import graft.text.TextOps
@@ -494,6 +494,96 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(s.read.parquet(t(d, "documents")))),
 
+    // ── chunking (reference params 512/64/1500/100) ──
+    "chunking" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), repeat(col("text"), 8).as("text"))
+      chunking.Chunker.chunk(docs, "doc_id", "text")
+        .select(col("article_id"), col("chunk_id"), col("chunk_index"), col("n_chars"))
+    }),
+
+    "m11_w1_chunk_repair" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), repeat(col("text"), 8).as("text"))
+      val chunks = chunking.Chunker.chunk(docs, "doc_id", "text")
+      val noMentions = chunks.select(col("chunk_id")).limit(0)
+        .withColumn("entity_id", lit(0L))
+      chunking.Chunker.repairChunks(chunks, noMentions)
+        .select(col("article_id"), col("chunk_id"), col("chunk_index"), col("n_chars"))
+    }),
+
+    "j4_mentioned_in_backfill" -> ((s, d) => {
+      val snap = snapshotFor(s, d)
+      val chunks = chunking.Chunker.chunk(corpusFor(s, d)
+        .select(col("path"), col("content")), "path", "content")
+      chunking.Chunker.backfillMentionedIn(chunks, snap.entities)
+        .groupBy(col("entity_id")).agg(count(lit(1)).as("n_chunks"))
+    }),
+
+    // ── validation suite (queries.py:614-702) ──
+    "val_summary" -> ((s, d) => {
+      val snap = snapshotFor(s, d)
+      val r = validate.Validation.run(snap)
+      s.createDataFrame(Seq((r.passed, r.duplicateEntities, r.industryCount,
+        r.pluralDuplicates, r.genericEntities, r.invalidPatterns,
+        r.nearDuplicates, r.mislabeledChallenges)))
+        .toDF("passed", "duplicate_entities", "industry_count",
+          "plural_duplicates", "generic_entities", "invalid_patterns",
+          "near_duplicates", "mislabeled_challenges")
+    }),
+
+    "val_invalid_patterns" -> ((s, d) =>
+      validate.Validation.invalidPatterns(snapshotFor(s, d))),
+
+    "val_near_duplicates" -> ((s, d) =>
+      validate.Validation.nearDuplicateEntities(snapshotFor(s, d).entities)),
+
+    "val_entity_stats" -> ((s, d) =>
+      validate.Validation.entityStats(snapshotFor(s, d).entities)),
+
+    // ── glossary linking (J-5/J-6 surface) ──
+    "glossary_links" -> ((s, d) => {
+      val defs = Extractor.definitions(corpusFor(s, d))
+      GlossaryLinker.linkDefinitions(defs, snapshotFor(s, d).entities)
+        .select(col("term"), col("concept_name"), round(col("score"), 4).as("score"),
+          col("exact"))
+    }),
+
+    "j5_definition_backfill" -> ((s, d) => {
+      val snap = snapshotFor(s, d)
+      val defs = Extractor.definitions(corpusFor(s, d))
+      GlossaryLinker.backfillDefinitions(snap.entities, defs)
+        .filter(col("definition").isNotNull)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_defined"))
+    }),
+
+    // ── read API (examples/query_knowledge_graph.py) ──
+    "api_entity_search" -> ((s, d) =>
+      api.ReadApi.entitySearch(snapshotFor(s, d), "trace", k = 10)),
+
+    "api_neighborhood" -> ((s, d) =>
+      api.ReadApi.neighborhood(snapshotFor(s, d), "requirements traceability")),
+
+    "api_top_mentioned" -> ((s, d) => {
+      val snap = snapshotFor(s, d)
+      val chunks = chunking.Chunker.chunk(corpusFor(s, d)
+        .select(col("path"), col("content")), "path", "content")
+      val mi = chunking.Chunker.backfillMentionedIn(chunks, snap.entities)
+      api.ReadApi.topMentionedEntities(snap, mi, 20)
+    }),
+
+    "api_communities" -> ((s, d) => {
+      val g = graphFor(s, d)
+      val labels = LabelPropagation.run(s, GraphOps.symmetrize(g.edges), parts(s, d)).labels
+      // communities over the name-keyed graph: reuse vertex names
+      labels.join(g.vertices, Seq("id"))
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("member_count"),
+          array_sort(collect_list(col("name"))).as("members"))
+        .filter(col("member_count") >= 3)
+        .select(col("community"), col("member_count"))
+    }),
+
     // ── multimodal plumbing ──
     "mm_media_features" -> ((s, d) => {
       val media = Multimodal.mediaTable(
@@ -701,6 +791,49 @@ object SparkEntry {
                   min(doc_id) AS keeper, count(*) AS group_size
            FROM base GROUP BY 1)
          SELECT keeper, group_size FROM g WHERE group_size > 1""",
+
+    "chunking" ->
+      """WITH d AS (SELECT doc_id, repeat(text, 8) AS text FROM documents),
+         w AS (SELECT doc_id, text, length(text) AS len,
+                 CASE WHEN length(text) <= 1500 THEN 1
+                      ELSE CAST(ceil((length(text) - 64) / 448.0) AS INT) END AS nw
+               FROM d),
+         c AS (SELECT doc_id, text, len,
+                 CAST(unnest(generate_series(0, nw - 1)) AS INT) AS ci FROM w),
+         x AS (SELECT doc_id, ci,
+                 length(CASE WHEN len <= 1500 THEN text
+                        ELSE substring(text, ci * 448 + 1, 512) END) AS nc
+               FROM c)
+         SELECT CAST(doc_id AS VARCHAR) AS article_id,
+                CAST(doc_id AS VARCHAR) || '_chunk_' || lpad(CAST(ci AS VARCHAR), 4, '0')
+                  AS chunk_id,
+                ci AS chunk_index,
+                CAST(nc AS INT) AS n_chars
+         FROM x WHERE ci = 0 OR nc >= 100""",
+
+    "m11_w1_chunk_repair" ->
+      """WITH d AS (SELECT doc_id, repeat(text, 8) AS text FROM documents),
+         w AS (SELECT doc_id, text, length(text) AS len,
+                 CASE WHEN length(text) <= 1500 THEN 1
+                      ELSE CAST(ceil((length(text) - 64) / 448.0) AS INT) END AS nw
+               FROM d),
+         c AS (SELECT doc_id, text, len,
+                 CAST(unnest(generate_series(0, nw - 1)) AS INT) AS ci FROM w),
+         x AS (SELECT doc_id, ci,
+                 length(CASE WHEN len <= 1500 THEN text
+                        ELSE substring(text, ci * 448 + 1, 512) END) AS nc
+               FROM c),
+         kept AS (SELECT * FROM x WHERE (ci = 0 OR nc >= 100) AND nc >= 100),
+         ren AS (SELECT doc_id, nc,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ci) - 1 AS INT)
+                     AS rn
+                 FROM kept)
+         SELECT CAST(doc_id AS VARCHAR) AS article_id,
+                CAST(doc_id AS VARCHAR) || '_chunk_' || lpad(CAST(rn AS VARCHAR), 4, '0')
+                  AS chunk_id,
+                rn AS chunk_index,
+                CAST(nc AS INT) AS n_chars
+         FROM ren""",
 
     "dedup_ngram_jaccard" -> "", // rows-only: xxhash64 n-gram sets are engine-native
 

@@ -79,6 +79,20 @@ object Extractor {
         col("sourceSpans"))
   }
 
+  /** Glossary table (term, definition) from def markers — the
+    * reference's Definition nodes (supplementary.py glossary source).
+    * Longest definition per term wins, deterministically.
+    */
+  def definitions(corpus: DataFrame): DataFrame =
+    markers(corpus).filter(col("m").startsWith("def["))
+      .select(
+        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 2).as("term"),
+        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 3).as("definition"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(max_by(col("definition"),
+        struct(length(col("definition")), col("definition"))).as("definition"))
+
   /** Typed edge table (src, dst, relType) at raw grain; MERGE semantics
     * (edges are a set — mentioned_in_backfill.py:94, M-10).
     */

@@ -1,0 +1,188 @@
+package graft.validate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model
+import graft.normalize.{Normalize, Vocab}
+import graft.normalize.Normalize.Snapshot
+
+/** The reference's validation suite (validation/queries.py:614-702) as
+  * DataFrame checks over the snapshot tables, plus the Markdown report
+  * (reporter.py:24-120) and the 6-way pass gate (queries.py:679-688).
+  */
+object Validation {
+
+  final case class Result(
+      orphanChunks: Long,
+      duplicateEntities: Long,
+      industryCount: Long,
+      invalidPatterns: Long,
+      missingChunkIds: Long,
+      missingChunkIndex: Long,
+      pluralDuplicates: Long,
+      genericEntities: Long,
+      degenerateChunks: Long,
+      mislabeledChallenges: Long,
+      nearDuplicates: Long,
+      ghostEntities: Long,
+      entityStats: Seq[(String, Long, Long)]) {
+
+    /** queries.py:679-688 — AND of the six critical checks. */
+    def passed: Boolean =
+      orphanChunks == 0 && duplicateEntities == 0 && industryCount <= 19 &&
+        missingChunkIds == 0 && missingChunkIndex == 0 && pluralDuplicates == 0
+
+    /** reporter.py:41-120-shaped Markdown. */
+    def toMarkdown: String = {
+      def flag(ok: Boolean) = if (ok) "✅" else "❌"
+      val stats = entityStats.map { case (l, t, n) => s"| $l | $t | $n |" }.mkString("\n")
+      s"""# Validation Report
+         |
+         |**Status: ${if (passed) "PASSED" else "FAILED"}**
+         |
+         |## Critical checks
+         || check | value | pass |
+         ||---|---|---|
+         || orphan chunks | $orphanChunks | ${flag(orphanChunks == 0)} |
+         || duplicate (label,name) entities | $duplicateEntities | ${flag(duplicateEntities == 0)} |
+         || industry count ≤ 19 | $industryCount | ${flag(industryCount <= 19)} |
+         || missing chunk_ids | $missingChunkIds | ${flag(missingChunkIds == 0)} |
+         || missing chunk index | $missingChunkIndex | ${flag(missingChunkIndex == 0)} |
+         || plural/singular duplicates | $pluralDuplicates | ${flag(pluralDuplicates == 0)} |
+         |
+         |## Advisory checks
+         || check | value |
+         ||---|---|
+         || generic entities | $genericEntities |
+         || degenerate chunks | $degenerateChunks |
+         || invalid (src,rel,dst) patterns | $invalidPatterns |
+         || potentially mislabeled challenges | $mislabeledChallenges |
+         || near-duplicate entities | $nearDuplicates |
+         || ghost entities (MENTIONED_IN only) | $ghostEntities |
+         |
+         |## Entity stats (label, total, normalized)
+         || label | total | normalized |
+         ||---|---|---|
+         |$stats
+         |""".stripMargin
+    }
+  }
+
+  /** Duplicate (label, name) groups — A-1 (queries.py:91-106). */
+  def duplicateEntities(entities: DataFrame): DataFrame =
+    entities.groupBy(col("label"), col("name")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** Dynamic plural/singular pairs — J-2 (queries.py:246-296). */
+  def pluralSingularPairs(entities: DataFrame): DataFrame = {
+    val singular = entities
+      .filter(col("name").isNotNull && !col("name").endsWith("s"))
+      .select(concat(col("name"), lit("s")).as("name"), col("label"),
+        col("name").as("singular_name"))
+    entities.select(col("name"), col("label"))
+      .join(singular, Seq("name", "label"))
+      .select(col("label"), col("singular_name"), col("name").as("plural_name"))
+  }
+
+  /** Invalid (srcLabel, relType, dstLabel) triples — J-10
+    * (queries.py:173-204): typed edges anti-joined against the ~50
+    * PATTERNS, broadcast.
+    */
+  def invalidPatterns(s: Snapshot): DataFrame = {
+    val spark = s.entities.sparkSession
+    val patterns = broadcast(
+      spark.createDataFrame(model.ValidPatterns)
+        .toDF("srcLabel", "relType", "dstLabel"))
+    val labels = s.entities.select(col("id"), col("label"))
+    s.edges
+      .join(labels.select(col("id").as("src"), col("label").as("srcLabel")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("label").as("dstLabel")), Seq("dst"))
+      .join(patterns, Seq("srcLabel", "relType", "dstLabel"), "left_anti")
+      .groupBy(col("srcLabel"), col("relType"), col("dstLabel"))
+      .agg(count(lit(1)).as("violations"))
+  }
+
+  /** Near-duplicate entities — J-3 theta join (queries.py:535-559):
+    * same label, b.name contains a.name, length gap ≤ 5, a.name > 4
+    * chars, id(a) < id(b). Grouped per label so each side is small.
+    */
+  def nearDuplicateEntities(entities: DataFrame): DataFrame = {
+    val e = entities.select(col("id"), col("name"), col("label"))
+      .filter(col("name").isNotNull)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.id") < col("b.id") &&
+          length(col("a.name")) > 4 &&
+          col("b.name").contains(col("a.name")) &&
+          length(col("b.name")) - length(col("a.name")) <= 5 &&
+          col("a.name") =!= col("b.name"))
+      .select(col("a.label").as("label"), col("a.name").as("a"), col("b.name").as("b"))
+  }
+
+  /** Ghost entities — J-8 (queries.py:476-506): entities whose only
+    * relationships are MENTIONED_IN (no semantic edges either way).
+    */
+  def ghostEntities(s: Snapshot, mentionedIn: DataFrame): DataFrame = {
+    val sem = s.edges.filter(col("relType") =!= "MENTIONED_IN")
+    s.entities
+      .join(sem.select(col("src").as("id")), Seq("id"), "left_anti")
+      .join(sem.select(col("dst").as("id")), Seq("id"), "left_anti")
+      .join(mentionedIn.select(col("entity_id").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), col("name"), col("label"))
+  }
+
+  /** Potentially mislabeled Challenges — O-6, Cypher-path semantics
+    * (ANY word in POSITIVE_OUTCOME_WORDS, queries.py:521-526 — note the
+    * deliberate divergence from the Python first-word path, preserved
+    * per SURVEY.md O-6).
+    */
+  def mislabeledChallenges(entities: DataFrame): DataFrame =
+    entities.filter(col("label") === "Challenge" &&
+      arrays_overlap(split(lower(col("name")), " "),
+        typedLit(Vocab.PositiveOutcomeWords.toSeq.sorted)))
+
+  /** A-3: per-label total vs normalized-name counts (normalizer.py:590-604). */
+  def entityStats(entities: DataFrame): DataFrame =
+    entities
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("name") === lower(trim(col("name"))), 1).otherwise(0))
+          .cast("long").as("normalized"))
+      .orderBy(col("label"))
+
+  /** Run everything (chunks/mentionedIn optional). */
+  def run(s: Snapshot,
+          chunks: Option[DataFrame] = None,
+          mentionedIn: Option[DataFrame] = None): Result = {
+    val emptyMi = s.entities.sparkSession.emptyDataFrame
+      .withColumn("entity_id", lit(0L)).withColumn("chunk_id", lit("")).limit(0)
+    val mi = mentionedIn.getOrElse(emptyMi)
+
+    val orphan = chunks.map(c =>
+      c.filter(col("article_id").isNull).count()).getOrElse(0L)
+    val missingIds = chunks.map(c => c.filter(col("chunk_id").isNull).count()).getOrElse(0L)
+    val missingIdx = chunks.map(c => c.filter(col("chunk_index").isNull).count()).getOrElse(0L)
+    val degenerate = chunks.map(c => c.filter(col("n_chars") < 100).count()).getOrElse(0L)
+
+    Result(
+      orphanChunks = orphan,
+      duplicateEntities = duplicateEntities(s.entities).count(),
+      industryCount = s.entities.filter(col("label") === "Industry").count(),
+      invalidPatterns = invalidPatterns(s).agg(sum(col("violations"))).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      },
+      missingChunkIds = missingIds,
+      missingChunkIndex = missingIdx,
+      pluralDuplicates = pluralSingularPairs(s.entities).count(),
+      genericEntities = s.entities
+        .filter(lower(col("name")).isin(Vocab.GenericTermsToDelete.toSeq: _*)).count(),
+      degenerateChunks = degenerate,
+      mislabeledChallenges = mislabeledChallenges(s.entities).count(),
+      nearDuplicates = nearDuplicateEntities(s.entities).count(),
+      ghostEntities = ghostEntities(s, mi).count(),
+      entityStats = entityStats(s.entities).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+}
