@@ -123,18 +123,41 @@ object ScalingBench {
     val lo = sys.env.getOrElse("GRAFT_SCALE_LO", "8")
     val hi = sys.env.getOrElse("GRAFT_SCALE_HI", "32")
 
+    // identical job at both sizes: SAME partition count (2×hi) so only
+    // the executor-thread count varies, like N vs 4N executors on a
+    // cluster reading the same partitioned table
+    val fixedParts = 2 * hi.toInt
+
+    // GRAFT_SCALE_EDGES: synthesize the edge table directly at a target
+    // size with the same quadratic-skew vertex distribution the corpus
+    // extractor produces — the scaling measurement must be dominated by
+    // the ALGORITHM, not by generating a toy corpus. 0 = derive edges
+    // from the corpus pipeline instead.
+    val directEdges = sys.env.getOrElse("GRAFT_SCALE_EDGES", "20000000").toLong
+
     def runAt(cpus: String): (Double, Long, Int) = {
       val spark = Bench.buildSession(cpus)
-      val P = spark.sparkContext.defaultParallelism
-      val docN = spark.read.parquet(s"$sfDir/documents.parquet").count()
-      val nFiles = sys.env.getOrElse("GRAFT_BENCH_FILES", (40L * docN).toString).toLong
-      val vScale = sys.env.getOrElse("GRAFT_VSCALE", "40").toInt
-      val c = CorpusGen.corpus(spark, nFiles, seed = 42L, vertexScale = vScale)
-      val s0 = Snapshot(Extractor.entities(c), Extractor.relationships(c))
-      val g = GraphOps.semanticGraph(Normalize.fullChain(s0))
-      val sym = GraphOps.symmetrize(g.edges).localCheckpoint(true)
+      spark.conf.set("spark.sql.shuffle.partitions", fixedParts.toString)
+      val edges =
+        if (directEdges > 0) {
+          val v = math.max(directEdges / 20, 1000L) // avg degree ~20
+          def pick(k: Int) = {
+            val r = pmod(xxhash64(col("id"), lit(k)), lit(1000000L)).cast("double") / 1e6
+            floor(lit(v.toDouble) * r * r).cast("long")
+          }
+          spark.range(directEdges)
+            .select(pick(1).as("src"), pick(2).as("dst"))
+            .filter(col("src") =!= col("dst"))
+        } else {
+          val docN = spark.read.parquet(s"$sfDir/documents.parquet").count()
+          val nFiles = sys.env.getOrElse("GRAFT_BENCH_FILES", (400L * docN).toString).toLong
+          val vScale = sys.env.getOrElse("GRAFT_VSCALE", "200").toInt
+          val c = CorpusGen.corpus(spark, nFiles, seed = 42L, vertexScale = vScale)
+          Extractor.relationships(c).select(col("src"), col("dst"))
+        }
+      val sym = GraphOps.symmetrize(edges).localCheckpoint(true)
       val m = sym.count()
-      val (pr, dt) = Bench.time(PageRank.run(spark, sym, P))
+      val (pr, dt) = Bench.time(PageRank.run(spark, sym, fixedParts))
       spark.stop()
       (dt, m, pr.iterations)
     }

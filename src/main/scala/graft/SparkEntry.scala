@@ -343,6 +343,21 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("v"), 4).as("v"))
     }),
 
+    "sessionize" -> ((s, d) => {
+      // gap-based sessionization (30-min inactivity): lag + running sum,
+      // the batch twin of Structured Streaming's session_window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(t(d, "events"))
+        .withColumn("__sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("gap",
+          when(col("__sec") - lag(col("__sec"), 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("gap")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // ── graph: corpus pipeline + iterative algorithms (G-1..G-7) ──
     "g1_semantic_edges" -> ((s, d) => {
       val g = graphFor(s, d)
@@ -769,6 +784,22 @@ object SparkEntry {
             count(*) AS n,
             CAST(round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2""",
+
+    "sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS gap
+           FROM events),
+         s AS (
+           SELECT user_id, sum(gap) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+                count(*) AS n_events
+         FROM s GROUP BY user_id""",
 
     "tri_sql_graph" ->
       """WITH r AS (SELECT range AS i FROM range(1500)),

@@ -66,7 +66,7 @@ object ConnectedComponents {
           vertices: Option[DataFrame] = None,
           numPartitions: Int = 32,
           maxIter: Int = 50,
-          ckpt: Option[Superstep] = None): DataFrame = {
+          ckpt: Option[Superstep] = None): DataFrame = Superstep.withoutAQE(spark) {
 
     val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
     var e = resumed.map(_._2).getOrElse(

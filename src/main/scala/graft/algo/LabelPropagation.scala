@@ -26,7 +26,7 @@ object LabelPropagation {
           symEdges: DataFrame,
           numPartitions: Int = 32,
           maxIter: Int = 20,
-          ckpt: Option[Superstep] = None): Result = {
+          ckpt: Option[Superstep] = None): Result = Superstep.withoutAQE(spark) {
 
     val e = symEdges.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src"))

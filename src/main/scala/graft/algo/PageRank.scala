@@ -19,7 +19,10 @@ import org.apache.spark.storage.StorageLevel
   *    edge table;
   *  - the contribution aggregation is a partial (map-side) + final agg
   *    on `dst`, so skewed in-degree vertices combine locally before the
-  *    shuffle (AQE skew handling stays on as backstop);
+  *    shuffle;
+  *  - AQE is disabled for the loop (see Superstep.withoutAQE) so the
+  *    checkpointed state keeps its known hash-partitioning and both
+  *    per-iteration joins are exchange-free shuffle-hash joins;
   *  - state is localCheckpoint'ed each superstep (plan truncation) and
   *    durably checkpointed every `Superstep.every` supersteps with
   *    per-partition lineage; resume picks up the last complete one;
@@ -40,17 +43,40 @@ object PageRank {
           tol: Double = 1e-6,
           maxIter: Int = 100,
           damping: Double = 0.85,
-          ckpt: Option[Superstep] = None): Result = {
+          ckpt: Option[Superstep] = None): Result = Superstep.withoutAQE(spark) {
 
-    val e = edges.select(col("src"), col("dst"))
+    val eAll = edges.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = e.count()
+    val edgeCount = eAll.count()
 
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
+    val verts = eAll.select(col("src").as("id"))
+      .union(eAll.select(col("dst").as("id")))
       .distinct()
-    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
+    val outDeg = eAll.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
+
+    // ── skew split ──
+    // A source vertex whose out-degree exceeds a partition's fair share
+    // would make hash(src) partitioning lopsided. Such hubs are few
+    // (power-law head): route their edges through a BROADCAST of just
+    // the hub ranks, and keep the long tail on the co-partitioned
+    // shuffle path. (Salting-by-replication would copy the whole rank
+    // state saltFactor times; broadcasting ≤4096 hub ranks is cheaper
+    // and exact.)
+    val hotThreshold = math.max(edgeCount / math.max(numPartitions, 1), 10000L)
+    val hotIds = outDeg.filter(col("outDeg") >= hotThreshold)
+      .orderBy(col("outDeg").desc).limit(4096)
+      .select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val hasHot = hotIds.count() > 0
+    val e = if (!hasHot) eAll else
+      eAll.join(hotIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .repartition(numPartitions, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val eHot = if (!hasHot) null else
+      eAll.join(hotIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .repartition(numPartitions, col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    if (hasHot) { e.count(); eHot.count() }
 
     val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
 
@@ -81,14 +107,26 @@ object PageRank {
     var (_, dangling) = aggState(state)
 
     while (step < maxIter && !converged) {
-      val contribs = e
-        .join(state.filter(col("outDeg") > 0)
-          .select(col("id").as("src"), (col("rank") / col("outDeg")).as("c")), Seq("src"))
+      // SHUFFLE_HASH hints: a sort-merge join would re-sort the (cached,
+      // already co-partitioned) edge table and the state EVERY superstep;
+      // hash joins stream them. Build side = the skinny rank slice.
+      val rankSlice = state.filter(col("outDeg") > 0)
+        .select(col("id").as("src"), (col("rank") / col("outDeg")).as("c"))
+      val coldContrib = e
+        .join(rankSlice.hint("shuffle_hash"), Seq("src"))
+        .select(col("dst"), col("c"))
+      val allContrib = if (!hasHot) coldContrib else {
+        val hotRanks = rankSlice.join(hotIds.withColumnRenamed("id", "src"),
+          Seq("src"), "left_semi")
+        coldContrib.unionAll(
+          eHot.join(broadcast(hotRanks), Seq("src")).select(col("dst"), col("c")))
+      }
+      val contribs = allContrib
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("contrib"))
 
       val next = state
-        .join(contribs, Seq("id"), "left")
+        .join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), col("outDeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
@@ -109,7 +147,9 @@ object PageRank {
       }
     }
 
-    e.unpersist()
+    eAll.unpersist()
+    hotIds.unpersist()
+    if (hasHot) { e.unpersist(); eHot.unpersist() }
     Result(state.select(col("id"), col("rank")), step, converged, edgeCount)
   }
 }

@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   * advances the `_LATEST` marker, so a kill mid-write resumes from the
   * previous complete superstep.
   */
+object Superstep {
+  /** Run `f` with AQE disabled. Inside a superstep loop AQE is a
+    * pessimization: it re-plans every micro-job AND drops the known
+    * hash-partitioning of localCheckpoint'ed state (LogicalRDD under
+    * AdaptiveSparkPlan reports UnknownPartitioning), forcing a
+    * re-Exchange of the full state every iteration. With AQE off the
+    * per-iteration plan is one shuffle (the contribution/min/mode
+    * aggregation); the state⋈agg join is co-partitioned and
+    * exchange-free. Skew inside iterations is handled structurally
+    * (degree-ordering, salting), not by AQE.
+    */
+  def withoutAQE[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
 final class Superstep(spark: SparkSession, dir: String, val every: Int = 5) {
 
   private val base = Paths.get(dir)

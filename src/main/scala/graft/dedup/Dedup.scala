@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   import graft.text.TextOps.tokens
+  import graft.functions.{minhash_sig, simhash64}
 
   private val P = 2147483647L // Mersenne prime 2^31-1 for affine hashes
 
@@ -50,15 +51,8 @@ object Dedup {
     * candidates; candidates verified by true shingle-Jaccard ≥ threshold.
     * Returns verified near-dup pairs (a, b, jaccard), a < b.
     */
-  def minHashSignature(text: Column, numPerms: Int = 32, k: Int = 5): Column = {
-    val sh = shingleHashes(text, k)
-    val mins = (0 until numPerms).map { i =>
-      val a = 2L * i + 1
-      val b = 7919L * (i + 1)
-      array_min(transform(sh, x => pmod(pmod(x, lit(P)) * a + b, lit(P))))
-    }
-    array(mins: _*)
-  }
+  def minHashSignature(text: Column, numPerms: Int = 32, k: Int = 5): Column =
+    minhash_sig(text, numPerms, k) // single-pass native expression
 
   def minHashCandidates(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
                         k: Int = 5, textCol: String = "text"): DataFrame = {
@@ -97,16 +91,7 @@ object Dedup {
     * ≤ maxDist, blocked on 4 16-bit segments (a pair within distance 3
     * must agree on ≥1 segment).
     */
-  def simHash(text: Column): Column = {
-    val tk = tokens(text)
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(tk, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash(text: Column): Column = simhash64(text) // single-pass native
 
   def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
                       textCol: String = "text"): DataFrame = {

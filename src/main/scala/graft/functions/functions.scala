@@ -9,4 +9,12 @@ package object functions {
   /** rapidfuzz `fuzz.ratio`-compatible Indel similarity (0..100). */
   def indel_ratio(a: Column, b: Column): Column =
     bridge.column(IndelRatio(bridge.expression(a), bridge.expression(b)))
+
+  /** Single-pass MinHash signature (array<long>, numPerms entries). */
+  def minhash_sig(text: Column, numPerms: Int = 32, k: Int = 5): Column =
+    bridge.column(MinHashSig(bridge.expression(text), numPerms, k))
+
+  /** Single-pass 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: Column): Column =
+    bridge.column(SimHash64(bridge.expression(text)))
 }
