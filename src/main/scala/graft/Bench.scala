@@ -123,10 +123,11 @@ object ScalingBench {
     val lo = sys.env.getOrElse("GRAFT_SCALE_LO", "8")
     val hi = sys.env.getOrElse("GRAFT_SCALE_HI", "32")
 
-    // identical job at both sizes: SAME partition count (2×hi) so only
-    // the executor-thread count varies, like N vs 4N executors on a
-    // cluster reading the same partitioned table
-    val fixedParts = 2 * hi.toInt
+    // identical job at both sizes: SAME partition count so only the
+    // executor-thread count varies, like N vs 4N executors on a cluster
+    // reading the same partitioned table. Default 4×hi: enough waves at
+    // the high end that skewed partition sizes amortize.
+    val fixedParts = sys.env.getOrElse("GRAFT_SCALE_PARTS", (4 * hi.toInt).toString).toInt
 
     // GRAFT_SCALE_EDGES: synthesize the edge table directly at a target
     // size with the same quadratic-skew vertex distribution the corpus

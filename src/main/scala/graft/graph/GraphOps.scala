@@ -46,6 +46,19 @@ object GraphOps {
     GraphTables(vertices, edges)
   }
 
+  /** Dictionary-id collision check. Vertex ids are xxhash64(name):
+    * negligible risk at test scale but real at 10^10+ names (birthday
+    * bound ≈ 4·10^9 for 64-bit). Returns colliding (id, names) groups —
+    * must be empty; at full scale this runs piggybacked on the same
+    * shuffle that builds the vertex dictionary, and a non-empty result
+    * fails the job before any algorithm consumes the graph.
+    */
+  def idCollisions(vertices: DataFrame): DataFrame =
+    vertices.groupBy(col("id"))
+      .agg(countDistinct(col("name")).as("n"),
+        array_sort(collect_set(col("name"))).as("names"))
+      .filter(col("n") > 1)
+
   /** Undirected view: both directions, self-loops dropped, distinct. */
   def symmetrize(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))

@@ -110,6 +110,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(rowSha(snapshot.entities) == rowSha(rebuilt.entities))
   }
 
+  test("vertex dictionary has no xxhash64 id collisions (S10-style constraint)") {
+    val g = GraphOps.semanticGraph(snapshot)
+    assert(GraphOps.idCollisions(g.vertices).count() == 0)
+  }
+
+  test("S8: JSON sink round-trips the entity snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    snapshot.entities.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == snapshot.entities.count())
+    // array + null columns survive the round trip
+    assert(back.columns.toSet.subsetOf(
+      Set("id", "name", "displayName", "label", "definition", "aliases", "sourceSpans")))
+  }
+
   test("semantic graph builds and algorithms run over it") {
     val g = GraphOps.semanticGraph(snapshot)
     val vCount = g.vertices.count()
