@@ -60,7 +60,9 @@ object Bench {
 
     // ── pipeline: corpus → extract → normalize → graph ──
     val (snap, tPipe) = time {
+      // materialize the corpus once; extraction scans it several times
       val c = CorpusGen.corpus(spark, nFiles, seed = 42L, vertexScale = vScale)
+        .localCheckpoint(true)
       val s0 = Snapshot(Extractor.entities(c), Extractor.relationships(c))
       val out = Normalize.fullChain(s0)
       out.entities.count(); out.edges.count()

@@ -41,9 +41,17 @@ object SparkEntry {
   private def docCount(spark: SparkSession, dir: String): Long =
     spark.read.parquet(s"$dir/documents.parquet").count()
 
-  /** Corpus size follows the sf directory (3 files per document row). */
+  private val corpusCache = TrieMap.empty[String, DataFrame]
+
+  /** Corpus size follows the sf directory (3 files per document row).
+    * Materialized once per dir: content generation is the expensive
+    * part and every extraction pass (entities, relationships,
+    * definitions) re-scans it.
+    */
   def corpusFor(spark: SparkSession, dir: String): DataFrame =
-    CorpusGen.corpus(spark, numFiles = 3L * docCount(spark, dir), seed = 42L)
+    corpusCache.getOrElseUpdate(dir,
+      CorpusGen.corpus(spark, numFiles = 3L * docCount(spark, dir), seed = 42L)
+        .localCheckpoint(true))
 
   /** Normalized snapshot for a sf dir, built once per JVM. */
   def snapshotFor(spark: SparkSession, dir: String): Snapshot =

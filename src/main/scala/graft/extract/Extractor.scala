@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Extractor {
 
+  /** Cap on list-valued properties (sourceSpans, aliases). A hub entity
+    * mentioned across 10^5+ files must not materialize an unbounded
+    * array in a single row at 100 TB; the cap is deterministic
+    * (sorted set, first N). The reference has no cap — documented
+    * divergence, invisible at its data size.
+    */
+  val MaxListProp = 1000
+
   private val markerRe = "(ent|rel|def)\\[[^\\]]*\\]"
 
   /** All markers, one row each, tagged with the source file path. */
@@ -68,7 +76,8 @@ object Extractor {
         max_by(col("definition"),
           when(col("definition").isNotNull,
             struct(length(col("definition")), col("definition")))).as("definition"),
-        array_sort(collect_set(col("path"))).as("sourceSpans"))
+        slice(array_sort(collect_set(col("path"))), 1, Extractor.MaxListProp)
+          .as("sourceSpans"))
       .select(
         xxhash64(col("name"), col("label")).as("id"),
         col("name"),

@@ -59,6 +59,13 @@ object Normalize {
   private val entityCols = Seq("id", "name", "displayName", "label",
     "definition", "aliases", "sourceSpans").map(col)
 
+  /** M-8 list set-union (apoc.coll.toSet semantics, normalizer.py:544-550)
+    * with a deterministic size cap — see Extractor.MaxListProp.
+    */
+  private def cappedUnion(c: Column): Column =
+    slice(array_sort(array_distinct(flatten(collect_list(c)))), 1,
+      graft.extract.Extractor.MaxListProp)
+
   // ───────────────────────── M-1: name normalization ─────────────────
 
   /** Lowercase + trim + collapse whitespace + strip edge punctuation;
@@ -96,8 +103,8 @@ object Normalize {
         min(col("id")).as("id"),
         min_by(col("displayName"), when(col("displayName").isNotNull, col("id"))).as("displayName"),
         min_by(col("definition"), when(col("definition").isNotNull, col("id"))).as("definition"),
-        array_sort(array_distinct(flatten(collect_list(col("aliases"))))).as("aliases"),
-        array_sort(array_distinct(flatten(collect_list(col("sourceSpans"))))).as("sourceSpans"))
+        cappedUnion(col("aliases")).as("aliases"),
+        cappedUnion(col("sourceSpans")).as("sourceSpans"))
       .select(entityCols: _*)
 
     val mapping = s.entities.select(col("id"), col("label"), col("name"))
@@ -138,8 +145,8 @@ object Normalize {
         max_by(col("definition"),
           when(col("definition").isNotNull,
             struct(length(col("definition")), -col("rank"), -col("id")))).as("definition"),
-        array_sort(array_distinct(flatten(collect_list(col("aliases"))))).as("aliases"),
-        array_sort(array_distinct(flatten(collect_list(col("sourceSpans"))))).as("sourceSpans"))
+        cappedUnion(col("aliases")).as("aliases"),
+        cappedUnion(col("sourceSpans")).as("sourceSpans"))
       .select(entityCols: _*)
 
     val untouched = ranked.join(dupNames, Seq("name"), "left_anti").select(entityCols: _*)
@@ -343,6 +350,17 @@ object Normalize {
   def materialize(s: Snapshot): Snapshot =
     Snapshot(s.entities.localCheckpoint(true), s.edges.localCheckpoint(true))
 
+  /** Materialize only the frames a stage actually changed (M-1/M-7
+    * leave edges untouched; re-checkpointing them would re-run a full
+    * pass for nothing).
+    */
+  private def materializeChanged(prev: Snapshot, next: Snapshot): Snapshot =
+    Snapshot(
+      if (next.entities eq prev.entities) prev.entities
+      else next.entities.localCheckpoint(true),
+      if (next.edges eq prev.edges) prev.edges
+      else next.edges.localCheckpoint(true))
+
   /** The full Phase A/B chain in reference order (scraper.py:742-833):
     * backfill → M-1 → M-2 → M-3 → M-4 → M-5 → M-6, plus the M-7
     * validation fix. Stage-checkpointed.
@@ -352,6 +370,6 @@ object Normalize {
       m1NormalizeNames, backfillAppliesTo, m2SameLabelDedup,
       m3CrossLabelDedup, m4DeleteGeneric, m5MergePlurals,
       m6IndustryConsolidation, m7RelabelMislabeledChallenges)
-    stages.foldLeft(materialize(s0))((s, f) => materialize(f(s)))
+    stages.foldLeft(materialize(s0))((s, f) => materializeChanged(s, f(s)))
   }
 }
