@@ -351,6 +351,18 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("v"), 4).as("v"))
     }),
 
+    "stream_stateful_agg" -> ((s, d) => {
+      // mapGroupsWithState custom keyed state over the event stream
+      val streamDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"/tmp/graft_stream_${math.abs(d.hashCode)}"))
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(t(d, "events")))
+      streaming.StreamingOps.runningUserAgg(s, streamDir.toString,
+        s"stateful_${math.abs(d.hashCode)}")
+    }),
+
     "sessionize" -> ((s, d) => {
       // gap-based sessionization (30-min inactivity): lag + running sum,
       // the batch twin of Structured Streaming's session_window
@@ -792,6 +804,13 @@ object SparkEntry {
             count(*) AS n,
             CAST(round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2""",
+
+    "stream_stateful_agg" ->
+      """SELECT user_id, count(*) AS n,
+            CAST(round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS DOUBLE)
+              AS total,
+            max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
+         FROM events GROUP BY user_id""",
 
     "sessionize" ->
       """WITH g AS (

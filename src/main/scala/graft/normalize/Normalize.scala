@@ -97,7 +97,13 @@ object Normalize {
     * (normalizer.py:207-323).
     */
   def m2SameLabelDedup(s: Snapshot): Snapshot = {
-    val merged = s.entities
+    // one shuffle: the window computes the canonical id per (label,name)
+    // group in place, and the groupBy right after reuses the same hash
+    // partitioning — no second exchange, no entities⋈merged join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"), col("name"))
+    val tagged = s.entities.withColumn("canonId", min(col("id")).over(w))
+
+    val merged = tagged
       .groupBy(col("label"), col("name"))
       .agg(
         min(col("id")).as("id"),
@@ -107,11 +113,7 @@ object Normalize {
         cappedUnion(col("sourceSpans")).as("sourceSpans"))
       .select(entityCols: _*)
 
-    val mapping = s.entities.select(col("id"), col("label"), col("name"))
-      .join(merged.select(col("label"), col("name"), col("id").as("canonId")),
-        Seq("label", "name"))
-      .filter(col("id") =!= col("canonId"))
-      .select("id", "canonId")
+    val mapping = tagged.filter(col("id") =!= col("canonId")).select("id", "canonId")
 
     Snapshot(merged, remapEdges(s.edges, mapping))
   }
@@ -130,11 +132,18 @@ object Normalize {
     val rank = when(array_position(prio, col("label")) === 0, lit(99L))
       .otherwise(array_position(prio, col("label")))
 
-    val ranked = s.entities.withColumn("rank", rank)
-    val dupNames = ranked.groupBy(col("name"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select("name")
+    // single shuffle on name: group size and the winning (rank, id) come
+    // from window functions; the groupBy below reuses the partitioning
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("name"))
+    val tagged = s.entities.withColumn("rank", rank)
+      .withColumn("cnt", count(lit(1)).over(w))
+      // min struct(rank, id) = (winner rank, min id among rows bearing
+      // the winning label) — rank is label-determined, so the id is the
+      // primary: "first node bearing the winning label"
+      .withColumn("canon", min(struct(col("rank"), col("id"))).over(w))
+      .withColumn("canonId", col("canon").getField("id"))
 
-    val groups = ranked.join(dupNames, Seq("name"))
+    val groups = tagged.filter(col("cnt") > 1)
     val mergedGroups = groups
       .groupBy(col("name"))
       .agg(
@@ -149,12 +158,9 @@ object Normalize {
         cappedUnion(col("sourceSpans")).as("sourceSpans"))
       .select(entityCols: _*)
 
-    val untouched = ranked.join(dupNames, Seq("name"), "left_anti").select(entityCols: _*)
+    val untouched = tagged.filter(col("cnt") === 1).select(entityCols: _*)
 
-    val mapping = groups.select(col("id"), col("name"))
-      .join(mergedGroups.select(col("name"), col("id").as("canonId")), Seq("name"))
-      .filter(col("id") =!= col("canonId"))
-      .select("id", "canonId")
+    val mapping = groups.filter(col("id") =!= col("canonId")).select("id", "canonId")
 
     Snapshot(untouched.unionByName(mergedGroups), remapEdges(s.edges, mapping))
   }

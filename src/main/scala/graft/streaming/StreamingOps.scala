@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference is batch-only (SURVEY.md §2.9) — these cover the
+  * engine-side streaming surface: a watermarked windowed aggregation
+  * (see SparkEntry "stream_windowed_agg") and a custom-state operator
+  * via `mapGroupsWithState` (the KeyValueGroupedDataset state API).
+  */
+object StreamingOps {
+
+  final case class Ev(user_id: Long, sec: Long, value: Double)
+  final case class UserState(n: Long, totalMicros: Long, lastSec: Long)
+  final case class UserAgg(user_id: Long, n: Long, totalMicros: Long, last_sec: Long)
+
+  /** Per-user running aggregate with explicit keyed state: count, exact
+    * running total (scaled-long cents to stay engine-reproducible) and
+    * last-seen event time. Update-mode memory sink; with a single input
+    * batch the result equals the batch groupBy — which is exactly what
+    * the DuckDB oracle computes.
+    */
+  def runningUserAgg(spark: SparkSession, eventsDir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsDir).schema
+
+    val evs = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("user_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("sec"),
+        col("value"))
+      .as[Ev]
+
+    val updated = evs.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          var n = prev.n
+          var total = prev.totalMicros
+          var last = prev.lastSec
+          rows.foreach { e =>
+            n += 1
+            // exact micro-unit accumulation, HALF_UP like a DECIMAL(30,6)
+            // cast — order-independent and engine-reproducible
+            total += BigDecimal(e.value)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(1000000)).toLongExact
+            last = math.max(last, e.sec)
+          }
+          state.update(UserState(n, total, last))
+          UserAgg(user, n, total, last)
+      }
+
+    val q = updated.toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+
+    spark.table(queryName)
+      .select(col("user_id"), col("n"),
+        round(col("totalMicros") / 1e6, 4).as("total"), col("last_sec"))
+  }
+}
