@@ -52,7 +52,7 @@ object Bench {
     val P = spark.sparkContext.defaultParallelism
 
     val docN = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val nFiles = sys.env.getOrElse("GRAFT_BENCH_FILES", (40L * docN).toString).toLong
+    val nFiles = sys.env.getOrElse("GRAFT_BENCH_FILES", (20L * docN).toString).toLong
     val vScale = sys.env.getOrElse("GRAFT_VSCALE", "40").toInt
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -96,6 +96,27 @@ object Bench {
       Triangles.countTriangles(spark, GraphOps.undirectedPairs(g.edges), P))
     results += "triangles" -> tTri
     extra += "triangle_count" -> tri.toDouble
+
+    // ── headline: PageRank on a large synthesized skewed edge table ──
+    // (same distribution the extractor produces; sized so the
+    // measurement is algorithm-bound, not corpus-generation-bound)
+    val synthEdges = sys.env.getOrElse("GRAFT_BENCH_PR_EDGES", "10000000").toLong
+    if (synthEdges > 0) {
+      val v = math.max(synthEdges / 20, 1000L)
+      def pick(k: Int) = {
+        val r = pmod(xxhash64(col("id"), lit(k)), lit(1000000L)).cast("double") / 1e6
+        floor(lit(v.toDouble) * r * r).cast("long")
+      }
+      val big = GraphOps.symmetrize(
+        spark.range(synthEdges).select(pick(1).as("src"), pick(2).as("dst"))
+          .filter(col("src") =!= col("dst"))).localCheckpoint(true)
+      val mBig = big.count()
+      val (prBig, tBig) = time(PageRank.run(spark, big, P))
+      results += "pagerank_synth" -> tBig
+      extra += "pagerank_synth_edges" -> mBig.toDouble
+      extra += "pagerank_synth_edges_per_sec" -> mBig.toDouble * prBig.iterations / tBig
+      big.unpersist()
+    }
 
     // ── relational / dedup / text surface on the sf tables ──
     val hot = Seq("q1_agg_pricing_summary", "j1_edge_expansion", "a4_degree_count",

@@ -30,7 +30,8 @@ object ConnectedComponents {
       .join(mins, Seq("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // no distinct here: small-star's final distinct restores set
+    // semantics, saving one full shuffle per round
   }
 
   /** One small-star round: orient u > v; u and every smaller neighbor
@@ -79,8 +80,10 @@ object ConnectedComponents {
     var step = resumed.map(_._1).getOrElse(0)
     var prevSum = checksum(e)
     var converged = false
+    val gc = new Superstep.CheckpointGC(spark)
     while (step < maxIter && !converged) {
       e = smallStar(largeStar(e)).localCheckpoint(true)
+      gc.tick()
       step += 1
       val s = checksum(e)
       converged = s == prevSum
@@ -91,6 +94,7 @@ object ConnectedComponents {
       }
     }
 
+    gc.close()
     // star edges: (member, root); roots and isolated vertices map to self
     val members = e.select(col("src").as("id"), col("dst").as("component"))
     val roots = e.select(col("dst").as("id")).distinct()

@@ -41,6 +41,7 @@ object LabelPropagation {
 
     var step = resumed.map(_._1).getOrElse(0)
     var converged = false
+    val gc = new Superstep.CheckpointGC(spark)
     while (step < maxIter && !converged) {
       val votes = e
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
@@ -56,6 +57,7 @@ object LabelPropagation {
         .localCheckpoint(true)
 
       val changes = next.filter(col("label") =!= col("prev")).count()
+      gc.tick()
       labels = next.select("id", "label")
       step += 1
       converged = changes == 0L
@@ -65,6 +67,7 @@ object LabelPropagation {
       }
     }
     e.unpersist()
+    gc.close()
 
     // canonicalize: community id = min member vertex id
     val canon = labels.groupBy(col("label")).agg(min(col("id")).as("community"))

@@ -94,6 +94,7 @@ object PageRank {
 
     var step = resumed.map(_._1).getOrElse(0)
     var converged = false
+    val gc = new Superstep.CheckpointGC(spark)
 
     def aggState(s: DataFrame): (Double, Double) = {
       val row = s.agg(
@@ -134,6 +135,7 @@ object PageRank {
           col("rank").as("prev"))
 
       state = next.localCheckpoint(true)
+      gc.tick()
       step += 1
 
       val (delta, danglingNext) = aggState(state)
@@ -150,6 +152,7 @@ object PageRank {
     eAll.unpersist()
     hotIds.unpersist()
     if (hasHot) { e.unpersist(); eHot.unpersist() }
+    gc.close()
     Result(state.select(col("id"), col("rank")), step, converged, edgeCount)
   }
 }

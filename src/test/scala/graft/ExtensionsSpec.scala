@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native expressions are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT indel_ratio('autmotive', 'automotive') AS r, " +
+        "simhash64('a b c') AS s, size(minhash_sig('hello world')) AS m")
+      .first()
+    assert(math.abs(r.getDouble(0) - 94.736842) < 1e-5)
+    assert(r.getLong(1) == functions.SimHash64.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    assert(r.getInt(2) == 32)
+  }
+
+  test("builder-time extensions injection works end-to-end") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val v = s2.sql("SELECT indel_ratio('kitten', 'sitting') AS r").first().getDouble(0)
+      assert(math.abs(v - 61.538462) < 1e-5)
+    } finally {
+      // shared-context: the session piggybacks on the test SparkContext
+      s2.catalog.clearCache()
+    }
+  }
+}
