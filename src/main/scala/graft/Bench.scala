@@ -113,6 +113,7 @@ object Bench {
       val mBig = big.count()
       val (prBig, tBig) = time(PageRank.run(spark, big, P))
       results += "pagerank_synth" -> tBig
+      extra += "pagerank_synth_iterations" -> prBig.iterations.toDouble
       extra += "pagerank_synth_edges" -> mBig.toDouble
       extra += "pagerank_synth_edges_per_sec" -> mBig.toDouble * prBig.iterations / tBig
       big.unpersist()

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+
+/** One-call lifecycle (Pipeline.run ≡ `graphrag-kg scrape --full` →
+  * `validate`), checked end to end including the saved snapshot layout.
+  */
+class EndToEndPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Pipeline.run produces a validated, analyzable graph and saves snapshots") {
+    val corpus = CorpusGen.corpus(spark, 250L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val r = Pipeline.run(spark, corpus, numPartitions = 8,
+      checkpointDir = Some(s"$dir/ckpt"))
+
+    // validation gate passes on the engine's own output
+    assert(r.validation.passed, r.validation.toMarkdown)
+
+    // graph analysis results are present and consistent
+    val nVerts = r.pageRank.count()
+    assert(nVerts > 50)
+    assert(r.communities.count() == nVerts)
+    assert(r.components.count() == nVerts)
+    // dense small-world graphs legitimately collapse to few communities
+    // under min-tie-break LPA; modularity of a single community is 0
+    assert(r.communityCount >= 1)
+    assert(r.modularity >= -0.5 && r.modularity <= 1.0)
+    val rankSum = r.pageRank.agg(sum("rank")).first().getDouble(0)
+    assert(math.abs(rankSum - 1.0) < 1e-9)
+
+    // mention backfill + chunks connect
+    assert(r.chunks.count() > 0)
+    assert(r.mentionedIn.count() > 0)
+    assert(r.glossaryLinks.count() > 0)
+
+    // durable checkpoints were written per algorithm
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ckpt/pagerank/_LATEST")))
+
+    // snapshot persistence round-trips
+    Pipeline.save(r, s"$dir/out")
+    val entities = spark.read.parquet(s"$dir/out/entities")
+    assert(entities.count() == r.snapshot.entities.count())
+    val report = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/validation_report.md")))
+    assert(report.contains("PASSED"))
+  }
+}
