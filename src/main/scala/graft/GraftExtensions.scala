@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.bridge
 
-import graft.functions.{IndelRatio, MinHashSig, SimHash64}
+import graft.functions.{IndelRatio, MinHashSig, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL. Use either at build time —
@@ -44,7 +44,8 @@ object GraftExtensions {
           s"minhash_sig takes 1 or 3 arguments, got $n")
       }
     },
-    "simhash64" -> { args => SimHash64(args.head) })
+    "simhash64" -> { args => SimHash64(args.head) },
+    "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) })
 
   /** Register all functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -49,7 +49,7 @@ object Triangles {
     val cnt = oriented
       .join(adj.select(col("u"), col("nb").as("nbU")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nb").as("nbV")), Seq("v"))
-      .select(size(array_intersect(col("nbU"), col("nbV"))).as("t"))
+      .select(graft.functions.sorted_intersect_count(col("nbU"), col("nbV")).as("t"))
       .agg(sum(col("t")))
       .first()
 

@@ -17,4 +17,8 @@ package object functions {
   /** Single-pass 64-bit SimHash over whitespace tokens. */
   def simhash64(text: Column): Column =
     bridge.column(SimHash64(bridge.expression(text)))
+
+  /** Merge-scan |A ∩ B| over two sorted long arrays (allocation-free). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
 }
