@@ -27,9 +27,18 @@ import graft.normalize.Normalize.Snapshot
 object Bench {
 
   def buildSession(cpus: String): SparkSession = {
+    // shuffle + localCheckpoint blocks on tmpfs: /tmp here is spinning-
+    // disk-backed and made identical runs vary 2×; on a cluster
+    // spark.local.dir is NVMe-local anyway
+    val localDir = {
+      val d = new java.io.File("/dev/shm/graft-spark-local")
+      if (d.isDirectory || d.mkdirs()) d.getAbsolutePath
+      else System.getProperty("java.io.tmpdir")
+    }
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
