@@ -70,11 +70,12 @@ object ConnectedComponents {
           ckpt: Option[Superstep] = None): DataFrame = Superstep.withoutAQE(spark) {
 
     val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
+    // no upfront distinct/repartition: the first large-star round
+    // shuffles by src anyway and small-star's distinct restores set
+    // semantics — two edge-scale shuffles saved
     var e = resumed.map(_._2).getOrElse(
       edges.select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .repartition(numPartitions, col("src")))
+        .filter(col("src") =!= col("dst")))
       .localCheckpoint(true)
 
     var step = resumed.map(_._1).getOrElse(0)

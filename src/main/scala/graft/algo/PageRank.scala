@@ -50,10 +50,13 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = eAll.count()
 
-    val verts = eAll.select(col("src").as("id"))
-      .union(eAll.select(col("dst").as("id")))
-      .distinct()
-    val outDeg = eAll.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
+    // vertex set + out-degrees in ONE edge-scale shuffle (vs the naive
+    // distinct-union + groupBy + join = three): every endpoint emits a
+    // skinny (id, 0|1) row; sum gives out-degree, dst-only vertices get 0
+    val degAll = eAll.select(col("src").as("id"), lit(1L).as("od"))
+      .unionAll(eAll.select(col("dst").as("id"), lit(0L).as("od")))
+      .groupBy(col("id")).agg(sum(col("od")).as("outDeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ── skew split ──
     // A source vertex whose out-degree exceeds a partition's fair share
@@ -64,7 +67,7 @@ object PageRank {
     // state saltFactor times; broadcasting ≤4096 hub ranks is cheaper
     // and exact.)
     val hotThreshold = math.max(edgeCount / math.max(numPartitions, 1), 10000L)
-    val hotIds = outDeg.filter(col("outDeg") >= hotThreshold)
+    val hotIds = degAll.filter(col("outDeg") >= hotThreshold)
       .orderBy(col("outDeg").desc).limit(4096)
       .select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
     val hasHot = hotIds.count() > 0
@@ -81,8 +84,8 @@ object PageRank {
     val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
 
     var state = resumed.map(_._2).getOrElse {
-      verts.join(outDeg, Seq("id"), "left")
-        .select(col("id"), coalesce(col("outDeg"), lit(0L)).as("outDeg"),
+      degAll
+        .select(col("id"), col("outDeg"),
           lit(Double.NaN).as("rank"), lit(Double.NaN).as("prev"))
         .repartition(numPartitions, col("id"))
     }
@@ -150,6 +153,7 @@ object PageRank {
     }
 
     eAll.unpersist()
+    degAll.unpersist()
     hotIds.unpersist()
     if (hasHot) { e.unpersist(); eHot.unpersist() }
     gc.close()
