@@ -110,6 +110,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(rowSha(snapshot.entities) == rowSha(rebuilt.entities))
   }
 
+  test("driver smoke: SparkEntry.entry returns top-20 ranked entities") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getDouble(1) > 0.0))
+    // descending by rank (ties broken by name)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("vertex dictionary has no xxhash64 id collisions (S10-style constraint)") {
     val g = GraphOps.semanticGraph(snapshot)
     assert(GraphOps.idCollisions(g.vertices).count() == 0)
