@@ -184,6 +184,10 @@ object Normalize {
     * drop the plural row. Single pass, like the reference.
     */
   def m5MergePlurals(s: Snapshot): Snapshot = {
+    // NOTE: merge chains ("aass"→"aas"→"aa") cannot exist — a singular
+    // must NOT end with 's' (entity_cleanup.py:571), so a mapping
+    // target can never itself be a mapped plural; the remap is
+    // single-level by construction and never dangles.
     val singular = s.entities
       .filter(col("name").isNotNull && !col("name").endsWith("s"))
       .select(col("id").as("canonId"), concat(col("name"), lit("s")).as("pluralName"),

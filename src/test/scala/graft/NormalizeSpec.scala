@@ -93,6 +93,23 @@ class NormalizeSpec extends AnyFunSuite {
     assert(out.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 4L)))
   }
 
+  test("M-5 no merge chains: a plural's target is never itself merged") {
+    // "task listss" has no singular ("task lists" ends with 's', so it
+    // cannot be a singular — entity_cleanup.py:571); reference-faithful:
+    // only (2→1) merges, 3 survives, no edge dangles
+    val in = ent((1L, "task list", "Concept"), (2L, "task lists", "Concept"),
+      (3L, "task listss", "Concept"), (4L, "other", "Concept"))
+    val e = edges((3L, 4L, "RELATED_TO"), (2L, 4L, "RELATED_TO"))
+    val out = Normalize.m5MergePlurals(Snapshot(in, e))
+    val ids = out.entities.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L))
+    val es = out.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es == Set((1L, 4L), (3L, 4L)))
+    // invariant: no edge endpoint references a deleted entity
+    val alive = out.entities.select("id")
+    assert(out.edges.join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_anti").count() == 0)
+  }
+
   test("M-6 industry classification table (test_postprocessing.py:109-206)") {
     val in = ent(
       (1L, "automotive", "Industry"),
