@@ -78,6 +78,23 @@ object Normalize {
       regexp_replace(lower(trim(name)), "\\s+", " "),
       "(?U)^[^\\w]+|[^\\w]+$", "")
 
+  /** Description-fragment parsing (entity_summarizer.py:204-228): try a
+    * JSON string-array parse (trim items, drop empties); if the value is
+    * not a JSON array, split on ' | '; else a singleton of the raw text.
+    * `from_json` with ArrayType returns null both for invalid JSON and
+    * for valid-but-non-array JSON — exactly the reference's "return only
+    * if isinstance(parsed, list)" fall-through.
+    */
+  def parseFragments(desc: Column): Column = {
+    val arr = from_json(desc,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    when(arr.isNotNull,
+      filter(transform(arr, f => trim(f)), f => f.isNotNull && f =!= ""))
+      .when(desc.contains(" | "),
+        filter(transform(split(desc, " \\| "), f => trim(f)), f => f =!= ""))
+      .otherwise(array(desc))
+  }
+
   def m1NormalizeNames(s: Snapshot): Snapshot = {
     val e = s.entities
       .withColumn("newName", normalizedName(col("name")))

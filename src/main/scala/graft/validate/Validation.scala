@@ -151,16 +151,25 @@ object Validation {
           .cast("long").as("normalized"))
       .orderBy(col("label"))
 
-  /** Run everything (chunks/mentionedIn optional). */
+  /** Run everything (chunks/mentionedIn/articles optional). With an
+    * article table present, the orphan-chunk check (queries.py:53-57)
+    * is the real FROM_ARTICLE anti-join via Supplementary; without it,
+    * the degenerate null-article fallback.
+    */
   def run(s: Snapshot,
           chunks: Option[DataFrame] = None,
-          mentionedIn: Option[DataFrame] = None): Result = {
+          mentionedIn: Option[DataFrame] = None,
+          articles: Option[DataFrame] = None): Result = {
     val emptyMi = s.entities.sparkSession.emptyDataFrame
       .withColumn("entity_id", lit(0L)).withColumn("chunk_id", lit("")).limit(0)
     val mi = mentionedIn.getOrElse(emptyMi)
 
-    val orphan = chunks.map(c =>
-      c.filter(col("article_id").isNull).count()).getOrElse(0L)
+    val orphan = (chunks, articles) match {
+      case (Some(c), Some(a)) =>
+        graft.graph.Supplementary.orphanChunks(c, a).count()
+      case (Some(c), None) => c.filter(col("article_id").isNull).count()
+      case _ => 0L
+    }
     val missingIds = chunks.map(c => c.filter(col("chunk_id").isNull).count()).getOrElse(0L)
     val missingIdx = chunks.map(c => c.filter(col("chunk_index").isNull).count()).getOrElse(0L)
     val degenerate = chunks.map(c => c.filter(col("n_chars") < 100).count()).getOrElse(0L)
