@@ -21,4 +21,12 @@ package object functions {
   /** Merge-scan |A ∩ B| over two sorted long arrays (allocation-free). */
   def sorted_intersect_count(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
+
+  /** Bounded top-k aggregate: array<struct<score,id>> of the k best
+    * (score desc, id asc) pairs, with map-side partial bounding.
+    */
+  def bounded_topk(score: Column, id: Column, k: Int): Column =
+    bridge.column(
+      BoundedTopK(bridge.expression(score), bridge.expression(id), k)
+        .toAggregateExpression())
 }

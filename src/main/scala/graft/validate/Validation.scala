@@ -105,19 +105,40 @@ object Validation {
 
   /** Near-duplicate entities — J-3 theta join (queries.py:535-559):
     * same label, b.name contains a.name, length gap ≤ 5, a.name > 4
-    * chars, id(a) < id(b). Grouped per label so each side is small.
+    * chars, id(a) < id(b).
+    *
+    * Blocked EXACTLY (VERDICT r1: label-only equi-keys — 12 values —
+    * are a per-label near-cartesian at 10^8 entities): containment with
+    * a length gap ≤ 5 implies (1) floor(len(a)/6) ∈ {floor(len(b)/6)−1,
+    * floor(len(b)/6)} and (2) a's first 4 chars (a has > 4) equal one of
+    * b's 4-grams. Joining on (label, lenBand, 4-gram) loses no pairs —
+    * both implications are necessary conditions — and replicates b only
+    * ~2·len(b) times, a constant; the θ-predicates verify candidates.
     */
   def nearDuplicateEntities(entities: DataFrame): DataFrame = {
     val e = entities.select(col("id"), col("name"), col("label"))
       .filter(col("name").isNotNull)
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.id") < col("b.id") &&
-          length(col("a.name")) > 4 &&
-          col("b.name").contains(col("a.name")) &&
-          length(col("b.name")) - length(col("a.name")) <= 5 &&
-          col("a.name") =!= col("b.name"))
-      .select(col("a.label").as("label"), col("a.name").as("a"), col("b.name").as("b"))
+    val a = e.filter(length(col("name")) > 4)
+      .select(col("id").as("aId"), col("name").as("aName"), col("label"),
+        floor(length(col("name")) / 6).as("lenBand"),
+        substring(col("name"), 1, 4).as("gram"))
+    val b = e
+      .select(col("id").as("bId"), col("name").as("bName"), col("label"),
+        explode(array(floor(length(col("name")) / 6),
+          floor(length(col("name")) / 6) - 1)).as("lenBand"),
+        col("name"))
+      .select(col("bId"), col("bName"), col("label"), col("lenBand"),
+        explode(transform(sequence(lit(1), greatest(length(col("name")) - 3, lit(1))),
+          i => col("name").substr(i, lit(4)))).as("gram"))
+    a.join(b, Seq("label", "lenBand", "gram"))
+      .filter(col("aId") < col("bId") &&
+        col("bName").contains(col("aName")) &&
+        length(col("bName")) - length(col("aName")) <= 5 &&
+        col("aName") =!= col("bName"))
+      // a pair can match several grams/bands: dedupe per id-pair so the
+      // output multiplicity matches the reference's un-blocked join
+      .dropDuplicates("aId", "bId")
+      .select(col("label"), col("aName").as("a"), col("bName").as("b"))
   }
 
   /** Ghost entities — J-8 (queries.py:476-506): entities whose only

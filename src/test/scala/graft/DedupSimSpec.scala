@@ -88,6 +88,76 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall") // 64-dim uniform vectors: generous bound
   }
 
+  test("minhash candidates stay near-linear under planted mass duplicates") {
+    // 20k copies of one boilerplate doc: the all-pairs join would emit
+    // 2·10^8 candidates; the bucket cap must keep it linear (star form)
+    // while every copy stays connected to the group representative
+    val mass = spark.range(20000).select((col("id") + 1000000L).as("doc_id"),
+      lit("the same boilerplate text repeated for the mass duplicate test")
+        .as("text"))
+    val all = docs.limit(50).select("doc_id", "text").unionByName(mass)
+    val cands = Dedup.minHashCandidates(all, maxBucket = 500)
+    val n = cands.count()
+    assert(n <= 8L * 21000L, s"candidate count $n is not linear")
+    val touched = cands.select(explode(array(col("a"), col("b"))).as("d"))
+      .filter(col("d") >= 1000000L).distinct().count()
+    assert(touched == 20000L, s"star lost members: $touched/20000")
+  }
+
+  test("simhash multi-index blocking: exact for dist ≤ 3, linear under skew") {
+    val mass = spark.range(5000).select((col("id") + 2000000L).as("doc_id"),
+      lit("identical mass duplicate body for the simhash skew test").as("text"))
+    val all = docs.limit(50).select("doc_id", "text").unionByName(mass)
+    val out = Dedup.simHashNearDups(all, maxDist = 3, maxBucket = 500)
+    val n = out.count()
+    assert(n <= 3L * 5100L, s"verified-pair count $n is not linear")
+    // identical docs → distance 0 → every mass member in some pair
+    val touched = out.select(explode(array(col("a"), col("b"))).as("d"))
+      .filter(col("d") >= 2000000L).distinct().count()
+    assert(touched == 5000L)
+  }
+
+  test("bounded_topk brute force ≡ window form, with map-side bounding") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+    // reference: full window ranking
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val ref = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 5).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val a = bf.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = ref.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    // the plan aggregates (partial bounded_topk) instead of a global
+    // sort+window over the full scored set
+    val plan = bf.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_topk"), plan.take(2000))
+    assert(!plan.contains("Window"), "full-scored-set window exchange present")
+  }
+
+  test("IVF with Lloyd refinement: recall@5 ≥ 0.9 vs brute force at nProbe=4") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(100L)) === 0)
+    val centroids = emb.filter(pmod(col("vec_id"), lit(25L)) === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, centroids, queries, k = 5, nProbe = 4,
+        refineIters = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
   test("text ops: language id, quality in [0,1], fingerprint order-dependent") {
     val t = Seq(
       (1L, "the cat and the dog went to the market for it is that"),
