@@ -585,6 +585,11 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(s.read.parquet(t(d, "documents")))),
 
+    "fulltext_bm25" -> ((s, d) =>
+      // S7: BM25 over the tokenized inverted index (constraints.py:263-286)
+      text.Fulltext.search(s.read.parquet(t(d, "documents")),
+        Seq("spark", "window", "hash"), k = 20)),
+
     // ── chunking (reference params 512/64/1500/100) ──
     "chunking" -> ((s, d) => {
       val docs = s.read.parquet(t(d, "documents"))
@@ -1186,6 +1191,29 @@ object SparkEntry {
          SELECT doc_id,
             CAST(sum(pos * (ascii(tok) * 31 + length(tok))) AS BIGINT) AS fingerprint
          FROM u GROUP BY doc_id""",
+
+    "fulltext_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents),
+         dls AS (SELECT doc_id, len(l) AS dl FROM toks),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
+         p AS (SELECT doc_id, unnest(l) AS term FROM toks),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM p
+                WHERE term IN ('spark', 'window', 'hash') GROUP BY term, doc_id),
+         dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+             ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0)) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / s.avgdl)) AS sc
+           FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id
+           CROSS JOIN stats s)
+         SELECT doc_id, score,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         FROM (SELECT doc_id, round(sum(sc), 4) AS score FROM scored GROUP BY doc_id)
+         ORDER BY score DESC, doc_id LIMIT 20""",
 
     "text_language_id" -> "", // rows-only placeholder replaced below
     "a8_modularity" -> ""

@@ -83,10 +83,10 @@ object ConnectedComponents {
     var converged = false
     val gc = new Superstep.CheckpointGC(spark)
     while (step < maxIter && !converged) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      gc.tick()
+      e = smallStar(largeStar(e)).localCheckpoint(false) // lazy: checksum materializes
       step += 1
       val s = checksum(e)
+      gc.tick()
       converged = s == prevSum
       prevSum = s
       ckpt.foreach { c =>

@@ -54,7 +54,7 @@ object LabelPropagation {
         .select(col("id"),
           coalesce(col("newLabel"), col("label")).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the changes count materializes it
 
       val changes = next.filter(col("label") =!= col("prev")).count()
       gc.tick()

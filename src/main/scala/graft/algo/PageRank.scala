@@ -93,7 +93,10 @@ object PageRank {
     if (resumed.isEmpty) {
       state = state.withColumn("rank", lit(1.0 / n))
     }
-    state = state.localCheckpoint(true)
+    // LAZY checkpoints throughout the loop: the per-iteration stats
+    // aggregation is the action that materializes them, so each
+    // superstep runs ONE job (was two: eager checkpoint + agg)
+    state = state.localCheckpoint(false)
 
     var step = resumed.map(_._1).getOrElse(0)
     var converged = false
@@ -137,11 +140,11 @@ object PageRank {
             .as("rank"),
           col("rank").as("prev"))
 
-      state = next.localCheckpoint(true)
-      gc.tick()
+      state = next.localCheckpoint(false)
       step += 1
 
-      val (delta, danglingNext) = aggState(state)
+      val (delta, danglingNext) = aggState(state) // materializes the checkpoint
+      gc.tick()
       dangling = danglingNext
       converged = delta < tol
 
