@@ -69,10 +69,13 @@ object Dedup {
     */
   private[graft] def cappedBucketPairs(entries: DataFrame,
                                        maxBucket: Int): DataFrame = {
-    val counts = entries.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"),
-        min(when(col("anchor"), col("doc_id"))).as("rep"))
-    val tagged = entries.join(counts, Seq("band", "bucket"))
+    // window form: cnt/rep computed in place on the SAME (band, bucket)
+    // hash partitioning the self-join below reuses — one shuffle total
+    // (a groupBy+join back would be two)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val tagged = entries
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rep", min(when(col("anchor"), col("doc_id"))).over(w))
 
     val small = tagged.filter(col("cnt") <= maxBucket)
     val smallPairs = small.filter(col("anchor")).as("l")

@@ -38,37 +38,41 @@ object Extractor {
 
   /** Entity table at raw-surface grain:
     * (id, name, displayName, label, definition, aliases, sourceSpans).
+    *
+    * Single corpus pass: each marker parses ONCE into 1-2 (name, label,
+    * definition) mention structs (rel markers contribute both
+    * endpoints), instead of the previous 4-way union that re-ran the
+    * marker scan + regex per branch — extraction was the dominant
+    * pipeline cost at bench scale.
     */
   def entities(corpus: DataFrame): DataFrame = {
     val m = markers(corpus)
-
-    val ents = m.filter(col("m").startsWith("ent["))
-      .select(
-        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 2).as("name"),
-        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 1).as("label"),
-        lit(null).cast("string").as("definition"),
-        col("path"))
-
-    val defs = m.filter(col("m").startsWith("def["))
-      .select(
-        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 2).as("name"),
-        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 1).as("label"),
-        regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 3).as("definition"),
-        col("path"))
-
     val relRe = "^rel\\[([^|]+)\\|([^:]+):([^|]*)\\|([^:]+):([^\\]]*)\\]$"
-    val relEnds = m.filter(col("m").startsWith("rel["))
-      .select(col("m"), col("path"))
-    val relSrc = relEnds.select(
-      regexp_extract(col("m"), relRe, 3).as("name"),
-      regexp_extract(col("m"), relRe, 2).as("label"),
-      lit(null).cast("string").as("definition"), col("path"))
-    val relDst = relEnds.select(
-      regexp_extract(col("m"), relRe, 5).as("name"),
-      regexp_extract(col("m"), relRe, 4).as("label"),
-      lit(null).cast("string").as("definition"), col("path"))
 
-    ents.unionByName(defs).unionByName(relSrc).unionByName(relDst)
+    def mention(name: org.apache.spark.sql.Column,
+                label: org.apache.spark.sql.Column,
+                definition: org.apache.spark.sql.Column) =
+      struct(name.as("name"), label.as("label"), definition.as("definition"))
+
+    val nullDef = lit(null).cast("string")
+    val parsed = m.select(col("path"), explode(
+      when(col("m").startsWith("ent["), array(mention(
+        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 2),
+        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 1),
+        nullDef)))
+        .when(col("m").startsWith("def["), array(mention(
+          regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 2),
+          regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 1),
+          regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 3))))
+        .otherwise(array(
+          mention(regexp_extract(col("m"), relRe, 3),
+            regexp_extract(col("m"), relRe, 2), nullDef),
+          mention(regexp_extract(col("m"), relRe, 5),
+            regexp_extract(col("m"), relRe, 4), nullDef)))).as("e"))
+      .select(col("e.name").as("name"), col("e.label").as("label"),
+        col("e.definition").as("definition"), col("path"))
+
+    parsed
       .filter(col("name") =!= "")
       .groupBy(col("name"), col("label"))
       .agg(
