@@ -68,10 +68,15 @@ object Bench {
     var extra = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // ── pipeline: corpus → extract → normalize → graph ──
-    val (snap, tPipe) = time {
-      // materialize the corpus once; extraction scans it several times
-      val c = CorpusGen.corpus(spark, nFiles, seed = 42L, vertexScale = vScale)
+    // input synthesis timed separately: on a cluster this is the
+    // parquet/Iceberg scan of the input table, not engine work
+    val (c, tCorpus) = time {
+      val c0 = CorpusGen.corpus(spark, nFiles, seed = 42L, vertexScale = vScale)
         .localCheckpoint(true)
+      c0.count(); c0
+    }
+    results += "corpus_gen" -> tCorpus
+    val (snap, tPipe) = time {
       val s0 = Snapshot(Extractor.entities(c), Extractor.relationships(c))
       val out = Normalize.fullChain(s0)
       out.entities.count(); out.edges.count()

@@ -492,6 +492,24 @@ object SparkEntry {
       LabelPropagation.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         parts(s, d), maxIter = 3).labels),
 
+    "mod_sql_graph" -> ((s, d) => {
+      // A-8 modularity against a DuckDB oracle: same graph, LPA-3
+      // communities (themselves oracle-checked), exact integer counts
+      // into one double expression
+      val und = GraphOps.undirectedPairs(sqlGraphEdges(s))
+      val labels = LabelPropagation.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        parts(s, d), maxIter = 3).labels
+        .select(col("id"), col("community"))
+      val q = Modularity.modularity(und, labels)
+      s.createDataFrame(Seq(Tuple1(math.rint(q * 1e6) / 1e6))).toDF("modularity")
+    }),
+
+    "tri_vertex_sql_graph" -> ((s, d) => {
+      // per-vertex triangle participation vs a pure-SQL 3-way join
+      val und = GraphOps.undirectedPairs(sqlGraphEdges(s))
+      Triangles.perVertex(s, und, parts(s, d))
+    }),
+
     "tri_sql_graph" -> ((s, d) => {
       // arithmetic graph both engines can synthesize: cross-validates the
       // distributed triangle counter against a pure-SQL oracle
@@ -854,6 +872,48 @@ object SparkEntry {
        SELECT l.id, c.community FROM l$iters l JOIN canon c ON l.label = c.label"""
   }
 
+  /** Newman modularity of the LPA-3 partition over the same graph, as
+    * one SQL expression from exact integer counts (mirrors
+    * Modularity.modularity's arithmetic shape exactly).
+    */
+  private def modSqlOracle: String = {
+    val lpaSteps = (1 to 3).map { k =>
+      val p = k - 1
+      s""",
+         l$k AS (
+           SELECT v.dst AS id,
+                  arg_max(v.label, v.c * 10000 - v.label) AS label
+           FROM (SELECT s.dst, l.label, count(*) AS c
+                 FROM sym s JOIN l$p l ON s.src = l.id
+                 GROUP BY s.dst, l.label) v
+           GROUP BY v.dst)"""
+    }.mkString
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)$lpaSteps,
+       canon AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
+       lab AS (SELECT l.id, c.community FROM l3 l JOIN canon c ON l.label = c.label),
+       j AS (SELECT a.community AS ca, b.community AS cb
+             FROM und JOIN lab a ON und.u = a.id JOIN lab b ON und.v = b.id),
+       agg AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+                      CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS DOUBLE) AS intra
+               FROM j),
+       kk AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM (
+                SELECT ca AS c FROM j UNION ALL SELECT cb FROM j) GROUP BY c),
+       ss AS (SELECT CAST(sum(k * k) AS DOUBLE) AS s FROM kk)
+       SELECT round(intra / m - s / (4.0 * m * m), 6) AS modularity FROM agg, ss"""
+  }
+
+  private val triVertexSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM und e1 JOIN und e2 ON e1.v = e2.u
+             JOIN und e3 ON e2.v = e3.v AND e1.u = e3.u)
+       SELECT id, count(*) AS triangles FROM (
+         SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+       GROUP BY id"""
+
   // ─────────────────────────── oracle SQL ─────────────────────────────
 
   def oracleSql: Map[String, String] = Map(
@@ -1102,6 +1162,8 @@ object SparkEntry {
     "pr_sql_graph" -> prSqlOracle(5),
     "cc_sql_graph" -> ccSqlOracle,
     "lpa_sql_graph" -> lpaSqlOracle(3),
+    "mod_sql_graph" -> modSqlOracle,
+    "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->
       """WITH r AS (SELECT range AS i FROM range(1500)),
