@@ -242,33 +242,36 @@ object Normalize {
     val concepts = Vocab.ConceptsNotIndustries.toSeq.sorted.toDF("term")
     val generics = Vocab.IndustryGenericToDelete.toSeq.sorted.toDF("term")
 
-    // best fuzzy taxonomy match per industry row (121-row broadcast NL join)
-    val taxBest = industries.select(col("id"), lower(col("name")).as("n"))
-      .crossJoin(broadcast(tax))
+    // best fuzzy matches against ALL three vocabularies in ONE broadcast
+    // NL join + one aggregation (was three crossJoin/groupBy passes over
+    // the Industry rows — same scores, conditional aggs per vocab kind)
+    val vocabAll =
+      tax.select(col("variant"), col("canonical"), col("ord"), lit("tax").as("kind"))
+        .unionByName(concepts.select(col("term").as("variant"),
+          lit(null).cast("string").as("canonical"), lit(0).as("ord"),
+          lit("concept").as("kind")))
+        .unionByName(generics.select(col("term").as("variant"),
+          lit(null).cast("string").as("canonical"), lit(0).as("ord"),
+          lit("generic").as("kind")))
+
+    val best = industries.select(col("id"), lower(col("name")).as("n"))
+      .crossJoin(broadcast(vocabAll))
+      .withColumn("score", indel_ratio(col("n"), col("variant")))
       .groupBy(col("id"))
       .agg(
-        max(indel_ratio(col("n"), col("variant"))).as("taxScore"),
+        max(when(col("kind") === "tax", col("score"))).as("taxScore"),
         max_by(col("canonical"),
-          struct(indel_ratio(col("n"), col("variant")), -col("ord"))).as("taxCanonical"))
-
-    val conceptBest = industries.select(col("id"), lower(col("name")).as("n"))
-      .crossJoin(broadcast(concepts))
-      .groupBy(col("id"))
-      .agg(max(indel_ratio(col("n"), col("term"))).as("conceptScore"))
-
-    val genericBest = industries.select(col("id"), lower(col("name")).as("n"))
-      .crossJoin(broadcast(generics))
-      .groupBy(col("id"))
-      .agg(max(indel_ratio(col("n"), col("term"))).as("genericScore"))
+          when(col("kind") === "tax", struct(col("score"), -col("ord"))))
+          .as("taxCanonical"),
+        max(when(col("kind") === "concept", col("score"))).as("conceptScore"),
+        max(when(col("kind") === "generic", col("score"))).as("genericScore"))
 
     val exactTax = broadcast(tax.select(col("variant"), col("canonical").as("exactCanonical")))
 
     val lowered = lower(col("name"))
     val classified = industries
       .join(exactTax, lowered === col("variant"), "left")
-      .join(taxBest, Seq("id"), "left")
-      .join(conceptBest, Seq("id"), "left")
-      .join(genericBest, Seq("id"), "left")
+      .join(best, Seq("id"), "left")
       .withColumn("action",
         when(lowered.isin(Vocab.OrganizationsNotIndustries.toSeq: _*), "reclassify_org")
           .when(lowered.isin(Vocab.ConceptsNotIndustries.toSeq: _*), "reclassify")

@@ -73,6 +73,40 @@ object Fixes {
       .otherwise(slug)
   }
 
+  /** `preview_all_fixes` (fixes.py:613-664): the would-fix counts of
+    * every step, computed without touching the state — the
+    * `validate` (no `--fix`) user journey. Keys match the reference's
+    * summary dict.
+    */
+  def previewAllFixes(state: FixState): Map[String, Long] = {
+    val mentionedChunks = state.mentionedIn.select(col("chunk_id")).distinct()
+    val degenerate = state.chunks
+      .filter(col("text").isNotNull && length(col("text")) < Chunker.MinChunk)
+      .join(mentionedChunks, Seq("chunk_id"), "left_anti").count()
+    val entities = state.snapshot.entities
+    val mislabeled = entities.filter(
+      col("label") === "Challenge" && col("name").isNotNull &&
+        arrays_overlap(split(lower(col("name")), " "),
+          typedLit(Vocab.PositiveOutcomeWords.toSeq.sorted))).count()
+    val withoutMention = entities
+      .filter(col("label").isin("Standard", "Industry"))
+      .join(state.mentionedIn.select(col("entity_id").as("id")).distinct(),
+        Seq("id"), "left_anti").count()
+    Map(
+      "degenerate_chunks_to_delete" -> degenerate,
+      "chunk_indices_to_fix" -> state.chunks.filter(col("chunk_index").isNull).count(),
+      "chunk_ids_to_fix" -> state.chunks.filter(col("chunk_id").isNull).count(),
+      "webinar_titles_to_fix" ->
+        state.webinars.filter(webinarTitleNeedsRepair(col("title"))).count(),
+      "mislabeled_to_fix" -> mislabeled,
+      "mentioned_in_estimate" -> withoutMention,
+      "definitions_to_backfill" -> entities
+        .filter(col("definition").isNull || col("definition") === "").count(),
+      "entities_to_delete" -> entities
+        .filter(lower(col("name")).isin(Vocab.GenericTermsToDelete.toSeq: _*)).count(),
+      "entities_to_merge" -> Validation.pluralSingularPairs(entities).count())
+  }
+
   /** Apply all nine fixes in reference order. Returns the repaired state
     * plus one FixStat per step (found = the reference's pre-count,
     * applied = rows actually changed).

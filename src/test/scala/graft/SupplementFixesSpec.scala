@@ -85,6 +85,20 @@ class SupplementFixesSpec extends AnyFunSuite {
       .toDF("term", "definition")
     val emptyMi = Seq.empty[(Long, String)].toDF("entity_id", "chunk_id")
 
+    // dry-run preview (fixes.py:613-664) sees the same work without
+    // touching the state
+    val preview = Fixes.previewAllFixes(
+      FixState(Snapshot(entities, edges), chunks, webinars, definitions, emptyMi))
+    assert(preview("degenerate_chunks_to_delete") == 1)
+    assert(preview("chunk_indices_to_fix") == 1)
+    assert(preview("chunk_ids_to_fix") == 1)
+    assert(preview("webinar_titles_to_fix") == 1)
+    assert(preview("mislabeled_to_fix") == 2)
+    assert(preview("mentioned_in_estimate") == 1) // iso 26262 unmentioned
+    assert(preview("definitions_to_backfill") == 6)
+    assert(preview("entities_to_delete") == 1)
+    assert(preview("entities_to_merge") == 1)
+
     val (state, stats) = Fixes.applyAllFixes(
       FixState(Snapshot(entities, edges), chunks, webinars, definitions, emptyMi))
 
