@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.bridge
 
-import graft.functions.{IndelRatio, MinHashSig, SimHash64, SortedIntersectCount}
+import graft.functions.{BoundedTopK, IndelRatio, MinHashSig, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL. Use either at build time —
@@ -45,7 +45,10 @@ object GraftExtensions {
       }
     },
     "simhash64" -> { args => SimHash64(args.head) },
-    "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) })
+    "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
+    "bounded_topk" -> { args =>
+      BoundedTopK(args(0), args(1), intArg(args(2), "k")).toAggregateExpression()
+    })
 
   /** Register all functions on an already-built session. */
   def register(spark: SparkSession): Unit =

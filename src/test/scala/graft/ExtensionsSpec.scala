@@ -17,6 +17,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 32)
   }
 
+  test("bounded_topk is SQL-callable and keeps the k best (score desc, id asc)") {
+    GraftExtensions.register(spark)
+    val top = spark.sql(
+      """SELECT bounded_topk(s, i, 2) AS t FROM VALUES
+         (1.0, 10L), (3.0, 30L), (2.0, 20L), (3.0, 29L) AS v(s, i)""")
+      .first().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top == Seq((3.0, 29L), (3.0, 30L)))
+  }
+
   test("builder-time extensions injection works end-to-end") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
