@@ -8,7 +8,7 @@ import graft.api.ReadApi
 import graft.chunking.Chunker
 import graft.corpus.CorpusGen
 import graft.extract.Extractor
-import graft.graph.GraphOps
+import graft.graph.{GraphOps, Supplementary}
 import graft.normalize.{GlossaryLinker, Normalize}
 import graft.normalize.Normalize.Snapshot
 import graft.validate.Validation
@@ -33,11 +33,25 @@ import graft.validate.Validation
   */
 object Pipeline {
 
+  /** SUPPLEMENT stage outputs (supplementary.py:46-411): structural
+    * node tables plus their relationship tables.
+    */
+  final case class Supplement(
+      articles: DataFrame,
+      chapters: DataFrame,
+      inChapter: DataFrame,
+      resources: DataFrame,
+      definitionNodes: DataFrame,
+      relevantTo: DataFrame,
+      references: DataFrame,
+      fromArticle: DataFrame)
+
   final case class Result(
       snapshot: Snapshot,
       chunks: DataFrame,
       mentionedIn: DataFrame,
       glossaryLinks: DataFrame,
+      supplement: Supplement,
       communities: DataFrame,
       pageRank: DataFrame,
       components: DataFrame,
@@ -70,9 +84,21 @@ object Pipeline {
         .localCheckpoint(true),
       normalized.edges)
 
-    // 6. supplement: glossary → concept links
+    // 6. SUPPLEMENT: glossary → concept links + the structural tables
+    //    (Chapter/Resource/Definition nodes, IN_CHAPTER / HAS_* /
+    //    RELEVANT_TO / REFERENCES / FROM_ARTICLE edges)
     val glossary = GlossaryLinker.linkDefinitions(definitions, withDefs.entities)
       .localCheckpoint(true)
+    val articles = Supplementary.articles(c).localCheckpoint(true)
+    val supplement = Supplement(
+      articles,
+      Supplementary.chapters(articles),
+      Supplementary.inChapter(articles),
+      Supplementary.resources(articles),
+      Supplementary.definitionNodes(definitions),
+      Supplementary.relevantTo(c),
+      Supplementary.articleReferences(articles, c.count()),
+      Supplementary.fromArticle(chunks))
 
     // 7. graph analysis (reference post-processing Phase C)
     val g = GraphOps.semanticGraph(withDefs)
@@ -95,11 +121,13 @@ object Pipeline {
     val mod = Modularity.modularity(GraphOps.undirectedPairs(edges),
       communities.select(col("id"), col("community")))
 
-    // 8. validation
-    val validation = Validation.run(withDefs, Some(chunks), Some(mentionedIn))
+    // 8. validation (orphan check = the real FROM_ARTICLE anti-join)
+    val validation = Validation.run(withDefs, Some(chunks), Some(mentionedIn),
+      Some(articles))
 
-    Result(withDefs, chunks, mentionedIn, glossary, communities, ranks, cc,
-      mod, communities.select(col("community")).distinct().count(), validation)
+    Result(withDefs, chunks, mentionedIn, glossary, supplement, communities,
+      ranks, cc, mod,
+      communities.select(col("community")).distinct().count(), validation)
   }
 
   /** Persist every output table under `dir` (parquet snapshot layout)
@@ -112,6 +140,13 @@ object Pipeline {
     r.chunks.write.mode("overwrite").parquet(s"$dir/chunks")
     r.mentionedIn.write.mode("overwrite").parquet(s"$dir/mentioned_in")
     r.glossaryLinks.write.mode("overwrite").parquet(s"$dir/glossary_links")
+    r.supplement.chapters.write.mode("overwrite").parquet(s"$dir/chapters")
+    r.supplement.inChapter.write.mode("overwrite").parquet(s"$dir/in_chapter")
+    r.supplement.resources.write.mode("overwrite").parquet(s"$dir/resources")
+    r.supplement.definitionNodes.write.mode("overwrite").parquet(s"$dir/definitions")
+    r.supplement.relevantTo.write.mode("overwrite").parquet(s"$dir/relevant_to")
+    r.supplement.references.write.mode("overwrite").parquet(s"$dir/references")
+    r.supplement.fromArticle.write.mode("overwrite").parquet(s"$dir/from_article")
     r.communities.write.mode("overwrite").parquet(s"$dir/communities")
     r.pageRank.write.mode("overwrite").parquet(s"$dir/pagerank")
     r.components.write.mode("overwrite").parquet(s"$dir/components")

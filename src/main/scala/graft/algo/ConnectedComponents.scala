@@ -27,7 +27,7 @@ object ConnectedComponents {
       .agg(min(col("dst")).as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
     sym.filter(col("dst") > col("src"))
-      .join(mins, Seq("src"))
+      .join(mins.hint("shuffle_hash"), Seq("src")) // skip per-round SMJ sorts
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
     // no distinct here: small-star's final distinct restores set
@@ -42,7 +42,7 @@ object ConnectedComponents {
       greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
     val mins = or.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    val moved = or.join(mins, Seq("src"))
+    val moved = or.join(mins.hint("shuffle_hash"), Seq("src"))
       .filter(col("dst") =!= col("m"))
       .select(col("dst").as("src"), col("m").as("dst"))
     val self = mins.select(col("src"), col("m").as("dst"))

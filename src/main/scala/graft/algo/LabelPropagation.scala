@@ -43,14 +43,17 @@ object LabelPropagation {
     var converged = false
     val gc = new Superstep.CheckpointGC(spark)
     while (step < maxIter && !converged) {
+      // SHUFFLE_HASH hints: SMJ would re-sort the cached co-partitioned
+      // edge table and the skinny state EVERY superstep (cf. PageRank)
       val votes = e
-        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .join(labels.select(col("id").as("src"), col("label")).hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val winner = votes.groupBy(col("dst").as("id"))
         .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("newLabel"))
 
-      val next = labels.join(winner, Seq("id"), "left")
+      val next = labels.join(winner.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("newLabel"), col("label")).as("label"),
           col("label").as("prev"))

@@ -46,9 +46,13 @@ object Triangles {
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nb"))
 
+    // shuffle-hash: streaming the oriented edges against hashed
+    // adjacency avoids sorting the array-heavy adj frames (out-lists
+    // are O(√m), so a partition's hash map stays bounded)
     val cnt = oriented
-      .join(adj.select(col("u"), col("nb").as("nbU")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nb").as("nbV")), Seq("v"))
+      .join(adj.select(col("u"), col("nb").as("nbU")).hint("shuffle_hash"), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nb").as("nbV")).hint("shuffle_hash"),
+        Seq("v"))
       .select(graft.functions.sorted_intersect_count(col("nbU"), col("nbV")).as("t"))
       .agg(sum(col("t")))
       .first()
@@ -81,8 +85,9 @@ object Triangles {
     // for each oriented edge (u,v): the common out-neighbors w close a
     // triangle {u,v,w}; credit all three corners
     val tri = oriented
-      .join(adj.select(col("u"), col("nb").as("nbU")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nb").as("nbV")), Seq("v"))
+      .join(adj.select(col("u"), col("nb").as("nbU")).hint("shuffle_hash"), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nb").as("nbV")).hint("shuffle_hash"),
+        Seq("v"))
       .select(col("u"), col("v"), explode(array_intersect(col("nbU"), col("nbV"))).as("w"))
 
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))

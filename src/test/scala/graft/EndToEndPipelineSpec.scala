@@ -37,6 +37,19 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     assert(r.mentionedIn.count() > 0)
     assert(r.glossaryLinks.count() > 0)
 
+    // SUPPLEMENT structure is materialized and consistent
+    assert(r.supplement.chapters.count() > 0)
+    assert(r.supplement.inChapter.count() == 250L)
+    assert(r.supplement.resources.count() > 0)
+    assert(r.supplement.definitionNodes.count() > 0)
+    assert(r.supplement.fromArticle.count() == r.chunks.count())
+    // every chunk's FROM_ARTICLE target exists → orphan check is 0
+    assert(r.validation.orphanChunks == 0)
+    // references resolve to real articles, never self
+    val selfRefs = r.supplement.references
+      .filter(col("source_id") === col("target_id")).count()
+    assert(selfRefs == 0)
+
     // durable checkpoints were written per algorithm
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ckpt/pagerank/_LATEST")))
 
