@@ -114,13 +114,20 @@ object Normalize {
     * (normalizer.py:207-323).
     */
   def m2SameLabelDedup(s: Snapshot): Snapshot = {
-    // one shuffle: the window computes the canonical id per (label,name)
-    // group in place, and the groupBy right after reuses the same hash
-    // partitioning — no second exchange, no entities⋈merged join
+    // one shuffle: the window computes the canonical id + group size per
+    // (label,name) group in place, and the groupBy right after reuses
+    // the same hash partitioning — no second exchange, no
+    // entities⋈merged join. Singleton groups (the vast majority) bypass
+    // the aggregation entirely: their rows are already canonical, and
+    // re-sorting every untouched (≤1000-element) span array through
+    // cappedUnion was the stage's dominant CPU cost.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"), col("name"))
-    val tagged = s.entities.withColumn("canonId", min(col("id")).over(w))
+    val tagged = s.entities
+      .withColumn("canonId", min(col("id")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
 
-    val merged = tagged
+    val singles = tagged.filter(col("cnt") === 1).select(entityCols: _*)
+    val merged = tagged.filter(col("cnt") > 1)
       .groupBy(col("label"), col("name"))
       .agg(
         min(col("id")).as("id"),
@@ -132,7 +139,7 @@ object Normalize {
 
     val mapping = tagged.filter(col("id") =!= col("canonId")).select("id", "canonId")
 
-    Snapshot(merged, remapEdges(s.edges, mapping))
+    Snapshot(singles.unionByName(merged), remapEdges(s.edges, mapping))
   }
 
   // ─────────────────── M-3: cross-label dedup merge ───────────────────
