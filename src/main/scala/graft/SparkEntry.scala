@@ -1230,7 +1230,64 @@ object SparkEntry {
                 CAST(nc AS INT) AS n_chars
          FROM ren""",
 
-    "dedup_ngram_jaccard" -> "", // rows-only: xxhash64 n-gram sets are engine-native
+    // Jaccard over hashed gram sets ≡ Jaccard over the gram strings
+    // themselves (xxhash64 is injective at these set sizes), so DuckDB
+    // replays the computation on raw 3-gram strings
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(l) - 2, 1)),
+               i -> array_to_string(l[i:i+2], ' '))) AS g
+           FROM toks),
+         p AS (
+           SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+           WHERE doc_id % 2 = 0 AND doc_id + 1 < (SELECT count(*) FROM documents))
+         SELECT p.a, p.b,
+           round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE), 6)
+             AS jaccard
+         FROM p JOIN g ga ON p.a = ga.doc_id JOIN g gb ON p.b = gb.doc_id""",
+
+    "text_language_id" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents),
+         sc AS (
+           SELECT doc_id, list_sort([
+             {'h': len(list_intersect(l, ['the','and','of','to','a','in','is','that','for','it'])), 'l': 'en'},
+             {'h': len(list_intersect(l, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])), 'l': 'de'},
+             {'h': len(list_intersect(l, ['le','la','les','et','est','pas','un','une','pour','dans'])), 'l': 'fr'},
+             {'h': len(list_intersect(l, ['el','la','los','y','es','no','un','una','para','con'])), 'l': 'es'}
+           ])[-1] AS best
+           FROM toks)
+         SELECT doc_id, CASE WHEN best.h > 0 THEN best.l ELSE 'und' END AS lang_id
+         FROM sc""",
+
+    "text_quality_score" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents)
+         SELECT doc_id,
+           round((
+             least(length(text) / 400.0, 1.0) +
+             least(CASE WHEN len(l) > 0 THEN
+               CAST(len(list_intersect(l,
+                 ['the','and','of','to','a','in','is','that','for','it'])) AS DOUBLE)
+                 * 5.0 / len(l)
+               ELSE 0.0 END, 1.0) +
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / length(text)
+               ELSE 0.0 END
+           ) / 3.0, 6) AS quality
+         FROM toks""",
 
     "text_token_count" ->
       """SELECT doc_id,
@@ -1277,7 +1334,6 @@ object SparkEntry {
          FROM (SELECT doc_id, round(sum(sc), 4) AS score FROM scored GROUP BY doc_id)
          ORDER BY score DESC, doc_id LIMIT 20""",
 
-    "text_language_id" -> "", // rows-only placeholder replaced below
-    "a8_modularity" -> ""
+    "a8_modularity" -> "" // rows-only (ScalaTest + mod_sql_graph cover it)
   ).filter(_._2.nonEmpty)
 }
