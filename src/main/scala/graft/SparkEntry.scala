@@ -401,6 +401,21 @@ object SparkEntry {
         s"stateful_${math.abs(d.hashCode)}")
     }),
 
+    "stream_dedup" -> ((s, d) => {
+      // duplicated stream (two symlinks to the same parquet) deduped
+      // with watermark-bounded state
+      val streamDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"/tmp/graft_stream_dup_${math.abs(d.hashCode)}"))
+      Seq("events.parquet", "events_copy.parquet").foreach { n =>
+        val link = streamDir.resolve(n)
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link,
+            java.nio.file.Paths.get(t(d, "events")))
+      }
+      streaming.StreamingOps.streamDedup(s, streamDir.toString,
+        s"dedup_${math.abs(d.hashCode)}")
+    }),
+
     "sessionize" -> ((s, d) => {
       // gap-based sessionization (30-min inactivity): lag + running sum,
       // the batch twin of Structured Streaming's session_window
@@ -1142,6 +1157,9 @@ object SparkEntry {
               AS total,
             max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
          FROM events GROUP BY user_id""",
+
+    "stream_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
 
     "sessionize" ->
       """WITH g AS (

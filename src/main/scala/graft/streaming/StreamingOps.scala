@@ -17,6 +17,29 @@ object StreamingOps {
   final case class UserState(n: Long, totalMicros: Long, lastSec: Long)
   final case class UserAgg(user_id: Long, n: Long, totalMicros: Long, last_sec: Long)
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicatesWithin
+    * Watermark` over a duplicated event stream — the streaming twin of
+    * Dedup.exactDedup. State holds each key only within the watermark
+    * horizon, so it's bounded at 100 TB stream scale (plain
+    * dropDuplicates would pin every key forever). The caller stages a
+    * directory whose files contain duplicates; output carries each
+    * event_id exactly once with identical column values, so the DuckDB
+    * batch oracle is just the distinct source table.
+    */
+  def streamDedup(spark: SparkSession, eventsDir: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val q = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Per-user running aggregate with explicit keyed state: count, exact
     * running total (scaled-long cents to stay engine-reproducible) and
     * last-seen event time. Update-mode memory sink; with a single input
