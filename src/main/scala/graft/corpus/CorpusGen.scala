@@ -150,11 +150,18 @@ object CorpusGen {
             pmod(hn(i, k + 50), lit(vertexScale.toLong)).cast("string")))
           .otherwise(base)
       val baseLabel = element_at(labelsLit, idx + 1)
-      // ~10% of occurrences carry an alternate label → cross-label dups
+      // ~10% of occurrences carry an alternate label → cross-label dups.
+      // The alternate is a deterministic function of the NAME, so every
+      // name appears under AT MOST TWO labels at any corpus size. (A
+      // per-occurrence random alternate saturates at scale: by sf0.1
+      // every name had appeared under every label at least once, so M-3
+      // collapsed the whole graph to the top-priority label and e.g. no
+      // Concept survived for the glossary linker.)
       val lsw = pmod(hn(i, k + 100), lit(20L))
       val label = when(lsw < 2,
         element_at(altLabelsLit,
-          pmod(hn(i, k + 200), lit(comboLabels.size.toLong)).cast("int") + 1))
+          pmod(xxhash64(name, lit("altlabel")), lit(comboLabels.size.toLong))
+            .cast("int") + 1))
         .otherwise(baseLabel)
       // surface-form dirt for M-1/M-5; plural dirt only on generated
       // combo names (pluralizing taxonomy/org vocabulary would create
