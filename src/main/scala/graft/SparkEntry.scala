@@ -461,6 +461,16 @@ object SparkEntry {
         .select(col("name"), round(col("rank"), 6).as("rank"))
     }),
 
+    "g4_pagerank_weighted" -> ((s, d) => {
+      // weighted variant: contributions split by the semantic-edge
+      // weight (distinct relType count) instead of uniformly
+      val g = graphFor(s, d)
+      PageRank.run(s, GraphOps.symmetrizeWeighted(g.edges), parts(s, d),
+        weighted = true)
+        .ranks.join(g.vertices, Seq("id"))
+        .select(col("name"), round(col("rank"), 6).as("rank"))
+    }),
+
     "g5_connected_components" -> ((s, d) => {
       val g = graphFor(s, d)
       ConnectedComponents.run(s, g.edges, Some(g.vertices), parts(s, d))

@@ -33,9 +33,13 @@ object PageRank {
   final case class Result(ranks: DataFrame, iterations: Int, converged: Boolean,
                           edgeCount: Long)
 
-  /** @param edges directed (src, dst), duplicate-free
+  /** @param edges directed (src, dst[, weight]), duplicate-free
     * @param numPartitions hash-partition width for state and edges
     * @param ckpt optional durable checkpoint/resume handle
+    * @param weighted when true, contributions split proportionally to
+    *                 the edge `weight` column (rank·w/Σw) instead of
+    *                 uniformly (rank/outDeg); with all weights equal the
+    *                 two are identical
     */
   def run(spark: SparkSession,
           edges: DataFrame,
@@ -43,18 +47,21 @@ object PageRank {
           tol: Double = 1e-6,
           maxIter: Int = 100,
           damping: Double = 0.85,
-          ckpt: Option[Superstep] = None): Result = Superstep.withoutAQE(spark) {
+          ckpt: Option[Superstep] = None,
+          weighted: Boolean = false): Result = Superstep.withoutAQE(spark) {
 
-    val eAll = edges.select(col("src"), col("dst"))
+    val wCol = if (weighted) col("weight").cast("double") else lit(1.0)
+    val eAll = edges.select(col("src"), col("dst"), wCol.as("w"))
       .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = eAll.count()
 
     // vertex set + out-degrees in ONE edge-scale shuffle (vs the naive
     // distinct-union + groupBy + join = three): every endpoint emits a
-    // skinny (id, 0|1) row; sum gives out-degree, dst-only vertices get 0
-    val degAll = eAll.select(col("src").as("id"), lit(1L).as("od"))
-      .unionAll(eAll.select(col("dst").as("id"), lit(0L).as("od")))
+    // skinny (id, w|0) row; sum gives the (weighted) out-degree,
+    // dst-only vertices get 0
+    val degAll = eAll.select(col("src").as("id"), col("w").as("od"))
+      .unionAll(eAll.select(col("dst").as("id"), lit(0.0).as("od")))
       .groupBy(col("id")).agg(sum(col("od")).as("outDeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -121,12 +128,13 @@ object PageRank {
         .select(col("id").as("src"), (col("rank") / col("outDeg")).as("c"))
       val coldContrib = e
         .join(rankSlice.hint("shuffle_hash"), Seq("src"))
-        .select(col("dst"), col("c"))
+        .select(col("dst"), (col("c") * col("w")).as("c"))
       val allContrib = if (!hasHot) coldContrib else {
         val hotRanks = rankSlice.join(hotIds.withColumnRenamed("id", "src"),
           Seq("src"), "left_semi")
         coldContrib.unionAll(
-          eHot.join(broadcast(hotRanks), Seq("src")).select(col("dst"), col("c")))
+          eHot.join(broadcast(hotRanks), Seq("src"))
+            .select(col("dst"), (col("c") * col("w")).as("c")))
       }
       val contribs = allContrib
         .groupBy(col("dst").as("id"))

@@ -21,16 +21,25 @@ object GraphOps {
 
   final case class GraphTables(vertices: DataFrame, edges: DataFrame)
 
-  /** J-1/G-1 semantic-edge projection over a normalized snapshot. */
+  /** J-1/G-1 semantic-edge projection over a normalized snapshot.
+    *
+    * Edges carry the north-star `(src, dst, weight)` shape: weight =
+    * number of distinct semantic relationship TYPES between the name
+    * pair (the reference's igraph is unweighted over DISTINCT pairs —
+    * community_detection.py:120-154 — so algorithms default to treating
+    * every edge as 1; the weight column feeds the weighted PageRank
+    * variant).
+    */
   def semanticGraph(s: Snapshot): GraphTables = {
     val sem = s.edges.filter(col("relType").isin(model.SemanticRelTypes: _*))
     val names = s.entities.select(col("id"), col("name"))
     val pairs = sem
       .join(names.withColumnRenamed("id", "src").withColumnRenamed("name", "srcName"), Seq("src"))
       .join(names.withColumnRenamed("id", "dst").withColumnRenamed("name", "dstName"), Seq("dst"))
-      .select(col("srcName"), col("dstName"))
+      .select(col("srcName"), col("dstName"), col("relType"))
       .filter(col("srcName").isNotNull && col("dstName").isNotNull)
-      .distinct()
+      .groupBy(col("srcName"), col("dstName"))
+      .agg(countDistinct(col("relType")).cast("double").as("weight"))
 
     val vertices = pairs.select(col("srcName").as("name"))
       .union(pairs.select(col("dstName").as("name")))
@@ -39,9 +48,9 @@ object GraphOps {
 
     val edges = pairs.select(
       xxhash64(col("srcName")).as("src"),
-      xxhash64(col("dstName")).as("dst"))
+      xxhash64(col("dstName")).as("dst"),
+      col("weight"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
 
     GraphTables(vertices, edges)
   }
@@ -65,6 +74,15 @@ object GraphOps {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+
+  /** Undirected view preserving edge weights: both directions, max
+    * weight where both orientations exist, self-loops dropped.
+    */
+  def symmetrizeWeighted(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("weight"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(max(col("weight")).as("weight"))
 
   /** Canonical undirected pair form (u < v), one row per edge. */
   def undirectedPairs(edges: DataFrame): DataFrame =

@@ -135,6 +135,29 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(Triangles.countTriangles(spark, pairs, 4) == Oracles.triangles(edges))
   }
 
+  test("weighted PageRank: equal weights ≡ unweighted; weights steer mass") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val base = PageRank.run(spark, edges, 4).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // all weights equal → identical ranks
+    val eq = PageRank.run(spark,
+      edges.withColumn("weight", lit(7.0)), 4, weighted = true).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    base.foreach { case (id, r) => assert(math.abs(eq(id) - r) < 1e-12) }
+
+    // 1→2 weight 3, 1→3 weight 1: vertex 2 receives 3/4 of 1's mass
+    val wEdges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "weight")
+    val w = PageRank.run(spark, wEdges, 4, weighted = true)
+    val ranks = w.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.converged)
+    assert(ranks(2L) > ranks(3L))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    // stationary check: r2 = 0.05 + 0.85·(3/4)·r1 within tolerance
+    assert(math.abs(ranks(2L) - (0.05 + 0.85 * 0.75 * ranks(1L))) < 1e-5)
+  }
+
   test("PageRank handles dangling vertices (sinks) and keeps sum = 1") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L)) // 3 is a sink
     val res = PageRank.run(spark, edges.toDF("src", "dst"), numPartitions = 2)
