@@ -571,6 +571,22 @@ object SparkEntry {
       Dedup.minHashNearDups(withNear, threshold = 0.8)
     }),
 
+    "dedup_group_keepers" -> ((s, d) => {
+      // LSH pairs → connected components → canonical keeper per cluster:
+      // plant a CHAIN of near-dups (a ~ a' ~ a'') that only transitive
+      // grouping collapses to one keeper
+      val docs = s.read.parquet(t(d, "documents"))
+      val v1 = docs.filter(pmod(col("doc_id"), lit(9L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 4000000L)
+        .withColumn("text", concat(col("text"), lit(" tailone")))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(9L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .withColumn("text", concat(col("text"), lit(" tailone more")))
+      Dedup.nearDupGroups(s, docs.unionByName(v1).unionByName(v2),
+          threshold = 0.7, numPartitions = parts(s, d))
+        .filter(col("keeper") =!= col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       val docs = s.read.parquet(t(d, "documents"))
       val withNear = docs.unionByName(

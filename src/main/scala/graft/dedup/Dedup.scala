@@ -110,8 +110,8 @@ object Dedup {
 
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.7,
                       numPerms: Int = 32, bands: Int = 8, k: Int = 5,
-                      textCol: String = "text"): DataFrame = {
-    val cands = minHashCandidates(docs, numPerms, bands, k, textCol)
+                      textCol: String = "text", maxBucket: Int = 1000): DataFrame = {
+    val cands = minHashCandidates(docs, numPerms, bands, k, textCol, maxBucket)
     val sh = docs.select(col("doc_id"), shingleHashes(col(textCol), k).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
@@ -166,6 +166,27 @@ object Dedup {
       .select(col("a"), col("b"),
         expr("bit_count(sigA ^ sigB)").cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** ── near-dup GROUPING ─────────────────────────────────────────────
+    * The full fuzzy-dedup shape a training pipeline runs: verified
+    * near-dup pairs (MinHash+LSH) → connected components over the pair
+    * graph → one canonical keeper (min doc_id) per duplicate cluster.
+    * Docs in no pair keep themselves. This is why the capped star
+    * fallback is sound: CC restores full-cluster membership from the
+    * representative edges.
+    */
+  def nearDupGroups(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                    threshold: Double = 0.7, numPartitions: Int = 32,
+                    textCol: String = "text", maxBucket: Int = 1000): DataFrame = {
+    val pairs = minHashNearDups(docs, threshold, textCol = textCol,
+      maxBucket = maxBucket)
+    val comp = graft.algo.ConnectedComponents.run(spark,
+      pairs.select(col("a").as("src"), col("b").as("dst")), None, numPartitions)
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keeper"))
   }
 
   /** ── n-gram Jaccard ────────────────────────────────────────────────

@@ -117,6 +117,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(touched == 5000L)
   }
 
+  test("nearDupGroups: transitive chains collapse to one keeper") {
+    // a ~ a' ~ a'' where a and a'' may themselves not pair directly —
+    // only the connected-components pass groups all three
+    val base = docs.filter(col("doc_id") < 20)
+    val v1 = base.withColumn("doc_id", col("doc_id") + 7000L)
+      .withColumn("text", concat(col("text"), lit(" tailone")))
+    val v2 = base.withColumn("doc_id", col("doc_id") + 8000L)
+      .withColumn("text", concat(col("text"), lit(" tailone more")))
+    val groups = Dedup.nearDupGroups(spark,
+        base.unionByName(v1).unionByName(v2), threshold = 0.7, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { i =>
+      // the whole chain lands in ONE cluster whose keeper is the base
+      // doc's keeper (some base docs are legitimately near-dups of each
+      // other in the synthetic corpus, so keeper ≤ i, not == i)
+      assert(groups(i) <= i)
+      assert(groups(i + 7000L) == groups(i), s"v1 of $i split from base")
+      assert(groups(i + 8000L) == groups(i), s"v2 of $i split from base")
+    }
+  }
+
   test("bounded_topk brute force ≡ window form, with map-side bounding") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
