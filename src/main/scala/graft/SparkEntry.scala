@@ -764,6 +764,24 @@ object SparkEntry {
     "val_entity_stats" -> ((s, d) =>
       validate.Validation.entityStats(snapshotFor(s, d).entities)),
 
+    "val_orphan_entities" -> ((s, d) =>
+      // NOT (n)--() over the snapshot; one row with the count so the
+      // (possibly empty) detail list stays a stable driver row
+      s.createDataFrame(Seq(Tuple1(
+        validate.Validation.orphanEntities(snapshotFor(s, d)).count())))
+        .toDF("orphan_entities")),
+
+    "val_article_coverage" -> ((s, d) =>
+      validate.Validation.articleCoverage(
+        Supplementary.articles(corpusFor(s, d)))),
+
+    "val_missing_embeddings" -> ((s, d) =>
+      // missing-embedding check (queries.py:108-123) with planted nulls
+      s.read.parquet(t(d, "embeddings"))
+        .select(when(pmod(col("vec_id"), lit(17L)) === 0,
+          lit(null).cast("array<float>")).otherwise(col("embedding")).as("e"))
+        .agg(sum(when(col("e").isNull, 1L).otherwise(0L)).as("missing_count"))),
+
     // ── glossary linking (J-5/J-6 surface) ──
     "glossary_links" -> ((s, d) => {
       val defs = Extractor.definitions(corpusFor(s, d))
@@ -1354,6 +1372,11 @@ object SparkEntry {
          SELECT doc_id,
             CAST(sum(pos * (ascii(tok) * 31 + length(tok))) AS BIGINT) AS fingerprint
          FROM u GROUP BY doc_id""",
+
+    "val_missing_embeddings" ->
+      """SELECT CAST(sum(CASE WHEN vec_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing_count
+         FROM embeddings""",
 
     "fulltext_bm25" ->
       """WITH toks AS (

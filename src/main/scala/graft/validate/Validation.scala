@@ -163,6 +163,22 @@ object Validation {
       arrays_overlap(split(lower(col("name")), " "),
         typedLit(Vocab.PositiveOutcomeWords.toSeq.sorted)))
 
+  /** Orphan entities (queries.py:64-83): entity-label nodes with no
+    * relationship in either direction (`NOT (n)--()`).
+    */
+  def orphanEntities(s: Snapshot): DataFrame =
+    s.entities
+      .join(s.edges.select(col("src").as("id")), Seq("id"), "left_anti")
+      .join(s.edges.select(col("dst").as("id")), Seq("id"), "left_anti")
+      .select(col("label"), col("name"))
+
+  /** Article coverage (queries.py:206-229): total articles + number of
+    * chapters that have at least one.
+    */
+  def articleCoverage(articles: DataFrame): DataFrame =
+    articles.agg(count(lit(1)).as("total_articles"),
+      countDistinct(col("repo")).as("chapters_with_articles"))
+
   /** A-3: per-label total vs normalized-name counts (normalizer.py:590-604). */
   def entityStats(entities: DataFrame): DataFrame =
     entities

@@ -159,6 +159,20 @@ class SupplementFixesSpec extends AnyFunSuite {
     assert(r.orphanChunks == 1 && !r.passed)
   }
 
+  test("orphan entities (NOT (n)--()) and article coverage") {
+    val snap = Snapshot(
+      entitiesDF(Seq((1L, "linked", "Concept", None), (2L, "lonely", "Tool", None),
+        (3L, "target", "Standard", None))),
+      Seq((1L, 3L, "RELATED_TO")).toDF("src", "dst", "relType"))
+    val orphans = Validation.orphanEntities(snap).collect().map(_.getString(1))
+    assert(orphans.toSeq == Seq("lonely"))
+
+    val arts = Seq(("a1", "r1"), ("a2", "r1"), ("a3", "r2"))
+      .toDF("article_id", "repo")
+    val cov = Validation.articleCoverage(arts).head()
+    assert(cov.getLong(0) == 3 && cov.getLong(1) == 2)
+  }
+
   test("supplementary structure: chapters, resource fan-out, references") {
     val corpus = Seq(
       ("org-1/r0", "src/pkg0/File0.md", "c0", "md",
