@@ -69,15 +69,26 @@ object Dedup {
     */
   private[graft] def cappedBucketPairs(entries: DataFrame,
                                        maxBucket: Int): DataFrame = {
-    // window form: cnt/rep computed in place on the SAME (band, bucket)
-    // hash partitioning the self-join below reuses — one shuffle total
-    // (a groupBy+join back would be two)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-    val tagged = entries
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("rep", min(when(col("anchor"), col("doc_id"))).over(w))
+    // Bucket stats via a skinny map-side-combinable groupBy, NOT a
+    // window: the r2 window form sorted all banded entries within each
+    // (band, bucket) partition and was the bench's 3× dedup regression.
+    // Only the oversized buckets come back out of the aggregate — tiny
+    // by construction (they are the boilerplate masses the cap exists
+    // for) — and are broadcast onto the entries, so the only wide
+    // exchange left is the small-bucket self-join itself.
+    // The entries are checkpointed lazily: they carry the signature
+    // computation (minhash/simhash/hyperplane HOFs) and feed three
+    // subplans (stats, self-join ×2, star fallback).
+    val e = entries.localCheckpoint(false)
+    val hot = broadcast(
+      e.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(when(col("anchor"), col("doc_id"))).as("rep"))
+        .filter(col("cnt") > maxBucket))
 
-    val small = tagged.filter(col("cnt") <= maxBucket)
+    val tagged = e.join(hot, Seq("band", "bucket"), "left")
+    val small = tagged.filter(col("cnt").isNull)
+      .select(col("band"), col("bucket"), col("doc_id"), col("anchor"))
     val smallPairs = small.filter(col("anchor")).as("l")
       .join(small.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.band") === col("r.band") &&
@@ -85,7 +96,7 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
 
     val bigPairs = tagged
-      .filter(col("cnt") > maxBucket && col("rep").isNotNull &&
+      .filter(col("cnt").isNotNull && col("rep").isNotNull &&
         col("doc_id") =!= col("rep"))
       .select(
         least(col("rep"), col("doc_id")).as("a"),

@@ -18,6 +18,10 @@ package object functions {
   def simhash64(text: Column): Column =
     bridge.column(SimHash64(bridge.expression(text)))
 
+  /** Allocation-free codegen cosine similarity of two float vectors. */
+  def cosine_sim(a: Column, b: Column): Column =
+    bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+
   /** Merge-scan |A ∩ B| over two sorted long arrays (allocation-free). */
   def sorted_intersect_count(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))

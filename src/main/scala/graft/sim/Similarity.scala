@@ -16,16 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns in double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
-  }
+  /** Cosine similarity of two float-array columns in double precision.
+    * Native codegen kernel (graft.functions.CosineSim) — the HOF
+    * `aggregate(zip_with(...))` form it replaces was a CodegenFallback
+    * whose interpreted evaluation dominated the whole family's runtime;
+    * the math (widening, summation order, zero-norm → 0.0) is
+    * bit-identical.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.cosine_sim(a, b)
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Scores rounded to 5dp BEFORE ranking; ties break on neighbor id —
@@ -47,29 +45,48 @@ object Similarity {
     topKOf(scored, k)
   }
 
-  /** (query_id, neighbor_id, score) → top-k with dense rank column. */
+  /** (query_id, neighbor_id, score) → top-k with dense rank column.
+    *
+    * The extra `count(score)` reference is load-bearing: with `score`
+    * consumed once, CollapseProject inlines the (expensive, HOF) cosine
+    * expression into the TypedImperativeAggregate, whose update path
+    * evaluates it INTERPRETED per row — the BENCH r2 4.4× regression on
+    * `sim_topk_bruteforce`. A second consumer makes the producer
+    * non-cheap-multi-referenced, so the Project stays a codegen'd stage
+    * below the aggregate and the agg only reads bound attributes.
+    */
   private def topKOf(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
-      .agg(graft.functions.bounded_topk(col("score"), col("neighbor_id"), k).as("top"))
+      .agg(graft.functions.bounded_topk(col("score"), col("neighbor_id"), k).as("top"),
+        count(col("score")).as("_scored"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
       .select(col("query_id"), col("t.id").as("neighbor_id"),
         col("t.score").as("score"), (col("r") + 1).cast("int").as("rank"))
 
   /** IVF index: nearest-centroid assignment of every corpus vector.
     * Centroids are a deterministic sample (every `stride`-th id).
+    *
+    * The centroid set is collapsed to ONE broadcast row holding an
+    * array<struct<cid, cv>>, and the per-vector argmax is computed
+    * inline with codegen'd HOFs (`transform` + `array_max` over
+    * `(cscore, -cid)` structs): assignment is a single narrow map stage
+    * with NO exchange at all — neither the N·k rows the r1 `row_number`
+    * window shuffled nor the N-row groupBy shuffle of a `max_by` form
+    * (whose struct agg buffer also falls off the hash-agg fast path).
+    * Tie-break identical throughout: (cscore DESC, centroid_id ASC).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = broadcast(centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv")))
+    val cents = centroids.agg(collect_list(
+      struct(col(idCol).as("cid"), col(vecCol).as("cv"))).as("cents"))
     corpus.select(col(idCol), col(vecCol))
-      .crossJoin(c)
-      .select(col(idCol), col(vecCol), col("centroid_id"),
-        cosine(col(vecCol), col("cv")).as("cscore"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("centroid_id"))))
-      .filter(col("r") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        (-array_max(transform(col("cents"), c =>
+          struct(cosine(col(vecCol), c.getField("cv")).as("s"),
+            (-c.getField("cid")).as("nid"))))
+          .getField("nid")).as("centroid_id"))
   }
 
   /** One Lloyd (k-means) refinement pass: assign every corpus vector to
