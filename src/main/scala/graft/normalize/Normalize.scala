@@ -387,26 +387,42 @@ object Normalize {
   def materialize(s: Snapshot): Snapshot =
     Snapshot(s.entities.localCheckpoint(true), s.edges.localCheckpoint(true))
 
-  /** Materialize only the frames a stage actually changed (M-1/M-7
+  /** Checkpoint only the frames a stage actually changed (M-1/M-7
     * leave edges untouched; re-checkpointing them would re-run a full
-    * pass for nothing).
+    * pass for nothing). Checkpoints are LAZY: `localCheckpoint(false)`
+    * truncates the Catalyst plan immediately (so the 8-stage chain
+    * still optimizes in O(stages)) but defers materialization to the
+    * next stage's first shuffle — the r2 chain ran ~14 eager
+    * materialization jobs, one per changed frame per stage, and that
+    * job count WAS the driver-bench gap on `pipeline_normalize`
+    * (VERDICT r2 #2).
     */
-  private def materializeChanged(prev: Snapshot, next: Snapshot): Snapshot =
+  private def checkpointChanged(prev: Snapshot, next: Snapshot): Snapshot =
     Snapshot(
       if (next.entities eq prev.entities) prev.entities
-      else next.entities.localCheckpoint(true),
+      else next.entities.localCheckpoint(false),
       if (next.edges eq prev.edges) prev.edges
-      else next.edges.localCheckpoint(true))
+      else next.edges.localCheckpoint(false))
 
   /** The full Phase A/B chain in reference order (scraper.py:742-833):
     * backfill → M-1 → M-2 → M-3 → M-4 → M-5 → M-6, plus the M-7
-    * validation fix. Stage-checkpointed.
+    * validation fix.
+    *
+    * Stage boundaries are lazily checkpointed; two stages are FUSED
+    * (no boundary at all): M-1 is a pure projection that rides into
+    * backfill/M-2's shuffle, and M-4's anti-join (doomed side is a
+    * broadcast-sized term-list filter) rides into M-5's pass. At
+    * cluster scale the non-fused boundaries are where the per-stage
+    * Iceberg snapshot commits go (SURVEY.md §7).
     */
   def fullChain(s0: Snapshot): Snapshot = {
-    val stages: Seq[Snapshot => Snapshot] = Seq(
-      m1NormalizeNames, backfillAppliesTo, m2SameLabelDedup,
-      m3CrossLabelDedup, m4DeleteGeneric, m5MergePlurals,
-      m6IndustryConsolidation, m7RelabelMislabeledChallenges)
-    stages.foldLeft(materialize(s0))((s, f) => materializeChanged(s, f(s)))
+    val stages: Seq[(Snapshot => Snapshot, Boolean)] = Seq(
+      (m1NormalizeNames, true), (backfillAppliesTo, false),
+      (m2SameLabelDedup, false), (m3CrossLabelDedup, false),
+      (m4DeleteGeneric, true), (m5MergePlurals, false),
+      (m6IndustryConsolidation, false), (m7RelabelMislabeledChallenges, false))
+    stages.foldLeft(materialize(s0)) { case (s, (f, fuse)) =>
+      if (fuse) f(s) else checkpointChanged(s, f(s))
+    }
   }
 }
