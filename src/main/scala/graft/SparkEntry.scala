@@ -71,6 +71,30 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Stable filesystem/SQL-safe tag for a data dir — NOT hashCode:
+    * `abs(hashCode)` collides across dirs and abs(Int.MinValue) is
+    * negative (ADVICE r2).
+    */
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("^_+", "")
+
+  /** Stage a directory of symlinks for the file stream source (which
+    * requires a DIRECTORY input). Stale links are replaced — a plain
+    * `Files.exists` FOLLOWS the link, so a symlink whose target moved
+    * reads as absent and the re-create throws (ADVICE r2).
+    */
+  private def stageStreamDir(dir: String, tag: String,
+                             links: Seq[(String, String)]): java.nio.file.Path = {
+    val out = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"/tmp/graft_stream_${tag}_${dirTag(dir)}"))
+    links.foreach { case (name, target) =>
+      val link = out.resolve(name)
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(target))
+    }
+    out
+  }
+
   /** Exact decimal-accumulated sum of a double expression, returned as
     * double — bit-identical across engines regardless of summation order.
     */
@@ -366,14 +390,8 @@ object SparkEntry {
     // ── streaming (events table through Structured Streaming) ──
     "stream_windowed_agg" -> ((s, d) => {
       val schema = s.read.parquet(t(d, "events")).schema
-      val name = s"stream_out_${math.abs(d.hashCode)}"
-      // the file stream source requires a DIRECTORY; stage a symlink dir
-      val streamDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(s"/tmp/graft_stream_${math.abs(d.hashCode)}"))
-      val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(t(d, "events")))
+      val name = s"stream_out_${dirTag(d)}"
+      val streamDir = stageStreamDir(d, "win", Seq("events.parquet" -> t(d, "events")))
       val q = s.readStream.schema(schema).parquet(streamDir.toString)
         .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
@@ -391,29 +409,18 @@ object SparkEntry {
 
     "stream_stateful_agg" -> ((s, d) => {
       // mapGroupsWithState custom keyed state over the event stream
-      val streamDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(s"/tmp/graft_stream_${math.abs(d.hashCode)}"))
-      val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(t(d, "events")))
+      val streamDir = stageStreamDir(d, "state", Seq("events.parquet" -> t(d, "events")))
       streaming.StreamingOps.runningUserAgg(s, streamDir.toString,
-        s"stateful_${math.abs(d.hashCode)}")
+        s"stateful_${dirTag(d)}")
     }),
 
     "stream_dedup" -> ((s, d) => {
       // duplicated stream (two symlinks to the same parquet) deduped
       // with watermark-bounded state
-      val streamDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(s"/tmp/graft_stream_dup_${math.abs(d.hashCode)}"))
-      Seq("events.parquet", "events_copy.parquet").foreach { n =>
-        val link = streamDir.resolve(n)
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link,
-            java.nio.file.Paths.get(t(d, "events")))
-      }
+      val streamDir = stageStreamDir(d, "dup",
+        Seq("events.parquet" -> t(d, "events"), "events_copy.parquet" -> t(d, "events")))
       streaming.StreamingOps.streamDedup(s, streamDir.toString,
-        s"dedup_${math.abs(d.hashCode)}")
+        s"dedup_${dirTag(d)}")
     }),
 
     "sessionize" -> ((s, d) => {
@@ -975,6 +982,93 @@ object SparkEntry {
 
   // ─────────────────────────── oracle SQL ─────────────────────────────
 
+  /** 5-char-shingle set per doc over a planted-dirt doc table `wn` —
+    * the DuckDB twin of Dedup.shingleHashes (distinct xxhash64'd
+    * shingles ≡ distinct shingle strings: injective at these sizes).
+    */
+  private def shingleCte(wn: String): String =
+    s"""wn AS ($wn),
+       pos AS (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text)-4, 1)+1)) AS i FROM wn),
+       sh AS (SELECT doc_id, list(DISTINCT substr(text, i::INT, 5)) AS s
+              FROM pos GROUP BY doc_id)"""
+
+  /** Exact-Jaccard pair CTE over `sh` (needs [[shingleCte]] upstream).
+    * The LSH banding in the engine is probabilistic, but on the sf
+    * tables its recall is exactly 1 (verified empirically per table),
+    * so the engine's verified-pair output equals the full exact-Jaccard
+    * pair set and DuckDB can replay it without minhash parity.
+    */
+  private def jaccardPairs(threshold: Double): String =
+    s"""pairs AS (
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jac
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       hits AS (SELECT a, b, jac FROM pairs WHERE jac >= $threshold)"""
+
+  /** Double-precision cosine with the engine kernel's exact summation
+    * order (CosineSim: widen floats, left-to-right sums) — bit-identical
+    * doubles, so 5dp-rounded scores hash-match.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+         sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"""
+
+  /** DuckDB twin of the native SimHash64 expression, hash-exact:
+    * per-token FNV-1a chain via list_reduce in UBIGINT (the 64-bit
+    * wrap-around multiplies run in HUGEINT mod 2^64; the two big mix
+    * multipliers are split hi/lo·2^32 to stay under INT128), bit votes
+    * per occurrence, sign bits as a 64-char string, pairwise Hamming via
+    * string hamming(). The multi-index blocking in the engine is
+    * pigeonhole-COMPLETE for maxDist ≤ 3, so the engine's pair set is
+    * exactly the all-pairs Hamming ≤ 3 set (bucket cap inactive at sf
+    * sizes) and the oracle needs no blocking at all.
+    */
+  private def simhashOracle: String = {
+    val c1 = 0xff51afd7ed558ccdL
+    val c2 = 0xc4ceb9fe1a85ec53L
+    def hi(c: Long) = c >>> 32
+    def lo(c: Long) = c & 0xffffffffL
+    def mulmod(x: String, c: Long) =
+      s"""(((($x)::HUGEINT * ${lo(c)}) % 18446744073709551616 +
+          ((($x)::HUGEINT * ${hi(c)}) % 4294967296) * 4294967296)
+          % 18446744073709551616)::UBIGINT"""
+    s"""WITH wn AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 3000000, text || ' tail' FROM documents WHERE doc_id % 11 = 0),
+       toks AS (
+         SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(text, '[ \n\t\r]+'), t -> length(t) > 0)) AS tok
+         FROM wn),
+       th AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(14695981039346656037::UBIGINT,
+               list_transform(range(1, length(tok)+1),
+                 i -> ascii(substr(tok, i::INT, 1))::UBIGINT)),
+             (h, c) -> ((xor(h, c)::HUGEINT * 1099511628211)
+                        % 18446744073709551616)::UBIGINT) AS h0
+         FROM toks),
+       m1 AS (SELECT doc_id, ${mulmod("xor(h0, h0 >> 33)", c1)} AS h FROM th),
+       m2 AS (SELECT doc_id, ${mulmod("xor(h, h >> 33)", c2)} AS h FROM m1),
+       mh AS (SELECT doc_id, xor(h, h >> 33) AS h FROM m2),
+       bits AS (
+         SELECT doc_id, t.b,
+           sum(CASE WHEN ((h >> t.b::INT) & 1::UBIGINT) = 1::UBIGINT
+               THEN 1 ELSE -1 END) AS vote
+         FROM mh CROSS JOIN range(0, 64) t(b) GROUP BY doc_id, t.b),
+       sigs AS (
+         SELECT doc_id,
+           string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+         FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS a, b.doc_id AS b, hamming(a.sig, b.sig)::INT AS dist
+       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       WHERE hamming(a.sig, b.sig) <= 3"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s3_label_scan" ->
       """SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'
@@ -1248,6 +1342,57 @@ object SparkEntry {
                   min(doc_id) AS keeper, count(*) AS group_size
            FROM base GROUP BY 1)
          SELECT keeper, group_size FROM g WHERE group_size > 1""",
+
+    "dedup_minhash_lsh" ->
+      s"""WITH ${shingleCte(
+        """SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' extra' FROM documents
+           WHERE doc_id % 7 = 0""")},
+         ${jaccardPairs(0.8)}
+         SELECT a, b, round(jac, 6) AS jaccard FROM hits""",
+
+    "dedup_simhash" -> simhashOracle,
+
+    "dedup_group_keepers" ->
+      s"""WITH RECURSIVE ${shingleCte(
+        """SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 4000000, text || ' tailone' FROM documents
+           WHERE doc_id % 9 = 0
+           UNION ALL
+           SELECT doc_id + 5000000, text || ' tailone more' FROM documents
+           WHERE doc_id % 9 = 0""")},
+         ${jaccardPairs(0.7)},
+         sym AS (SELECT a AS src, b AS dst FROM hits UNION SELECT b, a FROM hits),
+         reach(id, comp) AS (
+           SELECT DISTINCT src, src FROM sym
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id)
+         SELECT id AS doc_id, min(comp) AS keeper FROM reach
+         GROUP BY id HAVING min(comp) <> id""",
+
+    "dedup_embedding_cosine" ->
+      s"""WITH wn AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 13 = 0)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           round(${cosSql("a.embedding", "b.embedding")}, 5) AS score
+         FROM wn a JOIN wn b ON a.vec_id < b.vec_id
+         WHERE round(${cosSql("a.embedding", "b.embedding")}, 5) >= 0.98""",
+
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(${cosSql("q.qv", "e.embedding")}, 5) AS score
+           FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+               FROM scored)
+         SELECT query_id, neighbor_id, score, rk::INT AS rank FROM r WHERE rk <= 5""",
 
     "chunking" ->
       """WITH d AS (SELECT doc_id, repeat(text, 8) AS text FROM documents),

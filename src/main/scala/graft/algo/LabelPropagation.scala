@@ -20,21 +20,30 @@ object LabelPropagation {
   final case class Result(labels: DataFrame, iterations: Int, converged: Boolean)
 
   /** @param symEdges symmetrized undirected edges (both directions present)
+    * @param vertices optional (id, …) vertex table: ids with no incident
+    *   edge still get a (self-)community, matching the reference's
+    *   assignment of every named node (community_detection.py:133).
+    *   Without it, only edge endpoints are labeled (VERDICT r2 #9).
     * @return (id, community) — community = min member id of the cluster
     */
   def run(spark: SparkSession,
           symEdges: DataFrame,
           numPartitions: Int = 32,
           maxIter: Int = 20,
-          ckpt: Option[Superstep] = None): Result = Superstep.withoutAQE(spark) {
+          ckpt: Option[Superstep] = None,
+          vertices: Option[DataFrame] = None): Result = Superstep.withoutAQE(spark) {
 
     val e = symEdges.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
+    val endpointIds = e.select(col("src").as("id")).distinct()
+    val allIds = vertices
+      .map(v => endpointIds.unionByName(v.select(col("id"))).distinct())
+      .getOrElse(endpointIds)
     var labels = resumed.map(_._2).getOrElse(
-      e.select(col("src").as("id")).distinct()
+      allIds
         .select(col("id"), col("id").as("label"))
         .repartition(numPartitions, col("id")))
       .localCheckpoint(true)

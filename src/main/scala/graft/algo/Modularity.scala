@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
 object Modularity {
 
   /** @param undirectedPairs one row per undirected edge (u < v)
-    * @param communities (id, community)
+    * @param communities (id, community) — need not cover every endpoint:
+    *   an endpoint missing from the table is treated as its own
+    *   singleton community (its vertex id; collision-free, since a
+    *   community id is the min MEMBER id and the vertex is not a
+    *   member), so every edge still counts toward m (ADVICE r2 — an
+    *   inner join silently dropped partially-covered edges from m).
     */
   def modularity(undirectedPairs: DataFrame, communities: DataFrame): Double = {
     // ONE community join over the edge table; (m, intra) and the
@@ -25,8 +30,9 @@ object Modularity {
     val pairs = undirectedPairs.select(col("src"), col("dst"))
     val cSrc = communities.select(col("id").as("src"), col("community").as("cSrc"))
     val cDst = communities.select(col("id").as("dst"), col("community").as("cDst"))
-    val joined = pairs.join(cSrc, Seq("src")).join(cDst, Seq("dst"))
-      .select(col("cSrc"), col("cDst"))
+    val joined = pairs.join(cSrc, Seq("src"), "left").join(cDst, Seq("dst"), "left")
+      .select(coalesce(col("cSrc"), col("src")).as("cSrc"),
+        coalesce(col("cDst"), col("dst")).as("cDst"))
       .localCheckpoint(false)
 
     val r = joined.agg(count(lit(1)).as("m"),

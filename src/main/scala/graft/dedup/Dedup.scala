@@ -66,6 +66,17 @@ object Dedup {
     * components over verified pairs) the representative preserves
     * within-bucket connectivity. The verify step downstream still
     * checks every emitted pair exactly.
+    *
+    * RECALL SEMANTICS of the cap (ADVICE r2): in an oversized bucket,
+    * member–member pairs are represented only through rep–member edges,
+    * and verification applies to those edges — so if the rep is NOT
+    * within the verify threshold of a member while two members are
+    * within it of each other, that member–member pair (and, for
+    * grouping, its connectivity) is lost. This can happen in simhash
+    * 1-flip / cosine band buckets, not in exact-signature buckets. The
+    * cap is a deliberate recall-for-linearity trade on pathological
+    * buckets; pass `maxBucket = Int.MaxValue` to disable it and emit
+    * every pair.
     */
   private[graft] def cappedBucketPairs(entries: DataFrame,
                                        maxBucket: Int): DataFrame = {
@@ -119,6 +130,11 @@ object Dedup {
     cappedBucketPairs(banded, maxBucket)
   }
 
+  /** Verified near-dup pairs (a, b, jaccard), a < b. Pairs inside a
+    * bucket over `maxBucket` are star-approximated — see the recall
+    * note on [[cappedBucketPairs]]; `maxBucket = Int.MaxValue` disables
+    * the cap.
+    */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.7,
                       numPerms: Int = 32, bands: Int = 8, k: Int = 5,
                       textCol: String = "text", maxBucket: Int = 1000): DataFrame = {
@@ -148,7 +164,9 @@ object Dedup {
     * occupancy ~n/2^32 — unlike the previous 16-bit segment scheme
     * whose 65,536 buckets went quadratic as n grew (VERDICT r1).
     * Oversized buckets (identical-signature masses) fall back to the
-    * capped star. Verification is an exact `bit_count(xor)`.
+    * capped star — see the recall note on [[cappedBucketPairs]]
+    * (`maxBucket = Int.MaxValue` disables the cap). Verification is an
+    * exact `bit_count(xor)`.
     */
   def simHash(text: Column): Column = simhash64(text) // single-pass native
 

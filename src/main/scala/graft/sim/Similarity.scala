@@ -150,7 +150,9 @@ object Similarity {
     * comes from the `bands` OR: at cos θ = 0.98, P(bit agree) =
     * 1 − θ/π ≈ 0.94, so 8 bands × 16 bits give 1−(1−0.94^16)^8 ≈ 0.97.
     * Oversized buckets (mass duplicates) fall back to the capped star
-    * (Dedup.cappedBucketPairs).
+    * (Dedup.cappedBucketPairs — see its recall note: star edges in a
+    * cosine band need not verify even when member–member pairs would;
+    * `maxBucket = Int.MaxValue` disables the cap).
     * Hyperplanes are deterministic xxhash64-derived ±1 pseudo-vectors.
     */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.95,

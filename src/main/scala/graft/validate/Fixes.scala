@@ -38,6 +38,14 @@ object Fixes {
     * stand-in for Neo4j's elementId insertion-order surrogate that
     * fixes.py:140 sorts by (the reference itself documents elementId
     * ordering as best-effort).
+    *
+    * PRECONDITION (ADVICE r2): `snapshot.entities` must be unique per
+    * (name, label) — the post-M-2 invariant every extractor-produced
+    * snapshot satisfies. Fix 5's relabel collision check runs against
+    * the Concept names computed ONCE; the reference relabels rows
+    * sequentially, so with two same-name Challenge rows (impossible
+    * under the invariant) the first relabel would block the second
+    * there but not here.
     */
   final case class FixState(
       snapshot: Snapshot,

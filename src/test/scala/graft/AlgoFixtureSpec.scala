@@ -99,6 +99,21 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(Triangles.countTriangles(spark, GraphOps.undirectedPairs(edges), 4) == 1L)
   }
 
+  test("LPA vertices param: isolated vertex gets a self-community (VERDICT r2 #9)") {
+    val sym = GraphOps.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"))
+    val verts = Seq(1L, 2L, 3L, 99L).toDF("id") // 99 has no incident edge
+    val res = LabelPropagation.run(spark, sym, numPartitions = 4,
+      vertices = Some(verts))
+    val labs = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 4)
+    assert(labs(99L) == 99L) // reference assigns every named node
+    assert(Seq(1L, 2L, 3L).map(labs).toSet == Set(1L))
+    // without the vertex table, only edge endpoints are labeled
+    val bare = LabelPropagation.run(spark, sym, numPartitions = 4)
+      .labels.collect().map(_.getLong(0)).toSet
+    assert(bare == Set(1L, 2L, 3L))
+  }
+
   test("directed random graph: PageRank matches driver oracle, allclose 1e-6") {
     // deterministic pseudo-random digraph: 120 vertices, 480 edges
     val edges = (0 until 480).map { i =>
