@@ -188,7 +188,17 @@ object CorpusGen {
       val (labelA, rawA) = pick(i, 1)
       val (labelB, rawB) = pick(i, 2)
       val relType = element_at(relTypesLit, pmod(hn(i, 5), lit(14L)).cast("int") + 1)
-      when(kind <= 3, concat(lit("ent["), labelA, lit(":"), rawA, lit("]")))
+      // ~20% of ent markers carry a deterministic acronym alias
+      // (`ent[Label:raw|a:RN]`) — the corpus stand-in for the
+      // reference's LLM-populated aliases (langextract_augmenter.py:344,
+      // out of scope), so M-8's alias set-union runs on real non-empty
+      // data end-to-end (VERDICT r2 #8)
+      val acro = array_join(
+        transform(split(rawA, " +"), w => upper(substring(w, 1, 1))), "")
+      val aliasPart = when(pmod(hn(i, 9), lit(5L)) === 0 && length(acro) > 0,
+        concat(lit("|a:"), acro)).otherwise(lit(""))
+      when(kind <= 3,
+        concat(lit("ent["), labelA, lit(":"), rawA, aliasPart, lit("]")))
         .when(kind <= 7,
           concat(lit("rel["), relType, lit("|"), labelA, lit(":"), rawA,
             lit("|"), labelB, lit(":"), rawB, lit("]")))

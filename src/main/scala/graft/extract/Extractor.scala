@@ -48,29 +48,39 @@ object Extractor {
   def entities(corpus: DataFrame): DataFrame = {
     val m = markers(corpus)
     val relRe = "^rel\\[([^|]+)\\|([^:]+):([^|]*)\\|([^:]+):([^\\]]*)\\]$"
+    // ent markers may carry a deterministic acronym alias suffix
+    // (`ent[Label:raw|a:ALIAS]`, CorpusGen) — the regex stand-in for the
+    // reference's LLM alias augmentation (langextract_augmenter.py:344)
+    val entRe = "^ent\\[([^:]+):([^|\\]]*)(\\|a:([^\\]]*))?\\]$"
 
     def mention(name: org.apache.spark.sql.Column,
                 label: org.apache.spark.sql.Column,
-                definition: org.apache.spark.sql.Column) =
-      struct(name.as("name"), label.as("label"), definition.as("definition"))
+                definition: org.apache.spark.sql.Column,
+                alias: org.apache.spark.sql.Column) =
+      struct(name.as("name"), label.as("label"),
+        definition.as("definition"), alias.as("alias"))
 
     val nullDef = lit(null).cast("string")
     val parsed = m.select(col("path"), explode(
       when(col("m").startsWith("ent["), array(mention(
-        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 2),
-        regexp_extract(col("m"), "^ent\\[([^:]+):(.*)\\]$", 1),
-        nullDef)))
+        regexp_extract(col("m"), entRe, 2),
+        regexp_extract(col("m"), entRe, 1),
+        nullDef,
+        when(regexp_extract(col("m"), entRe, 4) =!= "",
+          regexp_extract(col("m"), entRe, 4)).otherwise(nullDef))))
         .when(col("m").startsWith("def["), array(mention(
           regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 2),
           regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 1),
-          regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 3))))
+          regexp_extract(col("m"), "^def\\[([^:]+):([^|]*)\\|(.*)\\]$", 3),
+          nullDef)))
         .otherwise(array(
           mention(regexp_extract(col("m"), relRe, 3),
-            regexp_extract(col("m"), relRe, 2), nullDef),
+            regexp_extract(col("m"), relRe, 2), nullDef, nullDef),
           mention(regexp_extract(col("m"), relRe, 5),
-            regexp_extract(col("m"), relRe, 4), nullDef)))).as("e"))
+            regexp_extract(col("m"), relRe, 4), nullDef, nullDef)))).as("e"))
       .select(col("e.name").as("name"), col("e.label").as("label"),
-        col("e.definition").as("definition"), col("path"))
+        col("e.definition").as("definition"), col("e.alias").as("alias"),
+        col("path"))
 
     parsed
       .filter(col("name") =!= "")
@@ -80,6 +90,8 @@ object Extractor {
         max_by(col("definition"),
           when(col("definition").isNotNull,
             struct(length(col("definition")), col("definition")))).as("definition"),
+        slice(array_sort(collect_set(col("alias"))), 1, Extractor.MaxListProp)
+          .as("aliases"),
         slice(array_sort(collect_set(col("path"))), 1, Extractor.MaxListProp)
           .as("sourceSpans"))
       .select(
@@ -88,7 +100,7 @@ object Extractor {
         lit(null).cast("string").as("displayName"),
         col("label"),
         col("definition"),
-        array().cast("array<string>").as("aliases"),
+        col("aliases"),
         col("sourceSpans"))
   }
 

@@ -152,15 +152,24 @@ object Supplementary {
     *
     * @param nFiles corpus size (the ordinal modulus)
     */
-  def articleReferences(articles: DataFrame, nFiles: Long): DataFrame = {
-    val nRefs = pmod(xxhash64(col("article_id"), lit("ref")), lit(3L))
+  def articleReferences(articles: DataFrame, nFiles: Long): DataFrame =
+    articleReferencesBy(articles,
+      pmod(xxhash64(col("article_id"), lit("ref")), lit(3L)),
+      pmod(xxhash64(col("source_id"), lit("ref"), col("i")), lit(nFiles)))
+
+  /** [[articleReferences]] with caller-chosen reference-count and
+    * target-ordinal expressions (corpus metadata hash above; plain
+    * doc_id arithmetic for oracle-checked runs, like
+    * [[resourceRows]]). `nRefs` sees the article columns; `targetOrd`
+    * sees (source_id, source_ord, i).
+    */
+  def articleReferencesBy(articles: DataFrame,
+                          nRefs: Column, targetOrd: Column): DataFrame = {
     val refs = articles
       .select(col("article_id").as("source_id"), col("file_ord").as("source_ord"),
         posexplode(when(nRefs > 0, sequence(lit(0), (nRefs - 1).cast("int")))
           .otherwise(array().cast("array<int>"))).as(Seq("i", "__x")))
-      .select(col("source_id"), col("source_ord"),
-        pmod(xxhash64(col("source_id"), lit("ref"), col("i")), lit(nFiles))
-          .as("target_ord"))
+      .select(col("source_id"), col("source_ord"), targetOrd.as("target_ord"))
     refs
       .join(articles.select(col("file_ord").as("target_ord"),
         col("article_id").as("target_id")), Seq("target_ord"))

@@ -61,6 +61,38 @@ class NormalizeSpec extends AnyFunSuite {
     assert(es == Set((10L, 30L, "RELATED_TO"), (30L, 10L, "ADDRESSES")))
   }
 
+  test("M-8 alias set-union through M-2/M-3 merges (VERDICT r2 #8)") {
+    def withAliases(df: DataFrame, m: Map[Long, Seq[String]]): DataFrame = {
+      val pairs = m.toSeq.map { case (id, as) => (id, as) }.toDF("id", "newAliases")
+      df.drop("aliases").join(pairs, Seq("id"), "left")
+        .withColumn("aliases",
+          coalesce(col("newAliases"), array().cast("array<string>")))
+        .drop("newAliases")
+    }
+    // same (label, name): aliases union, sorted, deduped
+    val in = withAliases(
+      ent((10L, "traceability", "Concept"), (20L, "traceability", "Concept")),
+      Map(10L -> Seq("TR", "RT"), 20L -> Seq("RT", "TRC")))
+    val out = Normalize.m2SameLabelDedup(Snapshot(in, noEdges)).entities
+      .select("aliases").as[Seq[String]].collect()
+    assert(out.toSeq == Seq(Seq("RT", "TR", "TRC")))
+    // cross-label merge unions too
+    val in3 = withAliases(
+      ent((1L, "x", "Concept"), (2L, "x", "Challenge")),
+      Map(1L -> Seq("XC"), 2L -> Seq("XH")))
+    val out3 = Normalize.m3CrossLabelDedup(Snapshot(in3, noEdges)).entities
+      .select("aliases").as[Seq[String]].collect()
+    assert(out3.toSeq == Seq(Seq("XC", "XH")))
+    // extractor emits real aliases from ent[Label:raw|a:ALIAS] markers
+    val corpus = Seq(
+      ("r", "p1", "c", "md", "ent[Concept:scope creep|a:SC]"),
+      ("r", "p2", "c", "md", "ent[Concept:scope creep]"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val ents = graft.extract.Extractor.entities(corpus)
+      .select("name", "aliases").as[(String, Seq[String])].collect().toMap
+    assert(ents("scope creep") == Seq("SC"))
+  }
+
   test("M-3 cross-label winner by LABEL_PRIORITY (test_postprocessing.py:241-267)") {
     // traceability as Concept+Challenge → Concept wins
     val in1 = ent((1L, "traceability", "Concept"), (2L, "traceability", "Challenge"))
