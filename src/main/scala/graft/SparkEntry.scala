@@ -871,11 +871,74 @@ object SparkEntry {
 
     // ── multimodal plumbing ──
     "mm_media_features" -> ((s, d) => {
+      // bin 6 (bytes 0x60-0x6F: most lowercase letters) varies with the
+      // letter mix per doc — bin 0 (control bytes) is always 0 on this
+      // corpus, so it's the discriminative histogram probe
       val media = Multimodal.mediaTable(
         s.read.parquet(t(d, "documents")).filter(col("doc_id") < 200))
       Multimodal.extractFeatures(media).toDF()
         .select(col("doc_id"), col("kind"), col("n_bytes"), col("frames"),
-          round(element_at(col("histogram"), 1), 6).as("h0"))
+          round(element_at(col("histogram"), 7), 6).as("h6"))
+    }),
+
+    // ── validation family over the arithmetic dirty fixture: driver-
+    //    verified twins of the corpus-derived val_* queries above ──
+    "val_rollup_sql" -> ((s, _) =>
+      validate.Validation.entityRollup(dirtyEntities(s))),
+
+    "val_near_dup_sql" -> ((s, _) =>
+      validate.Validation.nearDuplicateEntities(dirtyEntities(s))),
+
+    "val_patterns_sql" -> ((s, _) =>
+      validate.Validation.invalidPatterns(
+        Snapshot(dirtyEntities(s), typedSqlGraphEdges(s)))),
+
+    "val_orphans_sql" -> ((s, _) =>
+      // scoped to the ADDRESSES subgraph: the full typed graph leaves
+      // only one edge-less id, a trivially-passing check
+      validate.Validation.orphanEntities(
+        Snapshot(dirtyEntities(s),
+          typedSqlGraphEdges(s).filter(col("relType") === "ADDRESSES")))),
+
+    "val_stats_sql" -> ((s, _) =>
+      validate.Validation.entityStats(dirtyEntities(s))),
+
+    "val_ghosts_sql" -> ((s, _) =>
+      // semantic edges = the ADDRESSES subgraph (see val_orphans_sql)
+      validate.Validation.ghostEntities(
+        Snapshot(dirtyEntities(s),
+          typedSqlGraphEdges(s).filter(col("relType") === "ADDRESSES")),
+        sqlMentionedIn(s))),
+
+    // ── read API over the arithmetic snapshot (driver-verified twins
+    //    of the corpus-derived api_* queries above) ──
+    "api_search_sql" -> ((s, _) =>
+      api.ReadApi.entitySearch(apiSnapshot(s), "trace", k = 10)),
+
+    "api_neighborhood_sql" -> ((s, _) =>
+      api.ReadApi.neighborhood(apiSnapshot(s), "node 42")),
+
+    "api_top_mentioned_sql" -> ((s, _) =>
+      api.ReadApi.topMentionedEntities(apiSnapshot(s), sqlMentionedIn(s), 20)),
+
+    "api_communities_sql" -> ((s, d) => {
+      // G-3 community materialization over the LPA-3 labels that
+      // lpa_sql_graph already oracle-checks, names from the arithmetic
+      // snapshot — members array and all
+      val labels = LabelPropagation.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        parts(s, d), maxIter = 3).labels
+      api.ReadApi.communities(apiSnapshot(s), labels, minSize = 3)
+    }),
+
+    // ── IVF query path with FIXED (stride-sampled) centroids: skipping
+    //    the Lloyd refinement makes assignment/probing/scoring/top-k
+    //    exactly SQL-replayable; the Lloyd-refined variant above keeps
+    //    its recall gate in ScalaTest ──
+    "sim_topk_ivf_fixed" -> ((s, d) => {
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val centroids = emb.filter(pmod(col("vec_id"), lit(25L)) === 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      Similarity.ivfTopK(emb, centroids, queries, k = 5, nProbe = 4, refineIters = 0)
     })
   )
 
@@ -893,6 +956,105 @@ object SparkEntry {
     rule(7, 1).unionAll(rule(11, 3)).unionAll(rule(13, 5))
       .filter(col("src") =!= col("dst")).distinct()
   }
+
+  /** Arithmetic dirty-entity fixture for the validation-family oracles:
+    * id 0..1499 with CASE-planted dirt both engines synthesize
+    * identically (order of the CASE branches is semantics — keep the
+    * SQL twin in [[dirtyEntsCte]] branch-for-branch in sync):
+    *  - base names repeat every 60 ids with the label cycling every 6
+    *    (60 ≡ 0 mod 6, so repeats share the label → duplicate groups);
+    *  - %17==3 → "software" (a GenericTermsToDelete member);
+    *  - %23==4 → "improved delivery" (positive-outcome word, mislabeled
+    *    when the cyclic label lands on Challenge);
+    *  - %29==5/6 → "requirement"/"requirements" pinned to Concept
+    *    (plural/singular pair mass);
+    *  - %31==7/8 → "pair N aa" ⊂ "pair N aaxx" pinned to Tool
+    *    (containment near-duplicates with length gap 2);
+    *  - %13==2 → capitalized "Entity k" (non-normalized stats rows).
+    */
+  private def dirtyEntities(s: SparkSession): DataFrame =
+    s.range(SqlGraphV).select(col("id"),
+      when(pmod(col("id"), lit(29L)).isin(5L, 6L), lit("Concept"))
+        .when(pmod(col("id"), lit(31L)).isin(7L, 8L), lit("Tool"))
+        .otherwise(element_at(typedLit(Seq("Concept", "Tool", "Challenge",
+          "Industry", "Artifact", "Role")), pmod(col("id"), lit(6L)).cast("int") + 1))
+        .as("label"),
+      when(pmod(col("id"), lit(17L)) === 3, lit("software"))
+        .when(pmod(col("id"), lit(23L)) === 4, lit("improved delivery"))
+        .when(pmod(col("id"), lit(29L)) === 5, lit("requirement"))
+        .when(pmod(col("id"), lit(29L)) === 6, lit("requirements"))
+        .when(pmod(col("id"), lit(31L)) === 7,
+          concat(lit("pair "), col("id"), lit(" aa")))
+        .when(pmod(col("id"), lit(31L)) === 8,
+          concat(lit("pair "), col("id") - 1, lit(" aaxx")))
+        .when(pmod(col("id"), lit(13L)) === 2,
+          concat(lit("Entity "), pmod(col("id"), lit(60L))))
+        .otherwise(concat(lit("entity "), pmod(col("id"), lit(60L))))
+        .as("name"))
+
+  /** DuckDB twin of [[dirtyEntities]] — branch order must match. */
+  private val dirtyEntsCte: String =
+    """ents AS (
+         SELECT i AS id,
+           CASE WHEN i % 29 IN (5, 6) THEN 'Concept'
+                WHEN i % 31 IN (7, 8) THEN 'Tool'
+                ELSE ['Concept','Tool','Challenge','Industry','Artifact','Role'][(i % 6)::INT + 1]
+           END AS label,
+           CASE WHEN i % 17 = 3 THEN 'software'
+                WHEN i % 23 = 4 THEN 'improved delivery'
+                WHEN i % 29 = 5 THEN 'requirement'
+                WHEN i % 29 = 6 THEN 'requirements'
+                WHEN i % 31 = 7 THEN 'pair ' || i || ' aa'
+                WHEN i % 31 = 8 THEN 'pair ' || (i - 1) || ' aaxx'
+                WHEN i % 13 = 2 THEN 'Entity ' || (i % 60)
+                ELSE 'entity ' || (i % 60)
+           END AS name
+         FROM range(1500) t(i))"""
+
+  /** Deterministic relType over the shared oracle graph's edges. */
+  private def typedSqlGraphEdges(s: SparkSession): DataFrame =
+    sqlGraphEdges(s).select(col("src"), col("dst"),
+      element_at(typedLit(Seq("ADDRESSES", "REQUIRES", "USES")),
+        pmod(col("src") + col("dst"), lit(3L)).cast("int") + 1).as("relType"))
+
+  private lazy val typedEdgesCte: String =
+    s"""$sqlGraphCte,
+       te AS (SELECT src, dst,
+                ['ADDRESSES','REQUIRES','USES'][((src + dst) % 3)::INT + 1] AS relType
+              FROM e)"""
+
+  /** Arithmetic read-API snapshot: unique names ("trace entity i" on
+    * %11==3 ids for the CONTAINS search, "node i" otherwise), 3-cycle
+    * labels, typed sqlGraph edges.
+    */
+  private def apiSnapshot(s: SparkSession): Snapshot =
+    Snapshot(
+      s.range(SqlGraphV).select(col("id"),
+        when(pmod(col("id"), lit(11L)) === 3, concat(lit("trace entity "), col("id")))
+          .otherwise(concat(lit("node "), col("id"))).as("name"),
+        element_at(typedLit(Seq("Concept", "Tool", "Challenge")),
+          pmod(col("id"), lit(3L)).cast("int") + 1).as("label")),
+      typedSqlGraphEdges(s))
+
+  private val apiEntsCte: String =
+    """aents AS (
+         SELECT i AS id,
+           CASE WHEN i % 11 = 3 THEN 'trace entity ' || i ELSE 'node ' || i END AS name,
+           ['Concept','Tool','Challenge'][(i % 3)::INT + 1] AS label
+         FROM range(1500) t(i))"""
+
+  /** Deterministic MENTIONED_IN rows: the quadratic residue map gives
+    * per-entity mention counts that actually VARY (and leaves some ids
+    * unmentioned, so the ghost semi-join discriminates).
+    */
+  private def sqlMentionedIn(s: SparkSession): DataFrame =
+    s.range(6000).select(
+      pmod(col("id") * col("id") * 7 + col("id"), lit(SqlGraphV)).as("entity_id"),
+      concat(lit("chunk_"), col("id")).as("chunk_id"))
+
+  private val sqlMentionedInCte: String =
+    """mi AS (SELECT (i * i * 7 + i) % 1500 AS entity_id, 'chunk_' || i AS chunk_id
+              FROM range(6000) t(i))"""
 
   /** The same graph in DuckDB SQL (e = directed, sym = undirected). */
   private val sqlGraphCte: String =
@@ -956,15 +1118,13 @@ object SparkEntry {
        )
        SELECT id, min(comp) AS component FROM reach GROUP BY id"""
 
-  /** 3 unrolled synchronous LPA rounds with the engine's deterministic
-    * tie-break (max count, then min label; encoded as cnt*10000 - label
-    * since labels < 10000), then min-member-id canonicalization.
+  /** Unrolled synchronous LPA round CTEs (l1..lN over l0) with the
+    * engine's deterministic tie-break (max count, then min label;
+    * encoded as cnt*10000 - label since labels < 10000). Shared by the
+    * LPA, modularity and community-materialization oracles.
     */
-  private def lpaSqlOracle(iters: Int): String = {
-    val head =
-      s"""WITH $sqlGraphCte,
-         l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"""
-    val steps = (1 to iters).map { k =>
+  private def lpaStepsSql(iters: Int): String =
+    (1 to iters).map { k =>
       val p = k - 1
       s""",
          l$k AS (
@@ -975,30 +1135,22 @@ object SparkEntry {
                  GROUP BY s.dst, l.label) v
            GROUP BY v.dst)"""
     }.mkString
-    s"""$head$steps,
+
+  /** LPA rounds then min-member-id canonicalization. */
+  private def lpaSqlOracle(iters: Int): String =
+    s"""WITH $sqlGraphCte,
+       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(iters)},
        canon AS (SELECT label, min(id) AS community FROM l$iters GROUP BY label)
        SELECT l.id, c.community FROM l$iters l JOIN canon c ON l.label = c.label"""
-  }
 
   /** Newman modularity of the LPA-3 partition over the same graph, as
     * one SQL expression from exact integer counts (mirrors
     * Modularity.modularity's arithmetic shape exactly).
     */
   private def modSqlOracle: String = {
-    val lpaSteps = (1 to 3).map { k =>
-      val p = k - 1
-      s""",
-         l$k AS (
-           SELECT v.dst AS id,
-                  arg_max(v.label, v.c * 10000 - v.label) AS label
-           FROM (SELECT s.dst, l.label, count(*) AS c
-                 FROM sym s JOIN l$p l ON s.src = l.id
-                 GROUP BY s.dst, l.label) v
-           GROUP BY v.dst)"""
-    }.mkString
     s"""WITH $sqlGraphCte,
        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
-       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)$lpaSteps,
+       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
        canon AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
        lab AS (SELECT l.id, c.community FROM l3 l JOIN canon c ON l.label = c.label),
        j AS (SELECT a.community AS ca, b.community AS cb
@@ -1615,6 +1767,174 @@ object SparkEntry {
          FROM (SELECT doc_id, round(sum(sc), 4) AS score FROM scored GROUP BY doc_id)
          ORDER BY score DESC, doc_id LIMIT 20""",
 
+    // ── validation family over the arithmetic dirty fixture ──
+    "val_rollup_sql" ->
+      s"""WITH $dirtyEntsCte,
+         g AS (SELECT label, name, count(*) AS cnt FROM ents GROUP BY 1, 2),
+         ea AS (SELECT
+             CAST(coalesce(sum(CASE WHEN cnt > 1 THEN 1 END), 0) AS BIGINT)
+               AS dup_groups,
+             CAST(coalesce(sum(CASE WHEN label = 'Industry' THEN cnt END), 0) AS BIGINT)
+               AS industry_count,
+             CAST(coalesce(sum(CASE WHEN lower(name) IN (${sqlStrList(
+               Vocab.GenericTermsToDelete)}) THEN cnt END), 0) AS BIGINT)
+               AS generic_entities,
+             CAST(coalesce(sum(CASE WHEN label = 'Challenge' AND
+                 list_has_any(string_split(lower(name), ' '), [${sqlStrList(
+               Vocab.PositiveOutcomeWords)}]) THEN cnt END), 0) AS BIGINT)
+               AS mislabeled_challenges
+           FROM g),
+         pa AS (SELECT CAST(coalesce(sum(g.cnt * s.cnt), 0) AS BIGINT) AS plural_pairs
+                FROM g JOIN (SELECT name || 's' AS name, label, cnt
+                             FROM g WHERE name IS NOT NULL
+                               AND NOT ends_with(name, 's')) s
+                USING (name, label))
+         SELECT * FROM ea, pa""",
+
+    "val_near_dup_sql" ->
+      s"""WITH $dirtyEntsCte
+         SELECT a.label AS label, a.name AS a, b.name AS b
+         FROM ents a JOIN ents b ON a.label = b.label AND a.id < b.id
+         WHERE a.name IS NOT NULL AND b.name IS NOT NULL
+           AND length(a.name) > 4
+           AND contains(b.name, a.name)
+           AND length(b.name) - length(a.name) <= 5
+           AND a.name <> b.name""",
+
+    "val_patterns_sql" ->
+      s"""WITH $typedEdgesCte,
+         $dirtyEntsCte,
+         pat(srcLabel, relType, dstLabel) AS (
+           SELECT * FROM (VALUES ${model.ValidPatterns.map {
+        case (a, r, b) => s"('$a','$r','$b')" }.mkString(", ")})),
+         j AS (SELECT sa.label AS srcLabel, te.relType, sb.label AS dstLabel
+               FROM te JOIN ents sa ON te.src = sa.id
+                       JOIN ents sb ON te.dst = sb.id)
+         SELECT j.srcLabel, j.relType, j.dstLabel, count(*) AS violations
+         FROM j
+         WHERE NOT EXISTS (SELECT 1 FROM pat p
+                           WHERE p.srcLabel = j.srcLabel
+                             AND p.relType = j.relType
+                             AND p.dstLabel = j.dstLabel)
+         GROUP BY 1, 2, 3""",
+
+    "val_orphans_sql" ->
+      s"""WITH $typedEdgesCte,
+         $dirtyEntsCte,
+         sub AS (SELECT * FROM te WHERE relType = 'ADDRESSES')
+         SELECT label, name FROM ents
+         WHERE id NOT IN (SELECT src FROM sub)
+           AND id NOT IN (SELECT dst FROM sub)""",
+
+    "val_stats_sql" ->
+      s"""WITH $dirtyEntsCte
+         SELECT label, count(*) AS total,
+           CAST(sum(CASE WHEN name = lower(trim(name)) THEN 1 ELSE 0 END) AS BIGINT)
+             AS normalized
+         FROM ents GROUP BY label""",
+
+    "val_ghosts_sql" ->
+      s"""WITH $typedEdgesCte,
+         $dirtyEntsCte,
+         $sqlMentionedInCte,
+         sub AS (SELECT * FROM te
+                 WHERE relType = 'ADDRESSES' AND relType <> 'MENTIONED_IN')
+         SELECT id, name, label FROM ents
+         WHERE id NOT IN (SELECT src FROM sub)
+           AND id NOT IN (SELECT dst FROM sub)
+           AND id IN (SELECT entity_id FROM mi)""",
+
+    // ── read API over the arithmetic snapshot ──
+    "api_search_sql" ->
+      s"""WITH $typedEdgesCte,
+         $apiEntsCte,
+         deg AS (SELECT id, count(*) AS relationship_count FROM (
+                   SELECT src AS id FROM te UNION ALL SELECT dst FROM te)
+                 GROUP BY id)
+         SELECT e.name, e.label,
+                CAST(coalesce(d.relationship_count, 0) AS BIGINT) AS connections
+         FROM aents e LEFT JOIN deg d USING (id)
+         WHERE contains(lower(e.name), 'trace')
+         ORDER BY connections DESC, e.name
+         LIMIT 10""",
+
+    "api_neighborhood_sql" ->
+      s"""WITH $typedEdgesCte,
+         $apiEntsCte,
+         target AS (SELECT id FROM aents WHERE name = 'node 42')
+         SELECT DISTINCT relType, direction, neighbor FROM (
+           SELECT te.relType, '->' AS direction, n.name AS neighbor
+           FROM te JOIN target t ON te.src = t.id JOIN aents n ON te.dst = n.id
+           UNION ALL
+           SELECT te.relType, '<-' AS direction, n.name AS neighbor
+           FROM te JOIN target t ON te.dst = t.id JOIN aents n ON te.src = n.id)""",
+
+    "api_top_mentioned_sql" ->
+      s"""WITH $apiEntsCte,
+         $sqlMentionedInCte,
+         m AS (SELECT entity_id AS id, count(*) AS mentions FROM mi GROUP BY 1)
+         SELECT e.name, e.label, m.mentions
+         FROM m JOIN aents e USING (id)
+         ORDER BY m.mentions DESC, e.name
+         LIMIT 20""",
+
+    "api_communities_sql" ->
+      s"""WITH $sqlGraphCte,
+         $apiEntsCte,
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
+         canon AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
+         lab AS (SELECT l.id, c.community FROM l3 l JOIN canon c ON l.label = c.label)
+         SELECT lab.community, count(*) AS member_count,
+                list_sort(list(e.name)) AS members
+         FROM lab JOIN aents e ON lab.id = e.id
+         GROUP BY lab.community
+         HAVING count(*) >= 3""",
+
+    // ── fixed-centroid IVF: assignment → probes → scoring → top-k ──
+    "sim_topk_ivf_fixed" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                     FROM embeddings WHERE vec_id % 25 = 0),
+         ac AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS r
+                FROM embeddings e CROSS JOIN c),
+         assigned AS (SELECT vec_id, embedding, cid AS centroid_id
+                      FROM ac WHERE r = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+         qc AS (SELECT q.query_id, q.qv, c.cid AS centroid_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS r
+                FROM q CROSS JOIN c),
+         probes AS (SELECT query_id, qv, centroid_id FROM qc WHERE r <= 4),
+         scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                      round(${cosSql("p.qv", "a.embedding")}, 5) AS score
+                    FROM probes p JOIN assigned a USING (centroid_id)
+                    WHERE a.vec_id <> p.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rk FROM scored)
+         SELECT query_id, neighbor_id, score, rk::INT AS rank
+         FROM r WHERE rk <= 5""",
+
+    // ── multimodal: the deterministic fake decoder is byte arithmetic
+    //    DuckDB replays directly on the UTF-8 text payload ──
+    "mm_media_features" ->
+      """WITH m AS (SELECT doc_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             text, strlen(text) AS n
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id, kind, n::INT AS n_bytes,
+           (CASE WHEN kind = 'video' THEN greatest(n // 64, 1) ELSE 1 END)::INT
+             AS frames,
+           round((n - strlen(regexp_replace(text, '[\x60-\x6f]', '', 'g')))::DOUBLE
+                 / greatest(n, 1)::DOUBLE, 6) AS h6
+         FROM m""",
+
     "a8_modularity" -> "" // rows-only (ScalaTest + mod_sql_graph cover it)
   ).filter(_._2.nonEmpty)
+
+  /** Sorted, quoted SQL string list from a vocab set. */
+  private def sqlStrList(xs: Iterable[String]): String =
+    xs.toSeq.sorted.map(x => s"'$x'").mkString(", ")
 }

@@ -188,6 +188,43 @@ object Validation {
           .cast("long").as("normalized"))
       .orderBy(col("label"))
 
+  /** (label, name) group table feeding the one-pass rollups. */
+  private def groupTable(entities: DataFrame): DataFrame =
+    entities.groupBy(col("label"), col("name")).agg(count(lit(1)).as("cnt"))
+
+  /** One-pass entity-side rollup (VERDICT r2 #7): ONE (label, name)
+    * aggregation feeds the duplicate-group, industry, generic,
+    * mislabeled AND plural-pair counts — conditional sums over group
+    * counts are exactly the row-level counts, and the plural/singular
+    * pair multiplicity is Σ cnt(plural)·cnt(singular) over the (much
+    * smaller) group table. One shuffle + two tiny aggregations instead
+    * of five full entity scans; per-check values identical to the
+    * standalone check DataFrames above.
+    */
+  def entityRollup(entities: DataFrame): DataFrame =
+    rollupOfGroups(groupTable(entities))
+
+  private def rollupOfGroups(g: DataFrame): DataFrame = {
+    val entityAgg = g.agg(
+      coalesce(sum(when(col("cnt") > 1, 1L)), lit(0L)).as("dup_groups"),
+      coalesce(sum(when(col("label") === "Industry", col("cnt"))), lit(0L))
+        .as("industry_count"),
+      coalesce(sum(when(lower(col("name")).isin(Vocab.GenericTermsToDelete.toSeq: _*),
+        col("cnt"))), lit(0L)).as("generic_entities"),
+      coalesce(sum(when(col("label") === "Challenge" &&
+        arrays_overlap(split(lower(col("name")), " "),
+          typedLit(Vocab.PositiveOutcomeWords.toSeq.sorted)),
+        col("cnt"))), lit(0L)).as("mislabeled_challenges"))
+    val pluralAgg = {
+      val singular = g.filter(col("name").isNotNull && !col("name").endsWith("s"))
+        .select(concat(col("name"), lit("s")).as("name"), col("label"),
+          col("cnt").as("sCnt"))
+      g.join(singular, Seq("name", "label"))
+        .agg(coalesce(sum(col("cnt") * col("sCnt")), lit(0L)).as("plural_pairs"))
+    }
+    entityAgg.crossJoin(pluralAgg)
+  }
+
   /** Run everything (chunks/mentionedIn/articles optional). With an
     * article table present, the orphan-chunk check (queries.py:53-57)
     * is the real FROM_ARTICLE anti-join via Supplementary; without it,
@@ -217,33 +254,10 @@ object Validation {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }.getOrElse((0L, 0L, 0L))
 
-    // entity-side checks (VERDICT r2 #7): ONE (label, name) rollup feeds
-    // duplicate-group, industry, generic, mislabeled AND plural-pair
-    // counts — conditional sums over group counts are exactly the
-    // row-level counts, and the plural/singular pair multiplicity is
-    // Σ cnt(plural)·cnt(singular) over the (much smaller) group table.
-    // One action instead of five full entity scans; per-check values
-    // identical (the standalone per-check DataFrames above are the
-    // driver-query surface and stay as-is).
-    val g = s.entities.groupBy(col("label"), col("name"))
-      .agg(count(lit(1)).as("cnt")).localCheckpoint(false)
-    val entityAgg = g.agg(
-      coalesce(sum(when(col("cnt") > 1, 1L)), lit(0L)).as("dupGroups"),
-      coalesce(sum(when(col("label") === "Industry", col("cnt"))), lit(0L)).as("industry"),
-      coalesce(sum(when(lower(col("name")).isin(Vocab.GenericTermsToDelete.toSeq: _*),
-        col("cnt"))), lit(0L)).as("generic"),
-      coalesce(sum(when(col("label") === "Challenge" &&
-        arrays_overlap(split(lower(col("name")), " "),
-          typedLit(Vocab.PositiveOutcomeWords.toSeq.sorted)),
-        col("cnt"))), lit(0L)).as("mislabeled"))
-    val pluralAgg = {
-      val singular = g.filter(col("name").isNotNull && !col("name").endsWith("s"))
-        .select(concat(col("name"), lit("s")).as("name"), col("label"),
-          col("cnt").as("sCnt"))
-      g.join(singular, Seq("name", "label"))
-        .agg(coalesce(sum(col("cnt") * col("sCnt")), lit(0L)).as("pluralPairs"))
-    }
-    val e = entityAgg.crossJoin(pluralAgg).first()
+    // entity-side checks: the shared one-pass rollup over a checkpointed
+    // (label, name) group table (also reused by entityStats below)
+    val g = groupTable(s.entities).localCheckpoint(false)
+    val e = rollupOfGroups(g).first()
 
     Result(
       orphanChunks = orphan,
