@@ -930,6 +930,69 @@ object SparkEntry {
       api.ReadApi.communities(apiSnapshot(s), labels, minSize = 3)
     }),
 
+    // ── the FULL 9-step applyAllFixes orchestrator over an arithmetic
+    //    FixState: the corpus-derived val_fixes above stays as the
+    //    realistic-input surface; this twin lets DuckDB replay every
+    //    per-step (found, applied) count ──
+    "fixes_chain_sql" -> ((s, _) => {
+      val ents = s.range(600).select(
+        col("id"),
+        when(col("id") === 3, lit("software"))
+          .when(col("id") === 40, lit("tools"))
+          .when(col("id") === 4, lit("improved delivery"))
+          .when(col("id") === 27, lit("faster releases"))
+          .when(col("id") === 10, lit("improved delivery"))
+          .when(col("id") === 5, lit("metric"))
+          .when(col("id") === 6, lit("metrics"))
+          .otherwise(concat(lit("fixent "), col("id"))).as("name"),
+        lit(null).cast("string").as("displayName"),
+        when(col("id").isin(4L, 27L), lit("Challenge"))
+          .when(col("id").isin(5L, 6L, 10L), lit("Concept"))
+          .when(pmod(col("id"), lit(37L)) === 9, lit("Standard"))
+          .when(pmod(col("id"), lit(31L)) === 8, lit("Industry"))
+          .otherwise(element_at(typedLit(Seq("Concept", "Tool", "Challenge", "Role")),
+            pmod(col("id"), lit(4L)).cast("int") + 1)).as("label"),
+        when(pmod(col("id"), lit(2L)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("def "), col("id"))).as("definition"),
+        array().cast("array<string>").as("aliases"),
+        array().cast("array<string>").as("sourceSpans"))
+      val edges = s.range(600).select(col("id").as("src"),
+        pmod(col("id") * 7 + 3, lit(600L)).as("dst"),
+        element_at(typedLit(Seq("ADDRESSES", "REQUIRES", "USES")),
+          pmod(col("id"), lit(3L)).cast("int") + 1).as("relType"))
+      val chunks = s.range(400).select(
+        concat(lit("u"), lpad(col("id").cast("string"), 4, "0")).as("chunk_uid"),
+        concat(lit("a"), expr("id DIV 4")).as("article_id"),
+        when(pmod(col("id"), lit(11L)) === 5, lit(null).cast("string"))
+          .otherwise(concat(lit("a"), expr("id DIV 4"), lit("_chunk_"),
+            lpad(pmod(col("id"), lit(4L)).cast("string"), 4, "0"))).as("chunk_id"),
+        when(pmod(col("id"), lit(13L)) === 2, lit(null).cast("int"))
+          .otherwise(pmod(col("id"), lit(4L)).cast("int")).as("chunk_index"),
+        when(pmod(col("id"), lit(19L)) === 7, lit("tiny chunk text"))
+          .when(pmod(col("id"), lit(5L)) === 0,
+            concat(lit("alpha fixent 9 beta "), repeat(lit("x"), 100)))
+          .otherwise(repeat(lit("t"), 120)).as("text"))
+      val webinars = s.range(60).select(col("id").as("webinar_id"),
+        when(pmod(col("id"), lit(4L)) === 0, lit(null).cast("string"))
+          .when(pmod(col("id"), lit(4L)) === 1, lit("short"))
+          .when(pmod(col("id"), lit(4L)) === 2, lit("Webinar"))
+          .otherwise(concat(lit("A Proper Long Webinar Title "), col("id"))).as("title"),
+        when(pmod(col("id"), lit(3L)) === 0,
+          concat(lit("First sentence number "), col("id"), lit(". Second part.")))
+          .when(pmod(col("id"), lit(3L)) === 1, lit(null).cast("string"))
+          .otherwise(lit("tiny")).as("description"),
+        concat(lit("https://guide.local/w/slug-name-"), col("id")).as("url"))
+      val gloss = s.range(60).select(
+        concat(lit("fixent "), col("id") * 10).as("term"),
+        concat(lit("gdef "), col("id") * 10).as("definition"))
+      val mi = s.createDataFrame(Seq(
+        (9L, "a1_chunk_0003"), (9L, "a0_chunk_0000"), (23L, "a2_chunk_0001")))
+        .toDF("entity_id", "chunk_id")
+      val (_, stats) = validate.Fixes.applyAllFixes(validate.Fixes.FixState(
+        Snapshot(ents, edges), chunks, webinars, gloss, mi))
+      validate.Fixes.statsDF(s, stats)
+    }),
+
     // ── IVF query path with FIXED (stride-sampled) centroids: skipping
     //    the Lloyd refinement makes assignment/probing/scoring/top-k
     //    exactly SQL-replayable; the Lloyd-refined variant above keeps
@@ -1889,6 +1952,129 @@ object SparkEntry {
          FROM lab JOIN aents e ON lab.id = e.id
          GROUP BY lab.community
          HAVING count(*) >= 3""",
+
+    // ── the 9-step fixes chain: per-step (found, applied) counts over
+    //    the same arithmetic FixState. NOT IN/NOT EXISTS choices mirror
+    //    Spark's left_anti null semantics (null keys never match, so
+    //    null-chunk_id rows survive the mentioned-chunk guard) ──
+    "fixes_chain_sql" ->
+      s"""WITH fents AS (SELECT i AS id,
+             CASE WHEN i = 3 THEN 'software'
+                  WHEN i = 40 THEN 'tools'
+                  WHEN i = 4 THEN 'improved delivery'
+                  WHEN i = 27 THEN 'faster releases'
+                  WHEN i = 10 THEN 'improved delivery'
+                  WHEN i = 5 THEN 'metric'
+                  WHEN i = 6 THEN 'metrics'
+                  ELSE 'fixent ' || i END AS name,
+             CASE WHEN i IN (4, 27) THEN 'Challenge'
+                  WHEN i IN (5, 6, 10) THEN 'Concept'
+                  WHEN i % 37 = 9 THEN 'Standard'
+                  WHEN i % 31 = 8 THEN 'Industry'
+                  ELSE ['Concept','Tool','Challenge','Role'][(i % 4)::INT + 1]
+             END AS label,
+             CASE WHEN i % 2 = 0 THEN NULL ELSE 'def ' || i END AS definition
+           FROM range(600) t(i)),
+         fchunks AS (SELECT
+             'u' || lpad(i::VARCHAR, 4, '0') AS chunk_uid,
+             'a' || (i // 4) AS article_id,
+             CASE WHEN i % 11 = 5 THEN NULL
+                  ELSE 'a' || (i // 4) || '_chunk_' || lpad((i % 4)::VARCHAR, 4, '0')
+             END AS chunk_id,
+             CASE WHEN i % 13 = 2 THEN NULL ELSE (i % 4)::INT END AS chunk_index,
+             CASE WHEN i % 19 = 7 THEN 'tiny chunk text'
+                  WHEN i % 5 = 0 THEN 'alpha fixent 9 beta ' || repeat('x', 100)
+                  ELSE repeat('t', 120) END AS text
+           FROM range(400) t(i)),
+         webs AS (SELECT
+             CASE WHEN i % 4 = 0 THEN NULL
+                  WHEN i % 4 = 1 THEN 'short'
+                  WHEN i % 4 = 2 THEN 'Webinar'
+                  ELSE 'A Proper Long Webinar Title ' || i END AS title
+           FROM range(60) t(i)),
+         gloss AS (SELECT 'fixent ' || (j * 10) AS term FROM range(60) t(j)),
+         fmi(entity_id, chunk_id) AS (VALUES
+           (9, 'a1_chunk_0003'), (9, 'a0_chunk_0000'), (23, 'a2_chunk_0001')),
+         deg AS (SELECT chunk_uid FROM fchunks c
+                 WHERE c.text IS NOT NULL AND length(c.text) < 100
+                   AND NOT EXISTS (SELECT 1 FROM fmi
+                                   WHERE fmi.chunk_id = c.chunk_id)),
+         c1 AS (SELECT * FROM fchunks c
+                WHERE NOT EXISTS (SELECT 1 FROM deg d
+                                  WHERE d.chunk_uid = c.chunk_uid)),
+         c2 AS (SELECT chunk_uid, article_id, chunk_id,
+                  CASE WHEN chunk_index IS NULL
+                    THEN (row_number() OVER (
+                           PARTITION BY article_id, (chunk_index IS NULL)
+                           ORDER BY chunk_uid) - 1)::INT
+                    ELSE chunk_index END AS chunk_index,
+                  text
+                FROM c1),
+         c3 AS (SELECT chunk_uid, article_id,
+                  coalesce(chunk_id, article_id || '_chunk_' ||
+                    right('000' || chunk_index::VARCHAR, 4)) AS chunk_id,
+                  text
+                FROM c2),
+         mis AS (SELECT * FROM fents
+                 WHERE label = 'Challenge' AND name IS NOT NULL
+                   AND list_has_any(string_split(lower(name), ' '),
+                     [${sqlStrList(Vocab.PositiveOutcomeWords)}])),
+         concepts AS (SELECT DISTINCT name FROM fents WHERE label = 'Concept'),
+         ents5 AS (SELECT id, name,
+                     CASE WHEN id IN (SELECT id FROM mis)
+                            AND name NOT IN (SELECT name FROM concepts)
+                       THEN 'Concept' ELSE label END AS label
+                   FROM fents),
+         mentions AS (SELECT DISTINCT e.id AS entity_id, c.chunk_id
+                      FROM c3 c JOIN fents e
+                        ON e.label IN ('Standard', 'Industry')
+                       AND e.name IS NOT NULL AND length(e.name) >= 4
+                       AND contains(' ' || lower(c.text) || ' ',
+                                    ' ' || lower(e.name) || ' ')),
+         newm AS (SELECT * FROM mentions m
+                  WHERE NOT EXISTS (SELECT 1 FROM fmi
+                                    WHERE fmi.entity_id = m.entity_id
+                                      AND fmi.chunk_id = m.chunk_id)),
+         alive AS (SELECT * FROM ents5
+                   WHERE lower(name) NOT IN (${sqlStrList(Vocab.GenericTermsToDelete)}))
+         SELECT 'degenerate_chunks' AS fix,
+             (SELECT count(*) FROM deg) AS found,
+             (SELECT count(*) FROM deg) AS applied
+         UNION ALL SELECT 'chunk_index',
+             (SELECT count(*) FROM c1 WHERE chunk_index IS NULL),
+             (SELECT count(*) FROM c1 WHERE chunk_index IS NULL)
+         UNION ALL SELECT 'chunk_ids',
+             (SELECT count(*) FROM c1 WHERE chunk_id IS NULL),
+             (SELECT count(*) FROM c1 WHERE chunk_id IS NULL)
+         UNION ALL SELECT 'webinar_titles',
+             (SELECT count(*) FROM webs
+              WHERE title IS NULL OR length(title) < 15 OR title = 'Webinar'),
+             (SELECT count(*) FROM webs
+              WHERE title IS NULL OR length(title) < 15 OR title = 'Webinar')
+         UNION ALL SELECT 'mislabeled_entities',
+             (SELECT count(*) FROM mis),
+             (SELECT count(*) FROM mis
+              WHERE name NOT IN (SELECT name FROM concepts))
+         UNION ALL SELECT 'mentioned_in',
+             (SELECT count(*) FROM newm), (SELECT count(*) FROM newm)
+         UNION ALL SELECT 'definitions',
+             (SELECT count(*) FROM fents
+              WHERE definition IS NULL OR definition = ''),
+             (SELECT count(*) FROM fents
+              WHERE (definition IS NULL OR definition = '')
+                AND lower(name) IN (SELECT term FROM gloss))
+         UNION ALL SELECT 'generic_entities',
+             (SELECT count(*) FROM fents
+              WHERE lower(name) IN (${sqlStrList(Vocab.GenericTermsToDelete)})),
+             (SELECT count(*) FROM fents
+              WHERE lower(name) IN (${sqlStrList(Vocab.GenericTermsToDelete)}))
+         UNION ALL SELECT 'plural_entities',
+             (SELECT count(*) FROM alive p JOIN alive s
+              ON p.label = s.label AND p.name = s.name || 's'
+              WHERE s.name IS NOT NULL AND NOT ends_with(s.name, 's')),
+             (SELECT count(*) FROM alive p JOIN alive s
+              ON p.label = s.label AND p.name = s.name || 's'
+              WHERE s.name IS NOT NULL AND NOT ends_with(s.name, 's'))""",
 
     // ── fixed-centroid IVF: assignment → probes → scoring → top-k ──
     "sim_topk_ivf_fixed" ->

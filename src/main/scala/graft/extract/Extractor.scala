@@ -30,11 +30,29 @@ object Extractor {
 
   private val markerRe = "(ent|rel|def)\\[[^\\]]*\\]"
 
+  /** Marker frames are shared per corpus INSTANCE: `entities`,
+    * `relationships` and `definitions` each consume the marker stream,
+    * and without sharing each ran its own full corpus scan +
+    * `regexp_extract_all` (the dominant extraction cost at bench
+    * scale). The lazy checkpoint materializes the skinny (path, marker)
+    * table once, on the first consumer's action; identity keying is
+    * safe because corpus frames are immutable and the pipeline reuses
+    * one instance per run (weak keys let dropped corpora unpersist).
+    */
+  private val markerCache =
+    new java.util.WeakHashMap[DataFrame, DataFrame]
+
   /** All markers, one row each, tagged with the source file path. */
-  def markers(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("path"),
-        explode(regexp_extract_all(col("content"), lit(markerRe), lit(0))).as("m"))
+  def markers(corpus: DataFrame): DataFrame = markerCache.synchronized {
+    Option(markerCache.get(corpus)).getOrElse {
+      val m = corpus
+        .select(col("path"),
+          explode(regexp_extract_all(col("content"), lit(markerRe), lit(0))).as("m"))
+        .localCheckpoint(false)
+      markerCache.put(corpus, m)
+      m
+    }
+  }
 
   /** Entity table at raw-surface grain:
     * (id, name, displayName, label, definition, aliases, sourceSpans).
