@@ -930,6 +930,23 @@ object SparkEntry {
       api.ReadApi.communities(apiSnapshot(s), labels, minSize = 3)
     }),
 
+    // ── glossary linking, exact path: every matching term has an exact
+    //    concept twin and every non-matching term ("zzqx N") is provably
+    //    below the fuzzy threshold (indel ≈ 2·lcs/(len sum) ≈ 35 < 85),
+    //    so the link set is analytically derivable on the oracle side;
+    //    the fuzzy kernel keeps its rapidfuzz-parity ScalaTest gate ──
+    "glossary_links_sql" -> ((s, _) => {
+      val defs = s.range(90).select(
+        when(pmod(col("id"), lit(3L)) === 1, concat(lit("zzqx "), col("id")))
+          .otherwise(concat(lit("concept "), col("id"))).as("term"),
+        concat(lit("d"), col("id")).as("definition"))
+      val concepts = s.range(100).select(col("id"),
+        concat(lit("concept "), col("id")).as("name"), lit("Concept").as("label"))
+      GlossaryLinker.linkDefinitions(defs, concepts)
+        .select(col("term"), col("concept_id"), col("concept_name"),
+          round(col("score"), 4).as("score"), col("exact"))
+    }),
+
     // ── the FULL 9-step applyAllFixes orchestrator over an arithmetic
     //    FixState: the corpus-derived val_fixes above stays as the
     //    realistic-input surface; this twin lets DuckDB replay every
@@ -2075,6 +2092,53 @@ object SparkEntry {
              (SELECT count(*) FROM alive p JOIN alive s
               ON p.label = s.label AND p.name = s.name || 's'
               WHERE s.name IS NOT NULL AND NOT ends_with(s.name, 's'))""",
+
+    "glossary_links_sql" ->
+      """SELECT 'concept ' || i AS term, i AS concept_id,
+             'concept ' || i AS concept_name, 100.0 AS score, true AS exact
+         FROM range(90) t(i) WHERE i % 3 <> 1""",
+
+    // ── Lloyd-refined IVF (the REAL sim_topk_ivf path, refineIters=1):
+    //    the per-dimension means differ from Spark's only below double
+    //    ulp; casting both to float32 makes the refined centroids
+    //    bit-identical, after which assignment/probing/scoring reuse
+    //    the exact-cosine machinery ──
+    "sim_topk_ivf" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
+                      FROM embeddings WHERE vec_id % 25 = 0),
+         a0 AS (SELECT e.vec_id, e.embedding, c0.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "c0.cv")} DESC, c0.cid) AS r
+                FROM embeddings e CROSS JOIN c0),
+         as0 AS (SELECT vec_id, embedding, cid FROM a0 WHERE r = 1),
+         dm AS (SELECT cid, d.i AS dim, avg(embedding[d.i]::DOUBLE) AS m
+                FROM as0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+                GROUP BY cid, d.i),
+         mv AS (SELECT cid, list_transform(list(m ORDER BY dim), x -> x::REAL) AS v
+                FROM dm GROUP BY cid),
+         c1 AS (SELECT c0.cid, coalesce(mv.v, c0.cv) AS cv
+                FROM c0 LEFT JOIN mv ON c0.cid = mv.cid),
+         ac AS (SELECT e.vec_id, e.embedding, c1.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "c1.cv")} DESC, c1.cid) AS r
+                FROM embeddings e CROSS JOIN c1),
+         assigned AS (SELECT vec_id, embedding, cid AS centroid_id
+                      FROM ac WHERE r = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+         qc AS (SELECT q.query_id, q.qv, c1.cid AS centroid_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY ${cosSql("q.qv", "c1.cv")} DESC, c1.cid) AS r
+                FROM q CROSS JOIN c1),
+         probes AS (SELECT query_id, qv, centroid_id FROM qc WHERE r <= 4),
+         scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                      round(${cosSql("p.qv", "a.embedding")}, 5) AS score
+                    FROM probes p JOIN assigned a USING (centroid_id)
+                    WHERE a.vec_id <> p.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rk FROM scored)
+         SELECT query_id, neighbor_id, score, rk::INT AS rank
+         FROM r WHERE rk <= 5""",
 
     // ── fixed-centroid IVF: assignment → probes → scoring → top-k ──
     "sim_topk_ivf_fixed" ->
