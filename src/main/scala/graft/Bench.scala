@@ -174,6 +174,13 @@ object ScalingBench {
     // from the corpus pipeline instead.
     val directEdges = sys.env.getOrElse("GRAFT_SCALE_EDGES", "20000000").toLong
 
+    // GRAFT_SCALE_REPS: repeat the MEASURED PageRank run per level and
+    // keep the fastest — this VM's time-varying CPU steal (±40 %+,
+    // documented in BASELINE.md) otherwise pollutes the lo/hi RATIO
+    // whenever a steal spike lands inside one window but not the other.
+    // Synthesis + checkpoint stay outside the timed region either way.
+    val reps = sys.env.getOrElse("GRAFT_SCALE_REPS", "1").toInt
+
     def runAt(cpus: String): (Double, Long, Int) = {
       val spark = Bench.buildSession(cpus)
       spark.conf.set("spark.sql.shuffle.partitions", fixedParts.toString)
@@ -196,7 +203,8 @@ object ScalingBench {
         }
       val sym = GraphOps.symmetrize(edges).localCheckpoint(true)
       val m = sym.count()
-      val (pr, dt) = Bench.time(PageRank.run(spark, sym, fixedParts))
+      val runs = (1 to reps).map { _ => Bench.time(PageRank.run(spark, sym, fixedParts)) }
+      val (pr, dt) = runs.minBy(_._2)
       spark.stop()
       (dt, m, pr.iterations)
     }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Plan-shape gates for the scale-critical operators: these assert the
+  * PLAN the optimizer actually produces, not just the output — a
+  * regression that silently re-introduces a window sort or drops a
+  * parquet pushdown changes the 100 TB cost model without failing any
+  * value-level test (VERDICT r1/r2 scale audit items).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def logicalWindows(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.size
+
+  private lazy val docs = (0L until 200L)
+    .map(i => (i, s"doc text body $i with words " + ("x" * (i % 17).toInt))).toDF("doc_id", "text")
+
+  private lazy val vecs = (0L until 120L)
+    .map(i => (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13f)))
+    .toDF("vec_id", "embedding")
+
+  test("ivfAssign plans with no Window and no shuffle on the corpus side (VERDICT r2 #6)") {
+    val centroids = vecs.filter(col("vec_id") % 10 === 0)
+    val assigned = Similarity.ivfAssign(vecs, centroids)
+    assert(logicalWindows(assigned) === 0, "assignment must be a broadcast argmax, not a row_number window")
+    // physical: every shuffle sits under a broadcast subtree (the tiny
+    // collect_list agg of the centroid set), never on the corpus rows
+    val phys = assigned.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"window in physical plan:\n$phys")
+  }
+
+  test("minhash bucket cap plans with no Window (groupBy+broadcast hot-bucket form)") {
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.7)
+    assert(logicalWindows(pairs) === 0, "bucket cap must not window-sort the banded entries")
+  }
+
+  test("brute-force top-k plans with no Window (bounded map-side aggregate)") {
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+    val topk = Similarity.bruteForceTopK(vecs, queries, k = 3)
+    assert(logicalWindows(topk) === 0, "top-k must use the bounded aggregate, not a global window rank")
+  }
+
+  test("parquet scan pushes filters and prunes columns") {
+    // own temp parquet, not the shared testdata file: another suite
+    // caching the same read plan would substitute an InMemoryRelation
+    // and hide the FileScan this test asserts on
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    docs.withColumn("lang", lit("en")).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val q = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"))
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") && phys.contains("LessThan(doc_id,100)"),
+      s"filter not pushed to scan:\n$phys")
+    assert(phys.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"column pruning failed (scan reads more than doc_id):\n$phys")
+  }
+}
