@@ -45,6 +45,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-JVM local mode: the "executor" heartbeat is in-process,
+      // so its only failure mode here is a false positive — this VM's
+      // steal + full-GC pauses exceeded the 10s default and killed a
+      // 23-minute scaling run at the 160 M-edge size
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

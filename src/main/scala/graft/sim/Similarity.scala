@@ -182,4 +182,14 @@ object Similarity {
         round(cosine(col("va"), col("vb")), 5).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Band width for `cosineNearDups` at corpus size `n`: ≈ log₂(n) so
+    * per-band bucket occupancy stays O(1) as the corpus grows (the
+    * default 16 is right up to ~10⁸ vectors; a 10¹⁰-vector corpus wants
+    * 34). Floor 12 keeps tiny corpora from degenerating into a handful
+    * of global buckets (the r1 quadratic); cap 62 stays within the
+    * long-typed band key.
+    */
+  def bandBitsFor(n: Long): Int =
+    math.min(62, math.max(12, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
 }

@@ -196,4 +196,11 @@ class DedupSimSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) != fp(2L)) // order matters
   }
+  test("bandBitsFor tracks log2(n): O(1) per-band occupancy at any scale") {
+    assert(Similarity.bandBitsFor(1000L) === 12)          // floor
+    assert(Similarity.bandBitsFor(65536L) === 16)         // exact power
+    assert(Similarity.bandBitsFor(100000000L) === 27)
+    assert(Similarity.bandBitsFor(10000000000L) === 34)   // 10^10 vectors
+    assert(Similarity.bandBitsFor(Long.MaxValue) === 62)  // cap: long band key
+  }
 }
