@@ -62,6 +62,17 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
+    * line; (0, 0) where unavailable. Sampled around each timed entry so
+    * every published number carries the VM noise it was measured under.
+    */
+  def cpuJiffies(): (Long, Long) =
+    try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (cols(7), cols.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -87,15 +98,20 @@ object Bench {
     // is unpersisted before the rerun.
     val reps = math.max(1, sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt)
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val stealPct = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def bench[T](name: String, cleanup: T => Unit = (_: T) => ())(f: => T): T = {
       var out: Option[T] = None
-      val ts = (1 to reps).map { _ =>
+      val samples = (1 to reps).map { _ =>
         out.foreach(cleanup)
+        val (s0, j0) = cpuJiffies()
         val (r, dt) = time(f)
-        out = Some(r); dt
+        val (s1, j1) = cpuJiffies()
+        out = Some(r)
+        (dt, if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else -1.0)
       }
-      rawRuns += name -> ts
-      results += name -> ts.min
+      rawRuns += name -> samples.map(_._1)
+      stealPct += name -> samples.map(_._2)
+      results += name -> samples.map(_._1).min
       out.get
     }
 
@@ -173,8 +189,11 @@ object Bench {
     val runsJson = rawRuns
       .map { case (k, ts) => s""""$k":[${ts.map(t => f"$t%.3f").mkString(",")}]""" }
       .mkString("{", ",", "}")
+    val stealJson = stealPct
+      .map { case (k, ss) => s""""$k":[${ss.map(s => f"$s%.1f").mkString(",")}]""" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","files":$nFiles,"reps":$reps,"runs":$runsJson,"pagerank_edges_per_sec":${extra("pagerank_edges_per_sec")}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","files":$nFiles,"reps":$reps,"runs":$runsJson,"steal_pct":$stealJson,"pagerank_edges_per_sec":${extra("pagerank_edges_per_sec")}}""")
     spark.stop()
   }
 }
