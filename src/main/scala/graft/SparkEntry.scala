@@ -211,6 +211,30 @@ object SparkEntry {
         .filter(col("ratio") >= 75.0)
     }),
 
+    "j6_indel_sql" -> ((s, _) => {
+      // Hard oracle for the native indel_ratio kernel itself: on pairs
+      // where b is a with characters INSERTED (a is a subsequence of
+      // b), indel distance = len(b) - len(a) = levenshtein(a, b) — the
+      // lower bound |len difference| meets the insert-only upper bound
+      // — so DuckDB's levenshtein() replays the exact ratio. The
+      // general-case parity (substitution-heavy pairs, where the two
+      // metrics diverge) is covered by the rapidfuzz fixture test in
+      // FunctionsSpec.
+      val pairs = s.range(200).select(col("id"),
+        concat(lit("component "), pmod(col("id"), lit(37L)),
+          lit(" of subsystem "), pmod(col("id"), lit(11L))).as("a"))
+        .withColumn("k", pmod(col("id"), lit(8L)) + 2)
+        .withColumn("ins",
+          when(pmod(col("id"), lit(4L)) === 0, lit(""))
+            .when(pmod(col("id"), lit(4L)) === 1, lit("x"))
+            .when(pmod(col("id"), lit(4L)) === 2, lit("xy"))
+            .otherwise(lit("xyzw")))
+        .withColumn("b", concat(expr("substring(a, 1, cast(k as int))"), col("ins"),
+          expr("substring(a, cast(k as int) + 1, length(a))")))
+      pairs.select(col("id"),
+        round(indel_ratio(col("a"), col("b")), 4).as("ratio"))
+    }),
+
     "j7_anti_join_orphans" -> ((s, d) =>
       s.read.parquet(t(d, "customer"))
         .join(s.read.parquet(t(d, "orders"))
@@ -1974,6 +1998,23 @@ object SparkEntry {
     //    the same arithmetic FixState. NOT IN/NOT EXISTS choices mirror
     //    Spark's left_anti null semantics (null keys never match, so
     //    null-chunk_id rows survive the mentioned-chunk guard) ──
+    "j6_indel_sql" ->
+      """WITH p AS (SELECT i AS id,
+             'component ' || (i % 37) || ' of subsystem ' || (i % 11) AS a,
+             (i % 8) + 2 AS k,
+             CASE WHEN i % 4 = 0 THEN ''
+                  WHEN i % 4 = 1 THEN 'x'
+                  WHEN i % 4 = 2 THEN 'xy'
+                  ELSE 'xyzw' END AS ins
+           FROM range(200) t(i)),
+         pb AS (SELECT id, a,
+             substr(a, 1, k::INT) || ins || substr(a, k::INT + 1, length(a)) AS b
+           FROM p)
+         SELECT id,
+           round(100.0 * (length(a) + length(b) - levenshtein(a, b))
+                 / (length(a) + length(b)), 4) AS ratio
+         FROM pb""",
+
     "fixes_chain_sql" ->
       s"""WITH fents AS (SELECT i AS id,
              CASE WHEN i = 3 THEN 'software'
