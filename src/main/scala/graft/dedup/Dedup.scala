@@ -77,9 +77,23 @@ object Dedup {
     * cap is a deliberate recall-for-linearity trade on pathological
     * buckets; pass `maxBucket = Int.MaxValue` to disable it and emit
     * every pair.
+    *
+    * ESCALATION (`hotSubBuckets` = s > 1, ADVICE r2): strictly additive
+    * over the star. Each oversized bucket is also hash-split into s
+    * sub-buckets of expected size cnt/s, and sub-buckets at or under
+    * `maxBucket` emit ALL their member–member pairs — so two near-dup
+    * members that land in the same sub-bucket are verified directly
+    * instead of only through the rep. Recall is then ≥ the plain star's
+    * by construction, and a hot-bucket member–member pair additionally
+    * survives with probability ≈ 1/s per shared hot bucket (compounded
+    * across bands) even when the rep is dissimilar to both. Cost per hot
+    * bucket stays bounded: cnt star edges + at most s·maxBucket² sub
+    * pairs regardless of cnt, so the 100 TB monster-bucket end remains
+    * linear. Default s = 1 keeps the plain-star plan bit-identical.
     */
   private[graft] def cappedBucketPairs(entries: DataFrame,
-                                       maxBucket: Int): DataFrame = {
+                                       maxBucket: Int,
+                                       hotSubBuckets: Int = 1): DataFrame = {
     // Bucket stats via a skinny map-side-combinable groupBy, NOT a
     // window: the r2 window form sorted all banded entries within each
     // (band, bucket) partition and was the bench's 3× dedup regression.
@@ -106,19 +120,51 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
 
-    val bigPairs = tagged
-      .filter(col("cnt").isNotNull && col("rep").isNotNull &&
-        col("doc_id") =!= col("rep"))
+    val hotTagged = tagged.filter(col("cnt").isNotNull && col("rep").isNotNull)
+    val starPairs = hotTagged
+      .filter(col("doc_id") =!= col("rep"))
       .select(
         least(col("rep"), col("doc_id")).as("a"),
         greatest(col("rep"), col("doc_id")).as("b"))
+
+    val bigPairs =
+      if (hotSubBuckets <= 1) starPairs
+      else {
+        // escalation is strictly additive over the star: hash-split each
+        // hot bucket into s sub-buckets and emit all member–member pairs
+        // within sub-buckets that fit under the cap (sub-buckets still
+        // over it contribute nothing extra — their members keep only the
+        // star edges). The per-sub stats table is (#hot buckets × s)
+        // rows — tiny by construction — so it broadcasts like `hot`.
+        val hotE = hotTagged
+          .withColumn("sub",
+            pmod(xxhash64(col("doc_id"), col("band"), col("bucket"), lit(11L)),
+              lit(hotSubBuckets.toLong)))
+          .localCheckpoint(false)
+        val subStats = broadcast(
+          hotE.groupBy(col("band"), col("bucket"), col("sub"))
+            .agg(count(lit(1)).as("scnt"))
+            .filter(col("scnt") <= maxBucket))
+        val smallSub = hotE.join(subStats, Seq("band", "bucket", "sub"))
+          .select(col("band"), col("bucket"), col("sub"), col("doc_id"),
+            col("anchor"))
+        val subPairs = smallSub.filter(col("anchor")).as("l")
+          .join(smallSub.as("r"),
+            col("l.band") === col("r.band") &&
+              col("l.bucket") === col("r.bucket") &&
+              col("l.sub") === col("r.sub") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        starPairs.unionAll(subPairs)
+      }
 
     smallPairs.unionAll(bigPairs).distinct()
   }
 
   def minHashCandidates(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
                         k: Int = 5, textCol: String = "text",
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000,
+                        hotSubBuckets: Int = 1): DataFrame = {
     val rowsPerBand = numPerms / bands
     val sig = docs.select(col("doc_id"),
       minHashSignature(col(textCol), numPerms, k).as("sig"))
@@ -127,7 +173,7 @@ object Dedup {
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
         .as(Seq("band", "bucket")))
-    cappedBucketPairs(banded, maxBucket)
+    cappedBucketPairs(banded, maxBucket, hotSubBuckets)
   }
 
   /** Verified near-dup pairs (a, b, jaccard), a < b. Pairs inside a
@@ -137,8 +183,10 @@ object Dedup {
     */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.7,
                       numPerms: Int = 32, bands: Int = 8, k: Int = 5,
-                      textCol: String = "text", maxBucket: Int = 1000): DataFrame = {
-    val cands = minHashCandidates(docs, numPerms, bands, k, textCol, maxBucket)
+                      textCol: String = "text", maxBucket: Int = 1000,
+                      hotSubBuckets: Int = 1): DataFrame = {
+    val cands = minHashCandidates(docs, numPerms, bands, k, textCol, maxBucket,
+      hotSubBuckets)
     val sh = docs.select(col("doc_id"), shingleHashes(col(textCol), k).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
@@ -172,7 +220,8 @@ object Dedup {
 
   def simHashNearDups(docs: DataFrame, maxDist: Int = 3,
                       textCol: String = "text",
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000,
+                      hotSubBuckets: Int = 1): DataFrame = {
     require(maxDist <= 3, "2-segment/1-flip multi-index covers maxDist <= 3")
     val sigs = docs.select(col("doc_id"), simHash(col(textCol)).as("sig"))
       .localCheckpoint(false)
@@ -188,7 +237,7 @@ object Dedup {
           (col("flip") === 0).as("anchor"))
     }.reduce(_ unionAll _)
 
-    val cands = cappedBucketPairs(entries, maxBucket)
+    val cands = cappedBucketPairs(entries, maxBucket, hotSubBuckets)
     cands
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sigA")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigB")), Seq("b"))
@@ -207,9 +256,10 @@ object Dedup {
     */
   def nearDupGroups(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                     threshold: Double = 0.7, numPartitions: Int = 32,
-                    textCol: String = "text", maxBucket: Int = 1000): DataFrame = {
+                    textCol: String = "text", maxBucket: Int = 1000,
+                    hotSubBuckets: Int = 1): DataFrame = {
     val pairs = minHashNearDups(docs, threshold, textCol = textCol,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket, hotSubBuckets = hotSubBuckets)
     val comp = graft.algo.ConnectedComponents.run(spark,
       pairs.select(col("a").as("src"), col("b").as("dst")), None, numPartitions)
     docs.select(col("doc_id"))

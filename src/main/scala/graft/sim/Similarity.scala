@@ -152,12 +152,14 @@ object Similarity {
     * Oversized buckets (mass duplicates) fall back to the capped star
     * (Dedup.cappedBucketPairs — see its recall note: star edges in a
     * cosine band need not verify even when member–member pairs would;
-    * `maxBucket = Int.MaxValue` disables the cap).
+    * `maxBucket = Int.MaxValue` disables the cap, `hotSubBuckets` > 1
+    * escalates hot buckets with sub-bucketed member–member pairs).
     * Hyperplanes are deterministic xxhash64-derived ±1 pseudo-vectors.
     */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.95,
                      bands: Int = 8, bandBits: Int = 16, maxBucket: Int = 1000,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     hotSubBuckets: Int = 1): DataFrame = {
     def bandKey(b: Int): Column =
       (0 until bandBits).map { j =>
         val dot = aggregate(
@@ -172,7 +174,8 @@ object Similarity {
 
     val entries = corpus.select(col(idCol).as("doc_id"), lit(true).as("anchor"),
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bucket")))
-    val cands = graft.dedup.Dedup.cappedBucketPairs(entries, maxBucket)
+    val cands = graft.dedup.Dedup.cappedBucketPairs(entries, maxBucket,
+      hotSubBuckets)
 
     val vecs = corpus.select(col(idCol), col(vecCol))
     cands

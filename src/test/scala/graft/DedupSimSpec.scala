@@ -104,6 +104,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(touched == 20000L, s"star lost members: $touched/20000")
   }
 
+  test("hotSubBuckets escalation: superset of the star, recovers member-member pairs") {
+    // one hot bucket of 24 members (cap 5): the plain star only ever
+    // pairs members with the min id 0, so every member-member pair with
+    // both ids > 0 is lost; sub-bucketing (s = 8, expected sub size 3)
+    // must recover some of those directly while keeping every star edge
+    val entries = spark.range(24).select(
+      lit(0).as("band"), lit(42L).as("bucket"),
+      col("id").as("doc_id"), lit(true).as("anchor"))
+    def pairSet(s: Int) =
+      Dedup.cappedBucketPairs(entries, maxBucket = 5, hotSubBuckets = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = pairSet(1)
+    val esc = pairSet(8)
+    assert(star.forall(p => p._1 == 0L), s"plain star emitted non-rep pair")
+    assert(star.subsetOf(esc), "escalation dropped star edges")
+    val recovered = esc.count(p => p._1 > 0L)
+    assert(recovered > 0, "escalation recovered no member-member pairs")
+    // bounded: each sub-bucket under the cap emits at most C(5,2) pairs
+    assert(esc.size <= star.size + 8 * 10, s"escalation not bounded: ${esc.size}")
+  }
+
   test("simhash multi-index blocking: exact for dist ≤ 3, linear under skew") {
     val mass = spark.range(5000).select((col("id") + 2000000L).as("doc_id"),
       lit("identical mass duplicate body for the simhash skew test").as("text"))
