@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Modularity, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
 import graft.extract.Extractor
@@ -570,6 +570,15 @@ object SparkEntry {
         .select(col("id"), col("community"))
       val q = Modularity.modularity(und, labels)
       s.createDataFrame(Seq(Tuple1(math.rint(q * 1e6) / 1e6))).toDF("modularity")
+    }),
+
+    "modrefine_sql_graph" -> ((s, d) => {
+      // Louvain-style local-move refinement of the LPA-3 partition,
+      // exactly two parity-gated rounds — integer-score argmax replayed
+      // bit-for-bit by the unrolled DuckDB twin
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val lpa = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
+      ModularityRefine.run(s, sym, lpa, parts(s, d), maxRounds = 2).labels
     }),
 
     "tri_vertex_sql_graph" -> ((s, d) => {
@@ -1247,6 +1256,54 @@ object SparkEntry {
        canon AS (SELECT label, min(id) AS community FROM l$iters GROUP BY label)
        SELECT l.id, c.community FROM l$iters l JOIN canon c ON l.label = c.label"""
 
+  /** Unrolled 2-round Louvain local-move refinement of the LPA-3
+    * partition, mirroring ModularityRefine.run's exact integer-score
+    * argmax (S = 2m·k_iC − k_i·(tot_C − [C=cur]·k_i), ties → current
+    * community then min id) and its parity gating (round 1 moves even
+    * ids, round 2 odd). All-BIGINT arithmetic: hash-exact across
+    * engines.
+    */
+  private def modRefineSqlOracle(rounds: Int): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
+         lcanon AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
+         lab0 AS (SELECT l.id, c.community FROM l3 l
+                  JOIN lcanon c ON l.label = c.label),
+         deg AS (SELECT src AS id, count(*) AS k FROM sym GROUP BY src),
+         mm AS (SELECT count(*) AS m2 FROM sym)"""
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+         ct$p AS (SELECT community, sum(k) AS tot FROM lab$p
+                  JOIN deg USING (id) GROUP BY community),
+         cand$p AS (SELECT id, cand, sum(kic) AS kic FROM (
+             SELECT s.src AS id, l.community AS cand, 1 AS kic
+             FROM sym s JOIN lab$p l ON s.dst = l.id
+             UNION ALL SELECT id, community, 0 FROM lab$p) GROUP BY id, cand),
+         sc$p AS (SELECT c.id, c.cand,
+             mm.m2 * c.kic - d.k * (t.tot -
+               CASE WHEN c.cand = l.community THEN d.k ELSE 0 END) AS s,
+             CASE WHEN c.cand = l.community THEN 1 ELSE 0 END AS isa
+           FROM cand$p c JOIN lab$p l ON c.id = l.id
+           JOIN deg d ON c.id = d.id
+           JOIN ct$p t ON c.cand = t.community CROSS JOIN mm),
+         win$p AS (SELECT id, cand FROM (
+             SELECT id, cand, row_number() OVER (PARTITION BY id
+               ORDER BY s DESC, isa DESC, cand ASC) AS rn FROM sc$p)
+           WHERE rn = 1),
+         lab$r AS (SELECT l.id,
+             CASE WHEN l.id % 2 = ${p % 2} THEN w.cand ELSE l.community END
+               AS community
+           FROM lab$p l JOIN win$p w ON l.id = w.id)"""
+    }.mkString
+    s"""$head$steps,
+       rcanon AS (SELECT community, min(id) AS nc FROM lab$rounds
+                  GROUP BY community)
+       SELECT l.id, c.nc AS community FROM lab$rounds l
+       JOIN rcanon c ON l.community = c.community"""
+  }
+
   /** Newman modularity of the LPA-3 partition over the same graph, as
     * one SQL expression from exact integer counts (mirrors
     * Modularity.modularity's arithmetic shape exactly).
@@ -1644,6 +1701,7 @@ object SparkEntry {
     "cc_sql_graph" -> ccSqlOracle,
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "mod_sql_graph" -> modSqlOracle,
+    "modrefine_sql_graph" -> modRefineSqlOracle(2),
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

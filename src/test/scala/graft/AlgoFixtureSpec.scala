@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Modularity, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.graph.GraphOps
 
 /** The reference's own community fixtures as exact golden outputs for
@@ -181,5 +181,36 @@ class AlgoFixtureSpec extends AnyFunSuite {
     val want = Oracles.pageRank(edges)
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
     want.foreach { case (v, r) => assert(math.abs(got(v) - r) < 1e-6) }
+  }
+
+  test("ModularityRefine: misassigned vertex moves home, modularity rises") {
+    // two 4-cliques {0..3} and {4..7} joined by the bridge 3-4; vertex 0
+    // starts misassigned to the right clique's community
+    val cliques = for {
+      lo <- Seq(0L, 4L); i <- lo until lo + 4; j <- (i + 1) until lo + 4
+    } yield (i, j)
+    val und = (cliques :+ (3L, 4L)).toDF("src", "dst")
+    val sym = GraphOps.symmetrize(und)
+    val bad = (0L to 7L).map(i => (i, if (i == 0L || i >= 4L) 4L else 1L))
+      .toDF("id", "community")
+    val res = ModularityRefine.run(spark, sym, bad, numPartitions = 4)
+    assert(res.converged)
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ideal partition: each clique one community (canonical min member id)
+    assert((0L to 3L).forall(got(_) == 0L), s"left clique wrong: $got")
+    assert((4L to 7L).forall(got(_) == 4L), s"right clique wrong: $got")
+    val q0 = Modularity.modularity(und, bad)
+    val q1 = Modularity.modularity(und, res.labels)
+    assert(q1 > q0, s"modularity did not rise: $q0 -> $q1")
+  }
+
+  test("ModularityRefine: already-optimal partition is a fixed point") {
+    val tri = GraphOps.symmetrize(nameEdges(twoTriNames))
+    val lpa = LabelPropagation.run(spark, tri, numPartitions = 4).labels
+    val ref = ModularityRefine.run(spark, tri, lpa, numPartitions = 4)
+    assert(ref.converged)
+    val before = lpa.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = ref.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "refinement changed an optimal 2-triangle split")
   }
 }
