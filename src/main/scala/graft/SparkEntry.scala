@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Modularity, ModularityRefine, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
 import graft.extract.Extractor
@@ -579,6 +579,15 @@ object SparkEntry {
       val sym = GraphOps.symmetrize(sqlGraphEdges(s))
       val lpa = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
       ModularityRefine.run(s, sym, lpa, parts(s, d), maxRounds = 2).labels
+    }),
+
+    "louvain_sql_graph" -> ((s, d) => {
+      // full multi-level Louvain: singleton-init local-move (2 parity
+      // rounds), coarsen to the weighted community graph, refine again —
+      // the whole thing integer-exact so the DuckDB twin unrolls both
+      // levels bit-for-bit
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      Louvain.run(s, sym, parts(s, d), maxLevels = 2, roundsPerLevel = 2).labels
     }),
 
     "tri_vertex_sql_graph" -> ((s, d) => {
@@ -1263,7 +1272,12 @@ object SparkEntry {
     * ids, round 2 odd). All-BIGINT arithmetic: hash-exact across
     * engines.
     */
-  private def modRefineSqlOracle(rounds: Int): String = {
+  private def modRefineSqlOracle(rounds: Int): String =
+    // materialize every CTE — same DuckDB inlining blowup as the
+    // Louvain twin (33 s inlined → sub-second materialized)
+    modRefineRawSql(rounds).replace(" AS (", " AS MATERIALIZED (")
+
+  private def modRefineRawSql(rounds: Int): String = {
     val head =
       s"""WITH $sqlGraphCte,
          l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
@@ -1303,6 +1317,81 @@ object SparkEntry {
        SELECT l.id, c.nc AS community FROM lab$rounds l
        JOIN rcanon c ON l.community = c.community"""
   }
+
+  /** Weighted parity-gated local-move rounds for the Louvain twin:
+    * assumes CTEs `e$lvl(src, dst, w)` and `a${lvl}_0(id, community)`
+    * exist; emits deg/mm plus one ct/cand/sc/win/a chain per round
+    * (round r gates parity (r−1) % 2, restarting at 0 each level like
+    * a fresh ModularityRefine.run), ending at `f$lvl` = the level's
+    * labels canonicalized to min member id.
+    */
+  private def louvainLevelSql(lvl: Int, rounds: Int): String = {
+    val head =
+      s""",
+         deg$lvl AS (SELECT src AS id, sum(w) AS k FROM e$lvl GROUP BY src),
+         mm$lvl AS (SELECT sum(w) AS m2 FROM e$lvl)"""
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+         ct${lvl}_$p AS (SELECT community, sum(k) AS tot FROM a${lvl}_$p
+                  JOIN deg$lvl USING (id) GROUP BY community),
+         cand${lvl}_$p AS (SELECT id, cand, sum(kic) AS kic FROM (
+             SELECT s.src AS id, lb.community AS cand, s.w AS kic
+             FROM e$lvl s JOIN a${lvl}_$p lb ON s.dst = lb.id
+             WHERE s.src <> s.dst
+             UNION ALL SELECT id, community, 0 FROM a${lvl}_$p)
+           GROUP BY id, cand),
+         sc${lvl}_$p AS (SELECT c.id, c.cand,
+             mm$lvl.m2 * c.kic - d.k * (t.tot -
+               CASE WHEN c.cand = lb.community THEN d.k ELSE 0 END) AS s,
+             CASE WHEN c.cand = lb.community THEN 1 ELSE 0 END AS isa
+           FROM cand${lvl}_$p c JOIN a${lvl}_$p lb ON c.id = lb.id
+           JOIN deg$lvl d ON c.id = d.id
+           JOIN ct${lvl}_$p t ON c.cand = t.community CROSS JOIN mm$lvl),
+         win${lvl}_$p AS (SELECT id, cand FROM (
+             SELECT id, cand, row_number() OVER (PARTITION BY id
+               ORDER BY s DESC, isa DESC, cand ASC) AS rn FROM sc${lvl}_$p)
+           WHERE rn = 1),
+         a${lvl}_$r AS (SELECT lb.id,
+             CASE WHEN lb.id % 2 = ${p % 2} THEN w.cand ELSE lb.community END
+               AS community
+           FROM a${lvl}_$p lb JOIN win${lvl}_$p w ON lb.id = w.id)"""
+    }.mkString
+    s"""$head$steps,
+       f$lvl AS (SELECT l.id, c.nc AS community FROM a${lvl}_$rounds l
+                 JOIN (SELECT community, min(id) AS nc FROM a${lvl}_$rounds
+                       GROUP BY community) c ON l.community = c.community)"""
+  }
+
+  /** Unrolled 2-level Louvain twin: singleton init, `rounds` local-move
+    * rounds, coarsen (both-directions sum → self-loops carry 2×
+    * internal weight), `rounds` more weighted rounds, compose the two
+    * mappings. Unconditionally composes both levels — sound because on
+    * this fixed arithmetic graph both levels shrink (verified at both
+    * sf dirs), matching Louvain.run's shrink-gated loop.
+    */
+  private def louvainSqlOracle(rounds: Int): String = louvainRawSql(rounds)
+    // force DuckDB to materialize every CTE: the two-level chain
+    // references each step several times, and inlining re-evaluates the
+    // whole level-0 chain per reference (>120 s; materialized: ~1.3 s)
+    .replace(" AS (", " AS MATERIALIZED (")
+
+  private def louvainRawSql(rounds: Int): String =
+    s"""WITH $sqlGraphCte,
+       e0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
+       a0_0 AS (SELECT DISTINCT src AS id, src AS community FROM e0)
+       ${louvainLevelSql(0, rounds)},
+       e1 AS (SELECT ls.community AS src, ld.community AS dst,
+                sum(e.w) AS w
+              FROM e0 e JOIN f0 ls ON e.src = ls.id
+              JOIN f0 ld ON e.dst = ld.id GROUP BY 1, 2),
+       a1_0 AS (SELECT DISTINCT src AS id, src AS community FROM e1)
+       ${louvainLevelSql(1, rounds)},
+       comp AS (SELECT f0.id, f1.community FROM f0
+                JOIN f1 ON f0.community = f1.id),
+       fin AS (SELECT community, min(id) AS nc FROM comp GROUP BY community)
+       SELECT c.id, f.nc AS community FROM comp c
+       JOIN fin f ON c.community = f.community"""
 
   /** Newman modularity of the LPA-3 partition over the same graph, as
     * one SQL expression from exact integer counts (mirrors
@@ -1702,6 +1791,7 @@ object SparkEntry {
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "mod_sql_graph" -> modSqlOracle,
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
+    "louvain_sql_graph" -> louvainSqlOracle(2),
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

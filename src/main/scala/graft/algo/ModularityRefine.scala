@@ -43,7 +43,12 @@ object ModularityRefine {
 
   final case class Result(labels: DataFrame, rounds: Int, converged: Boolean)
 
-  /** @param symEdges symmetrized undirected edges (both directions)
+  /** @param symEdges symmetrized undirected edges (both directions). With
+    *   `weighted=true` a BIGINT `w` column is required; a self-loop row
+    *   (src=dst) must appear ONCE carrying TWICE its internal weight —
+    *   exactly what [[Louvain.coarsen]]'s groupBy over both directions of
+    *   the fine edges produces — so that k_i and 2m follow the Newman
+    *   loop-counts-twice convention while the argmax stays integer-exact.
     * @param initial  (id, community) starting partition (e.g. LPA output)
     * @return (id, community) — community = min member vertex id
     */
@@ -51,16 +56,19 @@ object ModularityRefine {
           symEdges: DataFrame,
           initial: DataFrame,
           numPartitions: Int = 32,
-          maxRounds: Int = 10): Result = Superstep.withoutAQE(spark) {
+          maxRounds: Int = 10,
+          weighted: Boolean = false): Result = Superstep.withoutAQE(spark) {
 
-    val e = symEdges.select(col("src"), col("dst"))
+    val wcol = if (weighted) col("w").cast("long") else lit(1L)
+    val e = symEdges.select(col("src"), col("dst"), wcol.as("w"))
       .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val deg = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
       .repartition(numPartitions, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val twoM = e.count() // = Σ k_i: each undirected edge appears twice
+    // = Σ k_i: each undirected edge appears twice (self-loops once, at 2w)
+    val twoM = e.agg(sum(col("w"))).first().getLong(0)
 
     var labels = initial.select(col("id"), col("community"))
       .repartition(numPartitions, col("id"))
@@ -74,13 +82,15 @@ object ModularityRefine {
       val ctot = labels.join(deg.hint("shuffle_hash"), Seq("id"))
         .groupBy(col("community")).agg(sum(col("k")).as("tot"))
 
-      // k_{i,C}: neighbors of i per community C, plus a zero row for
+      // k_{i,C}: neighbors of i per community C (self-loops excluded —
+      // a supernode's internal weight moves with it, constant across
+      // candidates, so it cancels from the argmax), plus a zero row for
       // i's own community so singletons and A-less neighborhoods still
       // score their current community
-      val neigh = e
+      val neigh = e.filter(col("src") =!= col("dst"))
         .join(labels.select(col("id").as("dst"), col("community").as("cand"))
           .hint("shuffle_hash"), Seq("dst"))
-        .select(col("src").as("id"), col("cand"), lit(1L).as("kic"))
+        .select(col("src").as("id"), col("cand"), col("w").as("kic"))
       val cand = neigh
         .unionByName(labels.select(col("id"), col("community").as("cand"),
           lit(0L).as("kic")))

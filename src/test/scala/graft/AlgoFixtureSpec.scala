@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Modularity, ModularityRefine, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.graph.GraphOps
 
 /** The reference's own community fixtures as exact golden outputs for
@@ -202,6 +202,31 @@ class AlgoFixtureSpec extends AnyFunSuite {
     val q0 = Modularity.modularity(und, bad)
     val q1 = Modularity.modularity(und, res.labels)
     assert(q1 > q0, s"modularity did not rise: $q0 -> $q1")
+  }
+
+  test("Louvain: ring of cliques resolves to one community per clique") {
+    // 4 cliques of 5, ring-linked by single bridges between the cliques'
+    // first vertices — small enough that the resolution limit does NOT
+    // merge adjacent cliques, so the clique partition is optimal
+    val k = 5; val c = 4
+    val cliqueEdges = for {
+      ci <- 0 until c; i <- 0 until k; j <- (i + 1) until k
+    } yield ((ci * k + i).toLong, (ci * k + j).toLong)
+    val bridges = (0 until c).map(ci =>
+      ((ci * k).toLong, (((ci + 1) % c) * k).toLong))
+    val und = (cliqueEdges ++ bridges).toDF("src", "dst")
+    val res = Louvain.run(spark, GraphOps.symmetrize(und), 4,
+      maxLevels = 3, roundsPerLevel = 4)
+    assert(res.levels >= 1)
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (ci <- 0 until c; i <- 0 until k)
+      assert(got((ci * k + i).toLong) == (ci * k).toLong,
+        s"clique $ci not canonical: $got")
+    // and it scores at least the planted clique partition
+    val planted = (0 until c * k).map(v => (v.toLong, (v / k * k).toLong))
+      .toDF("id", "community")
+    assert(Modularity.modularity(und, res.labels) >=
+      Modularity.modularity(und, planted) - 1e-9)
   }
 
   test("ModularityRefine: already-optimal partition is a fixed point") {

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.algo.{LabelPropagation, Modularity}
 import graft.corpus.CorpusGen
+import graft.graph.GraphOps
 
 /** One-call lifecycle (Pipeline.run ≡ `graphrag-kg scrape --full` →
   * `validate`), checked end to end including the saved snapshot layout.
@@ -60,5 +62,19 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     val report = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/out/validation_report.md")))
     assert(report.contains("PASSED"))
+  }
+
+  test("refineCommunities opt-in: valid result, modularity never below raw LPA") {
+    val corpus = CorpusGen.corpus(spark, 100L)
+    val r = Pipeline.run(spark, corpus, numPartitions = 8,
+      refineCommunities = true)
+    assert(r.validation.passed, r.validation.toMarkdown)
+    assert(r.communities.count() == r.pageRank.count())
+    // the refined partition must score at least the unrefined LPA one
+    val g = GraphOps.semanticGraph(r.snapshot)
+    val lpa = LabelPropagation.run(spark, GraphOps.symmetrize(g.edges), 8).labels
+    val qLpa = Modularity.modularity(GraphOps.undirectedPairs(g.edges), lpa)
+    assert(r.modularity >= qLpa - 1e-9,
+      s"refined modularity ${r.modularity} < LPA $qLpa")
   }
 }
