@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Louvain, PageRank, Triangles}
 import graft.corpus.CorpusGen
 import graft.extract.Extractor
 import graft.graph.GraphOps
@@ -149,6 +149,17 @@ object Bench {
       ConnectedComponents.run(spark, g.edges, Some(g.vertices), P).count())
 
     bench("label_propagation")(LabelPropagation.run(spark, sym, P, maxIter = 10).labels.count())
+
+    // opt-in: louvain has no BASELINE row (new operator, no reference
+    // counterpart in the bench set), so it stays out of the default
+    // total to keep round-over-round bench comparisons like-for-like;
+    // its measured numbers live in BASELINE.md's operator table
+    if (sys.env.get("GRAFT_BENCH_LOUVAIN").contains("1")) {
+      val lv = bench[Louvain.Result]("louvain") {
+        val r = Louvain.run(spark, sym, P); r.labels.count(); r
+      }
+      extra += "louvain_levels" -> lv.levels.toDouble
+    }
 
     val tri = bench[Long]("triangles")(
       Triangles.countTriangles(spark, GraphOps.undirectedPairs(g.edges), P))

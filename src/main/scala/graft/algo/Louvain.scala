@@ -63,13 +63,18 @@ object Louvain {
     *   optionally with a BIGINT `w` weight column (`weighted=true`)
     * @param roundsPerLevel fixed parity-gated local-move rounds per
     *   level (even, so both parities sweep; 2 pairs with the oracle)
+    * @param vertices optional (id, …) vertex table: ids with no incident
+    *   edge keep a self-community in the result (degree-0 vertices can
+    *   never gain modularity by moving, so they are exact, not a
+    *   convention) — same parity contract as LPA's / CC's param
     */
   def run(spark: SparkSession,
           symEdges: DataFrame,
           numPartitions: Int = 32,
           maxLevels: Int = 4,
           roundsPerLevel: Int = 4,
-          weighted: Boolean = false): Result = {
+          weighted: Boolean = false,
+          vertices: Option[DataFrame] = None): Result = {
 
     val wcol = if (weighted) col("w").cast("long") else lit(1L)
     var edges = symEdges.select(col("src"), col("dst"), wcol.as("w"))
@@ -84,9 +89,14 @@ object Louvain {
     while (level < maxLevels && shrunk) {
       val singletons = edges.select(col("src").as("id")).distinct()
         .withColumn("community", col("id"))
-      val refined = ModularityRefine.run(spark, edges, singletons,
-        numPartitions, maxRounds = roundsPerLevel, weighted = true).labels
-        .localCheckpoint(true)
+      // one driver action per level: the refine chain is lazy
+      // (earlyStop=false — the shrink gate below is the convergence
+      // check) and this eager checkpoint materializes it
+      val rr = ModularityRefine.run(spark, edges, singletons,
+        numPartitions, maxRounds = roundsPerLevel, weighted = true,
+        earlyStop = false)
+      val refined = rr.labels.localCheckpoint(true)
+      rr.cleanup()
 
       val nNext = refined.select(col("community")).distinct().count()
       shrunk = nNext < n
@@ -105,7 +115,7 @@ object Louvain {
       }
     }
 
-    val labels =
+    val connected =
       if (mapping == null)
         symEdges.select(col("src").as("id")).distinct()
           .withColumn("community", col("id"))
@@ -116,6 +126,14 @@ object Louvain {
         mapping.join(canon, mapping("community") === col("c"))
           .select(col("id"), col("nc").as("community"))
       }
+    val labels = vertices match {
+      case None => connected
+      case Some(v) =>
+        val isolated = v.select(col("id"))
+          .join(connected.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("community", col("id"))
+        connected.unionByName(isolated)
+    }
     Result(labels, level)
   }
 }

@@ -41,7 +41,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object ModularityRefine {
 
-  final case class Result(labels: DataFrame, rounds: Int, converged: Boolean)
+  /** @param cleanup with `earlyStop=false` the loop's persisted edge /
+    *   degree frames outlive the call (the caller owns the first
+    *   action); invoke after materializing `labels` to release them.
+    *   No-op in earlyStop mode.
+    */
+  final case class Result(labels: DataFrame, rounds: Int, converged: Boolean,
+                          cleanup: () => Unit = () => ())
 
   /** @param symEdges symmetrized undirected edges (both directions). With
     *   `weighted=true` a BIGINT `w` column is required; a self-loop row
@@ -50,6 +56,13 @@ object ModularityRefine {
     *   the fine edges produces — so that k_i and 2m follow the Newman
     *   loop-counts-twice convention while the argmax stays integer-exact.
     * @param initial  (id, community) starting partition (e.g. LPA output)
+    * @param earlyStop true (default): count moves per round and stop
+    *   after two consecutive moveless half-sweeps — one driver action
+    *   per round. false: run exactly maxRounds rounds as ONE lazy
+    *   chain materialized by the caller's first action (no per-round
+    *   job); bit-identical result (a moveless round is a no-op), meant
+    *   for callers with their own outer convergence gate like
+    *   [[Louvain]]'s shrink check. `converged` is reported false.
     * @return (id, community) — community = min member vertex id
     */
   def run(spark: SparkSession,
@@ -57,8 +70,10 @@ object ModularityRefine {
           initial: DataFrame,
           numPartitions: Int = 32,
           maxRounds: Int = 10,
-          weighted: Boolean = false): Result = Superstep.withoutAQE(spark) {
+          weighted: Boolean = false,
+          earlyStop: Boolean = true): Result = Superstep.withoutAQE(spark) {
 
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val wcol = if (weighted) col("w").cast("long") else lit(1L)
     val e = symEdges.select(col("src"), col("dst"), wcol.as("w"))
       .repartition(numPartitions, col("src"))
@@ -79,29 +94,40 @@ object ModularityRefine {
     val gc = new Superstep.CheckpointGC(spark)
 
     while (round < maxRounds && !converged) {
-      val ctot = labels.join(deg.hint("shuffle_hash"), Seq("id"))
-        .groupBy(col("community")).agg(sum(col("k")).as("tot"))
+      // per-vertex state (id, cur, k, tot_cur): labels ⨝ deg is
+      // exchange-free (both hash-partitioned by id); the community-total
+      // join costs two skinny O(n) exchanges (by cur and back by id)
+      val ik = labels.join(deg.hint("shuffle_hash"), Seq("id"))
+        .select(col("id"), col("community").as("cur"), col("k"))
+      val ctot = ik.groupBy(col("cur").as("c")).agg(sum(col("k")).as("tot"))
+      val state = ik
+        .join(ctot.hint("shuffle_hash"), col("cur") === col("c"))
+        .select(col("id"), col("cur"), col("k"), col("tot").as("tcur"))
+        .repartition(numPartitions, col("id"))
 
-      // k_{i,C}: neighbors of i per community C (self-loops excluded —
-      // a supernode's internal weight moves with it, constant across
-      // candidates, so it cancels from the argmax), plus a zero row for
-      // i's own community so singletons and A-less neighborhoods still
-      // score their current community
-      val neigh = e.filter(col("src") =!= col("dst"))
-        .join(labels.select(col("id").as("dst"), col("community").as("cand"))
-          .hint("shuffle_hash"), Seq("dst"))
-        .select(col("src").as("id"), col("cand"), col("w").as("kic"))
-      val cand = neigh
-        .unionByName(labels.select(col("id"), col("community").as("cand"),
-          lit(0L).as("kic")))
-        .groupBy(col("id"), col("cand")).agg(sum(col("kic")).as("kic"))
+      // ONE O(E) message exchange: source state rides along via the
+      // exchange-free co-partitioned src join, the candidate community
+      // AND its total arrive from the dst side — no post-aggregation
+      // joins needed. Self-loops excluded from k_{i,C} (a supernode's
+      // internal weight moves with it, constant across candidates, so
+      // it cancels from the argmax); the zero row keeps i's own
+      // community scoreable for singletons and A-less neighborhoods.
+      val msg = e
+        .join(state.select(col("id").as("src"), col("cur"), col("k"),
+          col("tcur")).hint("shuffle_hash"), Seq("src"))
+        .filter(col("src") =!= col("dst"))
+        .join(state.select(col("id").as("dst"), col("cur").as("cand"),
+          col("tcur").as("x")).hint("shuffle_hash"), Seq("dst"))
+        .select(col("src").as("id"), col("cand"), col("w").as("kic"),
+          col("k"), col("cur"), col("x").as("tcand"))
+      val cand = msg
+        .unionByName(state.select(col("id"), col("cur").as("cand"),
+          lit(0L).as("kic"), col("k"), col("cur"), col("tcur").as("tcand")))
+        .groupBy(col("id"), col("cand"))
+        .agg(sum(col("kic")).as("kic"), max(col("k")).as("k"),
+          max(col("cur")).as("cur"), max(col("tcand")).as("tot"))
 
-      val cur = labels.select(col("id"), col("community").as("cur"))
       val scored = cand
-        .join(cur.hint("shuffle_hash"), Seq("id"))
-        .join(deg.hint("shuffle_hash"), Seq("id"))
-        .join(ctot.select(col("community").as("candc"), col("tot")),
-          col("cand") === col("candc"))
         .select(col("id"), col("cand"),
           (lit(twoM) * col("kic") -
             col("k") * (col("tot") -
@@ -121,20 +147,32 @@ object ModularityRefine {
           col("community").as("prev"))
         .localCheckpoint(false) // lazy: the changes count materializes it
 
-      val changes = next.filter(col("community") =!= col("prev")).count()
-      gc.tick()
+      if (earlyStop) {
+        val changes = next.filter(col("community") =!= col("prev")).count()
+        gc.tick()
+        // a moveless half-sweep ends the ascent only once BOTH parities
+        // were still back-to-back
+        stillRuns = if (changes == 0L) stillRuns + 1 else 0
+        converged = stillRuns >= 2
+      }
       labels = next.select("id", "community")
       round += 1
-      // a moveless half-sweep ends the ascent only once BOTH parities
-      // were still back-to-back
-      stillRuns = if (changes == 0L) stillRuns + 1 else 0
-      converged = stillRuns >= 2
     }
-    e.unpersist(); deg.unpersist(); gc.close()
+    if (earlyStop) { e.unpersist(); deg.unpersist(); gc.close() }
 
     val canon = labels.groupBy(col("community").as("c")).agg(min(col("id")).as("nc"))
     val out = labels.join(canon, labels("community") === col("c"))
       .select(col("id"), col("nc").as("community"))
-    Result(out, round, converged)
+    val cleanup: () => Unit =
+      if (earlyStop) () => ()
+      else {
+        // only what THIS call registered (e, deg, the per-round lazy
+        // checkpoints) — frames the caller creates later must survive
+        val mine = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+        () => spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => mine.contains(id) }
+          .values.foreach(_.unpersist(false))
+      }
+    Result(out, round, converged, cleanup)
   }
 }

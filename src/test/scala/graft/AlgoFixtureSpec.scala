@@ -229,6 +229,25 @@ class AlgoFixtureSpec extends AnyFunSuite {
       Modularity.modularity(und, planted) - 1e-9)
   }
 
+  test("Louvain: partitioning-invariant, isolated vertex keeps self-community") {
+    val k = 4; val c = 3
+    val cliqueEdges = for {
+      ci <- 0 until c; i <- 0 until k; j <- (i + 1) until k
+    } yield ((ci * k + i).toLong, (ci * k + j).toLong)
+    val und = cliqueEdges.toDF("src", "dst")
+    val sym = GraphOps.symmetrize(und)
+    val a = Louvain.run(spark, sym, 4).labels
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Louvain.run(spark, sym.repartition(13), 13).labels
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "Louvain result depends on partitioning")
+    val verts = (0L until (c * k + 1).toLong).toDF("id") // +1 isolated
+    val withIso = Louvain.run(spark, sym, 4, vertices = Some(verts)).labels
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(withIso((c * k).toLong) == (c * k).toLong)
+    assert(withIso.size == c * k + 1)
+  }
+
   test("ModularityRefine: already-optimal partition is a fixed point") {
     val tri = GraphOps.symmetrize(nameEdges(twoTriNames))
     val lpa = LabelPropagation.run(spark, tri, numPartitions = 4).labels
