@@ -94,57 +94,7 @@ object ModularityRefine {
     val gc = new Superstep.CheckpointGC(spark)
 
     while (round < maxRounds && !converged) {
-      // per-vertex state (id, cur, k, tot_cur): labels ⨝ deg is
-      // exchange-free (both hash-partitioned by id); the community-total
-      // join costs two skinny O(n) exchanges (by cur and back by id)
-      val ik = labels.join(deg.hint("shuffle_hash"), Seq("id"))
-        .select(col("id"), col("community").as("cur"), col("k"))
-      val ctot = ik.groupBy(col("cur").as("c")).agg(sum(col("k")).as("tot"))
-      val state = ik
-        .join(ctot.hint("shuffle_hash"), col("cur") === col("c"))
-        .select(col("id"), col("cur"), col("k"), col("tot").as("tcur"))
-        .repartition(numPartitions, col("id"))
-
-      // ONE O(E) message exchange: source state rides along via the
-      // exchange-free co-partitioned src join, the candidate community
-      // AND its total arrive from the dst side — no post-aggregation
-      // joins needed. Self-loops excluded from k_{i,C} (a supernode's
-      // internal weight moves with it, constant across candidates, so
-      // it cancels from the argmax); the zero row keeps i's own
-      // community scoreable for singletons and A-less neighborhoods.
-      val msg = e
-        .join(state.select(col("id").as("src"), col("cur"), col("k"),
-          col("tcur")).hint("shuffle_hash"), Seq("src"))
-        .filter(col("src") =!= col("dst"))
-        .join(state.select(col("id").as("dst"), col("cur").as("cand"),
-          col("tcur").as("x")).hint("shuffle_hash"), Seq("dst"))
-        .select(col("src").as("id"), col("cand"), col("w").as("kic"),
-          col("k"), col("cur"), col("x").as("tcand"))
-      val cand = msg
-        .unionByName(state.select(col("id"), col("cur").as("cand"),
-          lit(0L).as("kic"), col("k"), col("cur"), col("tcur").as("tcand")))
-        .groupBy(col("id"), col("cand"))
-        .agg(sum(col("kic")).as("kic"), max(col("k")).as("k"),
-          max(col("cur")).as("cur"), max(col("tcand")).as("tot"))
-
-      val scored = cand
-        .select(col("id"), col("cand"),
-          (lit(twoM) * col("kic") -
-            col("k") * (col("tot") -
-              when(col("cand") === col("cur"), col("k"))
-                .otherwise(lit(0L)))).as("s"),
-          when(col("cand") === col("cur"), lit(1L)).otherwise(lit(0L))
-            .as("isa"))
-      val winner = scored.groupBy(col("id"))
-        .agg(max_by(col("cand"), struct(col("s"), col("isa"), -col("cand")))
-          .as("best"))
-
-      val next = labels.join(winner.hint("shuffle_hash"), Seq("id"), "left")
-        .select(col("id"),
-          when(pmod(col("id"), lit(2L)) === lit(round % 2) &&
-            col("best").isNotNull, col("best"))
-            .otherwise(col("community")).as("community"),
-          col("community").as("prev"))
+      val next = scoreRound(e, labels, deg, twoM, numPartitions, round % 2)
         .localCheckpoint(false) // lazy: the changes count materializes it
 
       if (earlyStop) {
@@ -174,5 +124,77 @@ object ModularityRefine {
           .values.foreach(_.unpersist(false))
       }
     Result(out, round, converged, cleanup)
+  }
+
+  /** One parity-gated local-move half-sweep: (id, community, prev).
+    * Exchange budget (asserted by PlanSpec): TWO O(E) exchanges — the
+    * dst-side message shuffle and the partially-aggregated (id, cand)
+    * groupBy — plus three skinny O(n) exchanges (ctot groupBy, state
+    * re-key, winner argmax). `e`, `deg`, `labels` must already be
+    * hash-partitioned by src / id / id so the src-side state join and
+    * the labels ⨝ deg join stay exchange-free.
+    */
+  private[graft] def scoreRound(e: DataFrame,
+                               labels: DataFrame,
+                               deg: DataFrame,
+                               twoM: Long,
+                               numPartitions: Int,
+                               parity: Int): DataFrame = {
+    // per-vertex state (id, cur, k, tot_cur): labels ⨝ deg is
+    // exchange-free (both hash-partitioned by id); the community-total
+    // join costs two skinny O(n) exchanges (by cur and back by id)
+    val ik = labels.join(deg.hint("shuffle_hash"), Seq("id"))
+      .select(col("id"), col("community").as("cur"), col("k"))
+    val ctot = ik.groupBy(col("cur").as("c")).agg(sum(col("k")).as("tot"))
+    // lazy checkpoint: state has THREE consumers below (src side, dst
+    // side, zero rows); without it each consumer re-executes the two
+    // joins above (the exchanges dedupe via ReusedExchange, the
+    // post-shuffle operators do not)
+    val state = ik
+      .join(ctot.hint("shuffle_hash"), col("cur") === col("c"))
+      .select(col("id"), col("cur"), col("k"), col("tot").as("tcur"))
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(false)
+
+    // ONE O(E) message exchange: source state rides along via the
+    // exchange-free co-partitioned src join, the candidate community
+    // AND its total arrive from the dst side — no post-aggregation
+    // joins needed. Self-loops excluded from k_{i,C} (a supernode's
+    // internal weight moves with it, constant across candidates, so
+    // it cancels from the argmax); the zero row keeps i's own
+    // community scoreable for singletons and A-less neighborhoods.
+    val msg = e
+      .join(state.select(col("id").as("src"), col("cur"), col("k"),
+        col("tcur")).hint("shuffle_hash"), Seq("src"))
+      .filter(col("src") =!= col("dst"))
+      .join(state.select(col("id").as("dst"), col("cur").as("cand"),
+        col("tcur").as("x")).hint("shuffle_hash"), Seq("dst"))
+      .select(col("src").as("id"), col("cand"), col("w").as("kic"),
+        col("k"), col("cur"), col("x").as("tcand"))
+    val cand = msg
+      .unionByName(state.select(col("id"), col("cur").as("cand"),
+        lit(0L).as("kic"), col("k"), col("cur"), col("tcur").as("tcand")))
+      .groupBy(col("id"), col("cand"))
+      .agg(sum(col("kic")).as("kic"), max(col("k")).as("k"),
+        max(col("cur")).as("cur"), max(col("tcand")).as("tot"))
+
+    val scored = cand
+      .select(col("id"), col("cand"),
+        (lit(twoM) * col("kic") -
+          col("k") * (col("tot") -
+            when(col("cand") === col("cur"), col("k"))
+              .otherwise(lit(0L)))).as("s"),
+        when(col("cand") === col("cur"), lit(1L)).otherwise(lit(0L))
+          .as("isa"))
+    val winner = scored.groupBy(col("id"))
+      .agg(max_by(col("cand"), struct(col("s"), col("isa"), -col("cand")))
+        .as("best"))
+
+    labels.join(winner.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        when(pmod(col("id"), lit(2L)) === lit(parity) &&
+          col("best").isNotNull, col("best"))
+          .otherwise(col("community")).as("community"),
+        col("community").as("prev"))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.algo.{ModularityRefine, Superstep}
 import graft.dedup.Dedup
 import graft.sim.Similarity
 
@@ -47,6 +48,33 @@ class PlanSpec extends AnyFunSuite {
     val queries = vecs.filter(col("vec_id") % 40 === 0)
     val topk = Similarity.bruteForceTopK(vecs, queries, k = 3)
     assert(logicalWindows(topk) === 0, "top-k must use the bounded aggregate, not a global window rank")
+  }
+
+  test("modularity-refine round: edge-sized data crosses the wire exactly twice, no Window") {
+    Superstep.withoutAQE(spark) {
+      val P = 4
+      val e = (0L until 60L).map(i => (i, (i + 1) % 60, 1L)).toDF("src", "dst", "w")
+        .repartition(P, col("src"))
+      val deg = e.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+        .repartition(P, col("id"))
+      val labels = (0L until 60L).map(i => (i, i)).toDF("id", "community")
+        .repartition(P, col("id"))
+      val next = ModularityRefine.scoreRound(e, labels, deg, 120L, P, 0)
+      assert(logicalWindows(next) === 0, "argmax must be max_by, not a window rank")
+      // the scale contract: edge-sized rows cross the wire exactly
+      // twice — the dst-keyed message shuffle and the partially
+      // aggregated (id, cand) groupBy. Everything else is O(n) skinny
+      // (state/ctot chains) and the src-side state join is
+      // exchange-free (no src-keyed ENSURE_REQUIREMENTS exchange).
+      val phys = next.queryExecution.executedPlan.toString
+      def count(re: String) = re.r.findAllIn(phys).size
+      assert(count("""Exchange hashpartitioning\(dst#""") === 1,
+        s"expected exactly 1 dst-keyed message exchange:\n$phys")
+      assert(count("""Exchange hashpartitioning\(id#\d+L?, cand#""") === 1,
+        s"expected exactly 1 (id,cand) aggregation exchange:\n$phys")
+      assert(count("""Exchange hashpartitioning\(src#\d+L?, \d+\), ENSURE""") === 0,
+        s"src-side state join must be co-partitioned (no src exchange):\n$phys")
+    }
   }
 
   test("parquet scan pushes filters and prunes columns") {
