@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Louvain, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, PageRank, Triangles}
 import graft.corpus.CorpusGen
 import graft.extract.Extractor
 import graft.graph.GraphOps
@@ -159,6 +159,10 @@ object Bench {
         val r = Louvain.run(spark, sym, P); r.labels.count(); r
       }
       extra += "louvain_levels" -> lv.levels.toDouble
+      val le = bench[Louvain.Result]("leiden") {
+        val r = Leiden.run(spark, sym, P); r.labels.count(); r
+      }
+      extra += "leiden_levels" -> le.levels.toDouble
     }
 
     val tri = bench[Long]("triangles")(

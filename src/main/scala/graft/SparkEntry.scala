@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.corpus.CorpusGen
 import graft.dedup.Dedup
 import graft.extract.Extractor
@@ -588,6 +588,15 @@ object SparkEntry {
       // levels bit-for-bit
       val sym = GraphOps.symmetrize(sqlGraphEdges(s))
       Louvain.run(s, sym, parts(s, d), maxLevels = 2, roundsPerLevel = 2).labels
+    }),
+
+    "leiden_sql_graph" -> ((s, d) => {
+      // full Leiden: the Louvain move/aggregate loop PLUS the
+      // connected-split refinement between them (Traag et al. 2019) —
+      // the split is min-member CC of the same-community subgraph, so
+      // the DuckDB twin replays it with one recursive closure per level
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      Leiden.run(s, sym, parts(s, d), maxLevels = 2, roundsPerLevel = 2).labels
     }),
 
     "tri_vertex_sql_graph" -> ((s, d) => {
@@ -1376,6 +1385,52 @@ object SparkEntry {
     // whole level-0 chain per reference (>120 s; materialized: ~1.3 s)
     .replace(" AS (", " AS MATERIALIZED (")
 
+  /** Leiden's per-level connected split as SQL: a min-reachable-id
+    * recursive closure over the same-community subgraph of `e$lvl`
+    * under the level's local-move labels `f$lvl` (self-loops dropped),
+    * seeded with EVERY vertex so intra-edge-free vertices stay
+    * singletons — exactly [[graft.algo.Louvain.splitDisconnected]]'s CC
+    * canonicalization (part id = min member id).
+    */
+  private def leidenSplitSql(lvl: Int): String =
+    s""",
+       intra$lvl AS (SELECT e.src, e.dst FROM e$lvl e
+         JOIN f$lvl a ON e.src = a.id JOIN f$lvl b ON e.dst = b.id
+         WHERE a.community = b.community AND e.src <> e.dst),
+       reach$lvl(id, comp) AS (
+         SELECT id, id FROM f$lvl
+         UNION
+         SELECT i.dst, r.comp FROM reach$lvl r JOIN intra$lvl i ON i.src = r.id),
+       g$lvl AS (SELECT id, min(comp) AS community FROM reach$lvl GROUP BY id)"""
+
+  /** Unrolled 2-level Leiden twin: the Louvain chain with the connected
+    * split spliced between each level's local move and its coarsening,
+    * so the coarse graph aggregates the SPLIT partition — the Traag et
+    * al. refinement the Scala side implements via the distributed CC.
+    * Same unconditional 2-level composition argument as the Louvain
+    * twin (both levels shrink on this fixed graph; verified at both sf
+    * dirs). CTEs materialized for the same >120s-inlining reason, except
+    * the recursive reach CTEs, which DuckDB requires un-annotated.
+    */
+  private def leidenSqlOracle(rounds: Int): String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       e0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
+       a0_0 AS (SELECT DISTINCT src AS id, src AS community FROM e0)
+       ${louvainLevelSql(0, rounds)}${leidenSplitSql(0)},
+       e1 AS (SELECT ls.community AS src, ld.community AS dst,
+                sum(e.w) AS w
+              FROM e0 e JOIN g0 ls ON e.src = ls.id
+              JOIN g0 ld ON e.dst = ld.id GROUP BY 1, 2),
+       a1_0 AS (SELECT DISTINCT src AS id, src AS community FROM e1)
+       ${louvainLevelSql(1, rounds)}${leidenSplitSql(1)},
+       comp AS (SELECT g0.id, g1.community FROM g0
+                JOIN g1 ON g0.community = g1.id),
+       fin AS (SELECT community, min(id) AS nc FROM comp GROUP BY community)
+       SELECT c.id, f.nc AS community FROM comp c
+       JOIN fin f ON c.community = f.community"""
+      .replace(" AS (", " AS MATERIALIZED (")
+      .replace(", comp) AS MATERIALIZED (", ", comp) AS (")
+
   private def louvainRawSql(rounds: Int): String =
     s"""WITH $sqlGraphCte,
        e0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
@@ -1792,6 +1847,7 @@ object SparkEntry {
     "mod_sql_graph" -> modSqlOracle,
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
     "louvain_sql_graph" -> louvainSqlOracle(2),
+    "leiden_sql_graph" -> leidenSqlOracle(2),
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

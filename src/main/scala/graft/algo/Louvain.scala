@@ -44,6 +44,32 @@ object Louvain {
 
   final case class Result(labels: DataFrame, levels: Int)
 
+  /** Split every community into its connected parts: connected
+    * components of the same-community subgraph (self-loops dropped —
+    * irrelevant to connectivity), each part's id = min member id,
+    * matching [[ConnectedComponents]]' canonicalization. Vertices with
+    * no same-community edge become singletons via the vertices param.
+    */
+  private[graft] def splitDisconnected(spark: SparkSession,
+                                       symEdges: DataFrame,
+                                       labels: DataFrame,
+                                       numPartitions: Int): DataFrame = {
+    val intra0 = symEdges.filter(col("src") =!= col("dst"))
+      .join(labels.select(col("id").as("src"), col("community").as("cs"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("community").as("cd"))
+        .hint("shuffle_hash"), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .select(col("src"), col("dst"))
+    // fresh eager checkpoint: CC's star rounds self-join their input,
+    // and both an un-truncated join tree AND inherited checkpoint
+    // stats (see Superstep.freshCheckpoint) blow planning up
+    val intraCk = Superstep.freshCheckpoint(intra0, eager = true)
+    ConnectedComponents.run(spark, intraCk, Some(labels.select(col("id"))),
+        numPartitions)
+      .select(col("id"), col("component").as("community"))
+  }
+
   /** Coarsen a symmetrized weighted edge list by a partition.
     * Input rows both directions with weight `w`; output rows both
     * directions between supernodes, self-loops carrying 2× internal
@@ -67,6 +93,17 @@ object Louvain {
     *   edge keep a self-community in the result (degree-0 vertices can
     *   never gain modularity by moving, so they are exact, not a
     *   convention) — same parity contract as LPA's / CC's param
+    * @param connectSplit Leiden's refinement guarantee: after each
+    *   level's local-move partition, split every community into its
+    *   connected parts (connected components of the same-community
+    *   subgraph, via the scale-safe [[ConnectedComponents]]) and
+    *   coarsen on the SPLIT partition. Greedy local moves can strand a
+    *   community in disconnected pieces (a vertex moves away and its
+    *   old community falls apart behind it); plain Louvain freezes
+    *   that mistake into the coarse graph forever, Leiden repairs it
+    *   every level (Traag et al. 2019, the guarantee that
+    *   distinguishes leidenalg — community_detection.py:46-118 — from
+    *   Louvain). Use [[Leiden]] rather than passing this directly.
     */
   def run(spark: SparkSession,
           symEdges: DataFrame,
@@ -74,11 +111,12 @@ object Louvain {
           maxLevels: Int = 4,
           roundsPerLevel: Int = 4,
           weighted: Boolean = false,
-          vertices: Option[DataFrame] = None): Result = {
+          vertices: Option[DataFrame] = None,
+          connectSplit: Boolean = false): Result = {
 
     val wcol = if (weighted) col("w").cast("long") else lit(1L)
-    var edges = symEdges.select(col("src"), col("dst"), wcol.as("w"))
-      .localCheckpoint(true)
+    var edges = Superstep.freshCheckpoint(
+      symEdges.select(col("src"), col("dst"), wcol.as("w")), eager = true)
     var n = edges.select(col("src")).distinct().count()
 
     // composed mapping original id → current-level supernode id
@@ -95,8 +133,12 @@ object Louvain {
       val rr = ModularityRefine.run(spark, edges, singletons,
         numPartitions, maxRounds = roundsPerLevel, weighted = true,
         earlyStop = false)
-      val refined = rr.labels.localCheckpoint(true)
+      val moved = Superstep.freshCheckpoint(rr.labels, eager = true)
       rr.cleanup()
+      val refined =
+        if (connectSplit) Superstep.freshCheckpoint(
+          splitDisconnected(spark, edges, moved, numPartitions), eager = true)
+        else moved
 
       val nNext = refined.select(col("community")).distinct().count()
       shrunk = nNext < n
@@ -109,7 +151,7 @@ object Louvain {
             Seq("community"))
             .select(col("id"), col("nc").as("community"))
             .localCheckpoint(true)
-        edges = coarsen(edges, refined).localCheckpoint(true)
+        edges = Superstep.freshCheckpoint(coarsen(edges, refined), eager = true)
         n = nNext
         level += 1
       }

@@ -85,17 +85,21 @@ object ModularityRefine {
     // = Σ k_i: each undirected edge appears twice (self-loops once, at 2w)
     val twoM = e.agg(sum(col("w"))).first().getLong(0)
 
-    var labels = initial.select(col("id"), col("community"))
-      .repartition(numPartitions, col("id"))
-      .localCheckpoint(true)
+    var labels = Superstep.freshCheckpoint(
+      initial.select(col("id"), col("community"))
+        .repartition(numPartitions, col("id")), eager = true)
     var round = 0
     var stillRuns = 0 // consecutive moveless half-sweeps; 2 = both parities
     var converged = false
     val gc = new Superstep.CheckpointGC(spark)
 
     while (round < maxRounds && !converged) {
-      val next = scoreRound(e, labels, deg, twoM, numPartitions, round % 2)
-        .localCheckpoint(false) // lazy: the changes count materializes it
+      // fresh lazy checkpoint (the changes count / caller's first
+      // action materializes it): resets the inherited-stats chain that
+      // otherwise grows exponentially with rounds
+      val next = Superstep.freshCheckpoint(
+        scoreRound(e, labels, deg, twoM, numPartitions, round % 2),
+        eager = false)
 
       if (earlyStop) {
         val changes = next.filter(col("community") =!= col("prev")).count()
@@ -150,11 +154,10 @@ object ModularityRefine {
     // side, zero rows); without it each consumer re-executes the two
     // joins above (the exchanges dedupe via ReusedExchange, the
     // post-shuffle operators do not)
-    val state = ik
+    val state = Superstep.freshCheckpoint(ik
       .join(ctot.hint("shuffle_hash"), col("cur") === col("c"))
       .select(col("id"), col("cur"), col("k"), col("tot").as("tcur"))
-      .repartition(numPartitions, col("id"))
-      .localCheckpoint(false)
+      .repartition(numPartitions, col("id")), eager = false)
 
     // ONE O(E) message exchange: source state rides along via the
     // exchange-free co-partitioned src join, the candidate community

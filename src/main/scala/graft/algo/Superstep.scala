@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Superstep {
 
+  /** localCheckpoint + reset of the inherited stats lineage — use for
+    * every per-iteration checkpoint whose next round joins it more than
+    * once (see [[org.apache.spark.sql.graft.CheckpointStats]]: Spark 4
+    * propagates origin stats through checkpoints, and multi-use joins
+    * grow the inherited sizeInBytes BigInt exponentially with rounds
+    * until PLANNING dominates wall time).
+    */
+  def freshCheckpoint(df: org.apache.spark.sql.DataFrame,
+                      eager: Boolean): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.CheckpointStats
+      .dropOriginStats(df.localCheckpoint(eager))
+
   /** Frees superseded localCheckpoint state RDDs.
     *
     * `Dataset.localCheckpoint` pins its RDD in the block manager for

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.graph.GraphOps
 
 /** The reference's own community fixtures as exact golden outputs for
@@ -246,6 +246,52 @@ class AlgoFixtureSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(withIso((c * k).toLong) == (c * k).toLong)
     assert(withIso.size == c * k + 1)
+  }
+
+  test("Leiden split: a planted disconnected community separates into its parts") {
+    // two 3-cliques share community 0 but have no connecting edge
+    val cl = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val sym = GraphOps.symmetrize(cl.toDF("src", "dst"))
+    val bad = Seq(0L, 1L, 2L, 10L, 11L, 12L).map((_, 0L)).toDF("id", "community")
+    val got = Louvain.splitDisconnected(spark, sym, bad, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(got(_) == 0L), got.toString)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), got.toString)
+  }
+
+  test("Leiden: every output community is internally connected; cliques exact") {
+    // skewed deterministic graph — the guarantee must hold regardless
+    val edges = (0L until 400L).map { i =>
+      val u = (i * i * 31 + i) % 97
+      val v = (i * 17 + 5) % 97
+      (u, v)
+    }.filter { case (u, v) => u != v }
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    val res = Leiden.run(spark, sym, 4)
+    val lab = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    // driver-side union-find within each community
+    val parent = scala.collection.mutable.Map(lab.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    und.foreach { case (u, v) =>
+      if (lab(u) == lab(v)) parent(find(u)) = find(v)
+    }
+    lab.groupBy(_._2).foreach { case (c, members) =>
+      val roots = members.keys.map(find).toSet
+      assert(roots.size == 1, s"community $c is disconnected: ${members.keys}")
+    }
+    // and the clique fixture resolves exactly, as with Louvain
+    val k = 5; val c = 4
+    val cliqueEdges = for {
+      ci <- 0 until c; i <- 0 until k; j <- (i + 1) until k
+    } yield ((ci * k + i).toLong, (ci * k + j).toLong)
+    val bridges = (0 until c).map(ci =>
+      ((ci * k).toLong, (((ci + 1) % c) * k).toLong))
+    val ring = GraphOps.symmetrize((cliqueEdges ++ bridges).toDF("src", "dst"))
+    val lr = Leiden.run(spark, ring, 4, maxLevels = 3, roundsPerLevel = 4)
+    val gotR = lr.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (ci <- 0 until c; i <- 0 until k)
+      assert(gotR((ci * k + i).toLong) == (ci * k).toLong)
   }
 
   test("ModularityRefine: already-optimal partition is a fixed point") {
