@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.corpus.CorpusGen
+import graft.curation.Curation
 import graft.dedup.Dedup
 import graft.extract.Extractor
 import graft.functions.indel_ratio
@@ -718,6 +719,51 @@ object SparkEntry {
       // S7: BM25 over the tokenized inverted index (constraints.py:263-286)
       text.Fulltext.search(s.read.parquet(t(d, "documents")),
         Seq("spark", "window", "hash"), k = 20)),
+
+    // ── curation: decontamination / packing / sampling ──
+    "cur_decontaminate" -> ((s, d) => {
+      // plant guaranteed contamination: every 37th doc is held out AND
+      // re-enters the training side under a shifted id
+      val docs = s.read.parquet(t(d, "documents"))
+      val holdout = docs.filter(pmod(col("doc_id"), lit(37L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(37L)) =!= 0)
+        .unionByName(holdout.withColumn("doc_id", col("doc_id") + 1000000L))
+      Curation.decontaminate(train, holdout, n = 5)
+    }),
+
+    "cur_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(s.read.parquet(t(d, "documents")),
+        budget = 256, bucketSize = 64)),
+
+    "cur_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(s.read.parquet(t(d, "documents")),
+        rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.125),
+        defaultRate = 0.0625, salt = 7L)
+        .select(col("doc_id"), col("lang"))),
+
+    "text_repetition_filter" -> ((s, d) => {
+      // plant boilerplate: every 19th doc repeats its body across lines,
+      // every 23rd gets template bigram spam
+      val docs = s.read.parquet(t(d, "documents"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(19L)) === 0,
+            concat_ws("\n", col("text"), col("text"), lit("unique tail line")))
+          .when(pmod(col("doc_id"), lit(23L)) === 0,
+            concat(col("text"),
+              lit(" badge badge badge badge badge badge badge badge")))
+          .otherwise(col("text")))
+      text.QualityFilters.repetitionMetrics(docs)
+    }),
+
+    "text_pii_redact" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13L)) === 0,
+            concat(col("text"), lit(" contact: "), col("lang"), lit(".user"),
+              col("doc_id"), lit("@example.com or +1 555-123-4567")))
+          .otherwise(col("text")))
+      text.QualityFilters.redactPii(docs)
+    }),
 
     // ── chunking (reference params 512/64/1500/100) ──
     "chunking" -> ((s, d) => {
@@ -2051,6 +2097,126 @@ object SparkEntry {
       """SELECT CAST(sum(CASE WHEN vec_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS missing_count
          FROM embeddings""",
+
+    // Gram matching on raw strings ≡ the Spark side's xxhash64'd grams
+    // (injective at these set sizes — same argument as n-gram Jaccard)
+    "cur_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(l) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(l) - 4),
+                 i -> array_to_string(l[i:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS g
+           FROM toks),
+         hold AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 37 = 0),
+         train AS (
+           SELECT doc_id, g FROM g WHERE doc_id % 37 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, g FROM g WHERE doc_id % 37 = 0),
+         tg AS (SELECT doc_id, unnest(g) AS gram FROM train),
+         hits AS (
+           SELECT tg.doc_id, count(*) AS n_matched
+           FROM tg JOIN hold USING (gram) GROUP BY 1)
+         SELECT tr.doc_id,
+           CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched,
+           CAST(coalesce(h.n_matched, 0) > 0 AS INT) AS contaminated
+         FROM (SELECT doc_id FROM train) tr LEFT JOIN hits h USING (doc_id)""",
+
+    "cur_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+           FROM toks)
+         SELECT doc_id, n_tokens,
+           CAST(prefix // 256 AS BIGINT) AS pack_id,
+           CAST(prefix % 256 AS BIGINT) AS pack_offset
+         FROM c""",
+
+    "text_repetition_filter" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 19 = 0 THEN
+                    text || chr(10) || text || chr(10) || 'unique tail line'
+                  WHEN doc_id % 23 = 0 THEN
+                    text || ' badge badge badge badge badge badge badge badge'
+                  ELSE text END AS text
+           FROM documents),
+         ln AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+             l -> l <> '')) AS line
+           FROM d),
+         lf AS (
+           SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                    / sum(c) AS dup_line_frac
+           FROM (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2)
+           GROUP BY doc_id),
+         toks AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM d),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(l) - 1), i -> array_to_string(l[i:i+1], ' '))) AS gram
+           FROM toks WHERE len(l) >= 2),
+         gf AS (
+           SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+           FROM (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2)
+           GROUP BY doc_id),
+         sym AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[#@*%^]|\.\.\.')) AS DOUBLE) /
+               greatest(CAST(len(l) AS DOUBLE), 1.0) AS symbol_word_ratio
+           FROM toks)
+         SELECT d.doc_id,
+           round(coalesce(lf.dup_line_frac, 0.0), 6) AS dup_line_frac,
+           round(coalesce(gf.top_bigram_frac, 0.0), 6) AS top_bigram_frac,
+           round(sym.symbol_word_ratio, 6) AS symbol_word_ratio,
+           CAST(coalesce(lf.dup_line_frac, 0.0) > 0.30 OR
+                coalesce(gf.top_bigram_frac, 0.0) > 0.18 OR
+                sym.symbol_word_ratio > 0.10 AS INT) AS flagged
+         FROM d LEFT JOIN lf USING (doc_id)
+                LEFT JOIN gf USING (doc_id)
+                LEFT JOIN sym USING (doc_id)""",
+
+    "text_pii_redact" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN
+               text || ' contact: ' || lang || '.user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1 555-123-4567'
+             ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9]{2}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),
+             '\+?[0-9][0-9]{2}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g')
+             AS text_redacted
+         FROM d""",
+
+    // rates are exact binary fractions so rate·2³¹ is integral — no
+    // truncate-vs-round divergence between the engines
+    "cur_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ((doc_id + 7) % 2147483648) * 2654435761 % 2147483648 <
+           CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                          WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.125
+                          ELSE 0.0625 END * 2147483648 AS BIGINT)""",
 
     "fulltext_bm25" ->
       """WITH toks AS (

@@ -1,0 +1,131 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Training-data curation operators a 100 TB pipeline needs beyond
+  * dedup/similarity: benchmark decontamination, sequence packing and
+  * deterministic stratified sampling — all pure codegen'd column
+  * expressions with exact DuckDB oracle twins.
+  *
+  * Scale notes (100 TB discipline):
+  *  - decontamination joins the CORPUS side once against a broadcast of
+  *    the (always small) held-out gram set; the only shuffle of
+  *    corpus-derived rows carries matched grams, not all grams;
+  *  - packing is a distributed prefix sum: per-bucket window cumsum +
+  *    a bucket-offset join — no global single-partition sort;
+  *  - sampling is stateless per-row arithmetic (one scan, zero shuffle).
+  */
+object Curation {
+
+  /** Distinct word n-grams as space-joined strings. Documents shorter
+    * than n tokens contribute no grams (standard decontamination
+    * semantics — an m<n-token doc cannot contain an n-gram overlap).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val tk = TextOps.tokens(text)
+    array_distinct(
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** ── Decontamination ───────────────────────────────────────────────
+    * Flags training documents sharing any word n-gram with a held-out
+    * (benchmark/eval) set. Returns one row per training doc:
+    * (doc_id, n_matched, contaminated).
+    *
+    * Both sides hash grams to 8-byte xxhash64 keys so the join carries
+    * longs, not strings; counts are unchanged vs joining the gram
+    * strings themselves (injective at any realistic distinct-gram
+    * cardinality — same argument as the n-gram Jaccard oracle), which
+    * is what lets the DuckDB twin replay on raw strings.
+    *
+    * At 100 TB the held-out side is a benchmark suite (≤10⁶ grams):
+    * `broadcast()` keeps the corpus side shuffle-free until the
+    * per-doc count of MATCHED grams only.
+    */
+  def decontaminate(train: DataFrame, holdout: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val heldGrams = holdout
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh")).distinct()
+    val trainGrams = train
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
+    val hits = trainGrams
+      .join(broadcast(heldGrams), Seq("gh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_matched"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** ── Sequence packing ─────────────────────────────────────────────
+    * Assigns each document (in doc_id order) a pack id so concatenated
+    * packs hold ~`budget` tokens: pack_id = ⌊prefix_tokens / budget⌋
+    * where prefix_tokens is the token count of all PRIOR docs — the
+    * "concat the stream, cut every `budget` tokens" discipline (a doc
+    * may straddle a boundary; it belongs to the pack where it begins,
+    * at offset pack_offset).
+    *
+    * The prefix sum is distributed: cumsum inside doc_id/bucketSize
+    * buckets (windows over ≤bucketSize rows), then a per-bucket offset
+    * computed from the tiny bucket-totals table. Choose
+    * bucketSize ≈ √n so both window widths stay bounded; no global
+    * single-partition sort anywhere.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 256, bucketSize: Long = 512,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      (col(idCol).cast("long") / bucketSize).cast("long").as("bkt"))
+    val inBkt = toks.withColumn("cum_in_bkt",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("bkt").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bktOffsets = toks.groupBy("bkt").agg(sum("n_tokens").as("bkt_total"))
+      .withColumn("bkt_offset",
+        coalesce(sum(col("bkt_total")).over(
+          Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "bkt_offset")
+    inBkt.join(broadcast(bktOffsets), Seq("bkt"))
+      .withColumn("prefix", col("bkt_offset") + col("cum_in_bkt") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("prefix") / budget).cast("long").as("pack_id"),
+        pmod(col("prefix"), lit(budget.toLong)).as("pack_offset"))
+  }
+
+  /** Half range of the multiplicative hash: 2³¹ keeps the product
+    * (doc_id mod 2³¹) · 2654435761 under 2⁶³ for any doc_id — exact in
+    * both engines' 64-bit integer arithmetic (2³² would overflow).
+    */
+  val SampleHashMod = 2147483648L
+  private val Knuth = 2654435761L
+
+  /** ── Deterministic stratified sampling ────────────────────────────
+    * Keeps a row iff knuthHash(id + salt) < rate(stratum) · 2³¹ — pure
+    * per-row arithmetic (Knuth's multiplicative hash), so the sample is
+    * reproducible across runs, engines and cluster sizes, with zero
+    * shuffle and no RNG state. Strata without a configured rate fall
+    * back to `defaultRate`.
+    */
+  def knuthHash(id: Column, salt: Long): Column =
+    pmod(pmod(id.cast("long") + salt, lit(SampleHashMod)) * Knuth, lit(SampleHashMod))
+
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "lang", defaultRate: Double = 0.0,
+                       salt: Long = 0L, idCol: String = "doc_id"): DataFrame = {
+    val rate = coalesce(
+      element_at(typedLit(rates), col(strataCol)), lit(defaultRate))
+    docs.filter(
+      knuthHash(col(idCol), salt) < (rate * SampleHashMod).cast("long"))
+  }
+}

@@ -77,6 +77,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate broadcasts the held-out gram set; no Window") {
+    val held = docs.filter(col("doc_id") % 37 === 0)
+    val out = graft.curation.Curation.decontaminate(docs, held, n = 3)
+    assert(logicalWindows(out) === 0)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftSemi"),
+      s"held grams must broadcast into a semi join:\n$phys")
+  }
+
+  test("packSequences: big-side window is bucket-partitioned, offsets broadcast") {
+    val out = graft.curation.Curation.packSequences(docs, budget = 64, bucketSize = 16)
+    val phys = out.queryExecution.executedPlan.toString
+    // exactly one window runs over corpus-sized input and it is keyed
+    // by bkt (bounded width); the only unkeyed window is over the tiny
+    // bucket-totals table, which then broadcasts back
+    assert(logicalWindows(out) === 2)
+    assert("""Window \[sum\(n_tokens#\d+L?\) windowspecdefinition\(bkt#"""
+      .r.findAllIn(phys).size === 1,
+      s"corpus-side cumsum must be partitioned by bkt:\n$phys")
+    assert(phys.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast, not shuffle the corpus:\n$phys")
+  }
+
+  test("stratifiedSample is a pure scan: zero exchanges") {
+    val out = graft.curation.Curation.stratifiedSample(
+      docs.withColumn("lang", lit("en")), Map("en" -> 0.5))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"sampling must not shuffle:\n$phys")
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     // own temp parquet, not the shared testdata file: another suite
     // caching the same read plan would substitute an InMemoryRelation
