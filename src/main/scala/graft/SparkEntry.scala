@@ -741,6 +741,23 @@ object SparkEntry {
         defaultRate = 0.0625, salt = 7L)
         .select(col("doc_id"), col("lang"))),
 
+    // ── corpus profiling ──
+    "stats_vocab_topk" -> ((s, d) =>
+      text.CorpusStats.vocabTopK(s.read.parquet(t(d, "documents")), k = 50)),
+
+    "stats_lang_profile" -> ((s, d) =>
+      text.CorpusStats.langProfile(s.read.parquet(t(d, "documents")))),
+
+    "stats_length_histogram" -> ((s, d) =>
+      text.CorpusStats.lengthHistogram(s.read.parquet(t(d, "documents")))),
+
+    "cur_resample_mixture" -> ((s, d) =>
+      // half-integer weights: frac·2³¹ is exact in both engines
+      Curation.resampleMixture(s.read.parquet(t(d, "documents")),
+        weights = Map("en" -> 1.5, "de" -> 2.0, "zh" -> 0.5),
+        defaultWeight = 1.0, salt = 11L)
+        .select(col("doc_id"), col("lang"), col("copy_idx"))),
+
     "text_repetition_filter" -> ((s, d) => {
       // plant boilerplate: every 19th doc repeats its body across lines,
       // every 23rd gets template bigram spam
@@ -2141,6 +2158,49 @@ object SparkEntry {
            CAST(prefix // 256 AS BIGINT) AS pack_id,
            CAST(prefix % 256 AS BIGINT) AS pack_offset
          FROM c""",
+
+    "stats_vocab_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents),
+         p AS (SELECT doc_id, unnest(l) AS tok FROM toks)
+         SELECT tok, CAST(count(*) AS BIGINT) AS occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         FROM p GROUP BY tok
+         ORDER BY occurrences DESC, tok LIMIT 50""",
+
+    "stats_lang_profile" ->
+      """WITH toks AS (
+           SELECT lang, text,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t <> '')) AS nt
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           round(avg(length(text)), 2) AS avg_chars
+         FROM toks GROUP BY lang""",
+
+    "stats_length_histogram" ->
+      """SELECT CAST(length(text) // 100 * 100 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "cur_resample_mixture" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 2.0
+                       WHEN 'zh' THEN 0.5 ELSE 1.0 END AS w
+           FROM documents),
+         n AS (
+           SELECT doc_id, lang,
+             CAST(floor(w) AS BIGINT) +
+             CASE WHEN ((doc_id + 11) % 2147483648) * 2654435761 % 2147483648 <
+                       CAST((w - floor(w)) * 2147483648 AS BIGINT)
+                  THEN 1 ELSE 0 END AS n
+           FROM w)
+         SELECT doc_id, lang, unnest(generate_series(0, n - 1)) AS copy_idx
+         FROM n WHERE n > 0""",
 
     "text_repetition_filter" ->
       """WITH d AS (

@@ -128,4 +128,27 @@ object Curation {
     docs.filter(
       knuthHash(col(idCol), salt) < (rate * SampleHashMod).cast("long"))
   }
+
+  /** ── Mixture resampling (domain up/down-weighting) ────────────────
+    * Repeats each row ⌊w⌋ or ⌈w⌉ times for its stratum's mixture
+    * weight w, choosing the ceiling deterministically for a
+    * hash-selected `frac(w)` share of ids — so the expected multiplier
+    * is exactly w, reproducibly, with no RNG state. Emits
+    * (…row…, copy_idx); w < 1 downsamples (some rows get 0 copies).
+    * One scan + one explode of bounded fan-out — shuffle-free.
+    */
+  def resampleMixture(docs: DataFrame, weights: Map[String, Double],
+                      strataCol: String = "lang", defaultWeight: Double = 1.0,
+                      salt: Long = 0L, idCol: String = "doc_id"): DataFrame = {
+    val w = coalesce(
+      element_at(typedLit(weights), col(strataCol)), lit(defaultWeight))
+    val base = floor(w) // BIGINT
+    val frac = w - base.cast("double")
+    val extra = (knuthHash(col(idCol), salt) <
+      (frac * SampleHashMod).cast("long")).cast("long")
+    docs.withColumn("n_copies", base + extra)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
 }

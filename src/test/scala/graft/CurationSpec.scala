@@ -81,4 +81,24 @@ class CurationSpec extends AnyFunSuite {
     assert(s3.orderBy("doc_id").collect().toSeq !=
       s1.orderBy("doc_id").collect().toSeq)
   }
+
+  test("resampleMixture: expected multiplier per stratum, dense copy_idx") {
+    val docs = (0L until 3000L).map(i =>
+      (i, Seq("up", "keep", "down")((i % 3).toInt))).toDF("doc_id", "lang")
+    val out = Curation.resampleMixture(docs,
+      weights = Map("up" -> 2.5, "down" -> 0.5), defaultWeight = 1.0, salt = 3L)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 docs per stratum: up ≈ 2500, keep = exactly 1000, down ≈ 500
+    assert(counts("keep") == 1000L)
+    assert(counts("up") > 2300 && counts("up") < 2700, s"up=${counts("up")}")
+    assert(counts("down") > 400 && counts("down") < 600, s"down=${counts("down")}")
+    // per-doc copies are 0..n-1 with no gaps
+    val byDoc = out.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+        .as("n"),
+        org.apache.spark.sql.functions.max("copy_idx").as("mx"))
+      .collect()
+    assert(byDoc.forall(r => r.getLong(2) == r.getLong(1) - 1))
+  }
 }
