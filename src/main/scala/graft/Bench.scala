@@ -93,16 +93,26 @@ object Bench {
     // between consecutive runs (BASELINE.md round 3) — and min-of-N of
     // a deterministic job estimates the machine's actual cost where a
     // single sample measures the noisy neighbor. Reps share nothing
-    // beyond what one sequential run already shares (JIT, page cache);
-    // each rep re-executes the full job and the previous rep's output
-    // is unpersisted before the rerun.
+    // beyond what one sequential run already shares (JIT, page cache):
+    // before each rerun the entry's cleanup evicts any input-keyed
+    // caches (e.g. the marker scan) and EVERY persistent RDD the
+    // previous rep created is force-freed — Dataset.unpersist alone is
+    // a no-op for localCheckpoint-pinned blocks, which would both leak
+    // storage across reps and let rep 2 reuse rep 1's materialized
+    // intermediates, under-measuring the very job the rep protocol is
+    // meant to pin down.
     val reps = math.max(1, sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt)
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val stealPct = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def bench[T](name: String, cleanup: T => Unit = (_: T) => ())(f: => T): T = {
       var out: Option[T] = None
+      val pre = spark.sparkContext.getPersistentRDDs.keySet
       val samples = (1 to reps).map { _ =>
-        out.foreach(cleanup)
+        out.foreach { o =>
+          cleanup(o)
+          val now = spark.sparkContext.getPersistentRDDs
+          (now.keySet -- pre).foreach(id => now.get(id).foreach(_.unpersist(false)))
+        }
         val (s0, j0) = cpuJiffies()
         val (r, dt) = time(f)
         val (s1, j1) = cpuJiffies()
@@ -124,7 +134,8 @@ object Bench {
       c0.count(); c0
     }
     val snap = bench[Snapshot]("pipeline_normalize",
-      cleanup = s => { s.entities.unpersist(); s.edges.unpersist() }) {
+      cleanup = s => { Extractor.evictMarkers(c)
+        s.entities.unpersist(); s.edges.unpersist() }) {
       val s0 = Snapshot(Extractor.entities(c), Extractor.relationships(c))
       val out = Normalize.fullChain(s0)
       out.entities.count(); out.edges.count()

@@ -575,7 +575,7 @@ object SparkEntry {
 
     "modrefine_sql_graph" -> ((s, d) => {
       // Louvain-style local-move refinement of the LPA-3 partition,
-      // exactly two parity-gated rounds — integer-score argmax replayed
+      // exactly two direction-gated rounds — integer-score argmax replayed
       // bit-for-bit by the unrolled DuckDB twin
       val sym = GraphOps.symmetrize(sqlGraphEdges(s))
       val lpa = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
@@ -583,7 +583,7 @@ object SparkEntry {
     }),
 
     "louvain_sql_graph" -> ((s, d) => {
-      // full multi-level Louvain: singleton-init local-move (2 parity
+      // full multi-level Louvain: singleton-init local-move (2 direction
       // rounds), coarsen to the weighted community graph, refine again —
       // the whole thing integer-exact so the DuckDB twin unrolls both
       // levels bit-for-bit
@@ -1340,9 +1340,9 @@ object SparkEntry {
   /** Unrolled 2-round Louvain local-move refinement of the LPA-3
     * partition, mirroring ModularityRefine.run's exact integer-score
     * argmax (S = 2m·k_iC − k_i·(tot_C − [C=cur]·k_i), ties → current
-    * community then min id) and its parity gating (round 1 moves even
-    * ids, round 2 odd). All-BIGINT arithmetic: hash-exact across
-    * engines.
+    * community then min id) and its direction gating (round 1 admits
+    * only moves to a smaller community id, round 2 only to a larger).
+    * All-BIGINT arithmetic: hash-exact across engines.
     */
   private def modRefineSqlOracle(rounds: Int): String =
     // materialize every CTE — same DuckDB inlining blowup as the
@@ -1379,8 +1379,8 @@ object SparkEntry {
                ORDER BY s DESC, isa DESC, cand ASC) AS rn FROM sc$p)
            WHERE rn = 1),
          lab$r AS (SELECT l.id,
-             CASE WHEN l.id % 2 = ${p % 2} THEN w.cand ELSE l.community END
-               AS community
+             CASE WHEN w.cand ${if (p % 2 == 0) "<" else ">"} l.community
+               THEN w.cand ELSE l.community END AS community
            FROM lab$p l JOIN win$p w ON l.id = w.id)"""
     }.mkString
     s"""$head$steps,
@@ -1390,11 +1390,13 @@ object SparkEntry {
        JOIN rcanon c ON l.community = c.community"""
   }
 
-  /** Weighted parity-gated local-move rounds for the Louvain twin:
+  /** Weighted direction-gated local-move rounds for the Louvain twin:
     * assumes CTEs `e$lvl(src, dst, w)` and `a${lvl}_0(id, community)`
     * exist; emits deg/mm plus one ct/cand/sc/win/a chain per round
-    * (round r gates parity (r−1) % 2, restarting at 0 each level like
-    * a fresh ModularityRefine.run), ending at `f$lvl` = the level's
+    * (round r admits only moves toward a smaller community id when r
+    * is odd, larger when even — restarting the down/up alternation
+    * each level like a fresh ModularityRefine.run), ending at `f$lvl`
+    * = the level's
     * labels canonicalized to min member id.
     */
   private def louvainLevelSql(lvl: Int, rounds: Int): String = {
@@ -1425,8 +1427,8 @@ object SparkEntry {
                ORDER BY s DESC, isa DESC, cand ASC) AS rn FROM sc${lvl}_$p)
            WHERE rn = 1),
          a${lvl}_$r AS (SELECT lb.id,
-             CASE WHEN lb.id % 2 = ${p % 2} THEN w.cand ELSE lb.community END
-               AS community
+             CASE WHEN w.cand ${if (p % 2 == 0) "<" else ">"} lb.community
+               THEN w.cand ELSE lb.community END AS community
            FROM a${lvl}_$p lb JOIN win${lvl}_$p w ON lb.id = w.id)"""
     }.mkString
     s"""$head$steps,
@@ -2260,7 +2262,9 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT)
              AS n_emails,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),
              '\+?[0-9][0-9]{2}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
            regexp_replace(
              regexp_replace(text,

@@ -73,17 +73,22 @@ object ConnectedComponents {
     // no upfront distinct/repartition: the first large-star round
     // shuffles by src anyway and small-star's distinct restores set
     // semantics — two edge-scale shuffles saved
-    var e = resumed.map(_._2).getOrElse(
-      edges.select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst")))
-      .localCheckpoint(true)
+    // freshCheckpoint, not bare localCheckpoint: each star round
+    // self-joins its input, so inherited origin stats would square
+    // per round (see CheckpointStats) — the exact planning blowup
+    // diagnosed for the refine loop applies here from round ~25 on
+    var e = Superstep.freshCheckpoint(
+      resumed.map(_._2).getOrElse(
+        edges.select(col("src"), col("dst"))
+          .filter(col("src") =!= col("dst"))), eager = true)
 
     var step = resumed.map(_._1).getOrElse(0)
     var prevSum = checksum(e)
     var converged = false
     val gc = new Superstep.CheckpointGC(spark)
     while (step < maxIter && !converged) {
-      e = smallStar(largeStar(e)).localCheckpoint(false) // lazy: checksum materializes
+      e = Superstep.freshCheckpoint(
+        smallStar(largeStar(e)), eager = false) // lazy: checksum materializes
       step += 1
       val s = checksum(e)
       gc.tick()

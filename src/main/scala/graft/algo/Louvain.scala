@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   *   1. local move: `ModularityRefine.run` from the current partition
   *      (level 0 starts from singletons, the classic Louvain init)
-  *      with a fixed, parity-gated round budget;
+  *      with a fixed, direction-gated round budget;
   *   2. coarsen: supernode = community; coarse edge weight =
   *      Σ fine weights over both directions, so an intra-community
   *      pair contributes its weight twice to the supernode's self-loop
@@ -42,7 +42,14 @@ import org.apache.spark.sql.functions._
   */
 object Louvain {
 
-  final case class Result(labels: DataFrame, levels: Int)
+  /** @param cleanup frees the per-level checkpointed frames (edges,
+    *   moved/refined labels, composed mappings) this run pinned in the
+    *   block manager — without it a session looping over many graphs
+    *   accumulates ~4 pinned frames per level per call. Invoke only
+    *   AFTER materializing `labels` (they feed it).
+    */
+  final case class Result(labels: DataFrame, levels: Int,
+                          cleanup: () => Unit = () => ())
 
   /** Split every community into its connected parts: connected
     * components of the same-community subgraph (self-loops dropped —
@@ -87,8 +94,8 @@ object Louvain {
 
   /** @param symEdges symmetrized undirected edges (both directions),
     *   optionally with a BIGINT `w` weight column (`weighted=true`)
-    * @param roundsPerLevel fixed parity-gated local-move rounds per
-    *   level (even, so both parities sweep; 2 pairs with the oracle)
+    * @param roundsPerLevel fixed direction-gated local-move rounds per
+    *   level (even, so both directions sweep; 2 pairs with the oracle)
     * @param vertices optional (id, …) vertex table: ids with no incident
     *   edge keep a self-community in the result (degree-0 vertices can
     *   never gain modularity by moving, so they are exact, not a
@@ -114,6 +121,7 @@ object Louvain {
           vertices: Option[DataFrame] = None,
           connectSplit: Boolean = false): Result = {
 
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val wcol = if (weighted) col("w").cast("long") else lit(1L)
     var edges = Superstep.freshCheckpoint(
       symEdges.select(col("src"), col("dst"), wcol.as("w")), eager = true)
@@ -176,6 +184,11 @@ object Louvain {
           .withColumn("community", col("id"))
         connected.unionByName(isolated)
     }
-    Result(labels, level)
+    // same ownership contract as ModularityRefine.Result.cleanup: only
+    // what THIS call registered; frames the caller creates later survive
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    Result(labels, level, () => spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => mine.contains(id) }
+      .values.foreach(_.unpersist(false)))
   }
 }

@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
 object Modularity {
 
   /** @param undirectedPairs one row per undirected edge (u < v)
-    * @param communities (id, community) — need not cover every endpoint:
-    *   an endpoint missing from the table is treated as its own
-    *   singleton community (its vertex id; collision-free, since a
-    *   community id is the min MEMBER id and the vertex is not a
-    *   member), so every edge still counts toward m (ADVICE r2 — an
-    *   inner join silently dropped partially-covered edges from m).
+    * @param communities (id, community) — community ids MUST follow
+    *   this library's min-member canonicalization (every graft.algo
+    *   producer does). Coverage may be partial: an endpoint missing
+    *   from the table is treated as its own singleton community keyed
+    *   by its vertex id, which is collision-free precisely BECAUSE a
+    *   community id is the min id of its members and the missing
+    *   vertex is not a member; so every edge still counts toward m
+    *   (ADVICE r2 — an inner join silently dropped partially-covered
+    *   edges). With foreign community ids (e.g. dense 0..k-1 cluster
+    *   indices) a missing vertex whose id collides with a cluster
+    *   index would silently merge into it — re-key such inputs to
+    *   min-member ids first.
     */
   def modularity(undirectedPairs: DataFrame, communities: DataFrame): Double = {
     // ONE community join over the edge table; (m, intra) and the

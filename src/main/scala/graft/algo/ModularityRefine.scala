@@ -23,14 +23,20 @@ import org.apache.spark.storage.StorageLevel
   *     makes the argmax reproducible in any engine (the DuckDB oracle
   *     replays it bit-for-bit; no float tie ambiguity);
   *   - ties: the current community wins, then the minimum community id;
-  *   - PARITY GATING: round r applies moves only to vertices with
-  *     id % 2 == (r−1) % 2. A synchronous all-vertex update can swap
-  *     two adjacent vertices forever (each computes the other's stale
-  *     community as best); alternating halves holds each vertex's
-  *     neighborhood of opposite parity fixed, which breaks the 2-cycle
-  *     the same way LPA's cap does, while staying deterministic —
+  *   - DIRECTION GATING: round r applies only moves toward a SMALLER
+  *     community id when r is even, only toward a LARGER one when r is
+  *     odd. A synchronous all-vertex update can swap two adjacent
+  *     vertices forever (each computes the other's stale community as
+  *     best); under a monotone direction no within-round move cycle of
+  *     any length exists (a swap needs one decrease and one increase
+  *     in the same round; a rotation needs ids strictly decreasing
+  *     around a cycle), every single move is admissible in one of the
+  *     two alternating rounds, and the schedule stays deterministic —
   *     unlike the randomized vertex-fraction gating in distributed
-  *     Louvain implementations.
+  *     Louvain implementations. (An earlier id-parity gate failed to
+  *     break swaps between SAME-parity neighbors: two adjacent even
+  *     vertices could exchange singleton communities forever and could
+  *     never pairwise merge.)
   *
   * Scale shape: per round one (src ⨝ labels) shuffle-hash join +
   * map-side-combinable groupBy for k_{i,C} (identical exchange volume
@@ -82,14 +88,15 @@ object ModularityRefine {
     val deg = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
       .repartition(numPartitions, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // = Σ k_i: each undirected edge appears twice (self-loops once, at 2w)
-    val twoM = e.agg(sum(col("w"))).first().getLong(0)
+    // = Σ k_i: each undirected edge appears twice (self-loops once, at 2w);
+    // coalesce: sum over an EMPTY edge table is null, not 0
+    val twoM = e.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
 
     var labels = Superstep.freshCheckpoint(
       initial.select(col("id"), col("community"))
         .repartition(numPartitions, col("id")), eager = true)
     var round = 0
-    var stillRuns = 0 // consecutive moveless half-sweeps; 2 = both parities
+    var stillRuns = 0 // consecutive moveless phases; 2 = both directions
     var converged = false
     val gc = new Superstep.CheckpointGC(spark)
 
@@ -104,8 +111,9 @@ object ModularityRefine {
       if (earlyStop) {
         val changes = next.filter(col("community") =!= col("prev")).count()
         gc.tick()
-        // a moveless half-sweep ends the ascent only once BOTH parities
-        // were still back-to-back
+        // a moveless phase ends the ascent only once BOTH directions
+        // were still back-to-back (nobody moved down AND nobody moved
+        // up on the same state ⇒ every vertex's best is its current)
         stillRuns = if (changes == 0L) stillRuns + 1 else 0
         converged = stillRuns >= 2
       }
@@ -130,7 +138,9 @@ object ModularityRefine {
     Result(out, round, converged, cleanup)
   }
 
-  /** One parity-gated local-move half-sweep: (id, community, prev).
+  /** One direction-gated local-move phase: (id, community, prev).
+    * `phase` 0 admits only moves to a smaller community id, 1 only to
+    * a larger one.
     * Exchange budget (asserted by PlanSpec): TWO O(E) exchanges — the
     * dst-side message shuffle and the partially-aggregated (id, cand)
     * groupBy — plus three skinny O(n) exchanges (ctot groupBy, state
@@ -143,7 +153,7 @@ object ModularityRefine {
                                deg: DataFrame,
                                twoM: Long,
                                numPartitions: Int,
-                               parity: Int): DataFrame = {
+                               phase: Int): DataFrame = {
     // per-vertex state (id, cur, k, tot_cur): labels ⨝ deg is
     // exchange-free (both hash-partitioned by id); the community-total
     // join costs two skinny O(n) exchanges (by cur and back by id)
@@ -193,10 +203,12 @@ object ModularityRefine {
       .agg(max_by(col("cand"), struct(col("s"), col("isa"), -col("cand")))
         .as("best"))
 
+    val admissible =
+      if (phase == 0) col("best") < col("community")
+      else col("best") > col("community")
     labels.join(winner.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"),
-        when(pmod(col("id"), lit(2L)) === lit(parity) &&
-          col("best").isNotNull, col("best"))
+        when(col("best").isNotNull && admissible, col("best"))
           .otherwise(col("community")).as("community"),
         col("community").as("prev"))
   }

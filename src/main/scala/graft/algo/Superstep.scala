@@ -36,6 +36,20 @@ object Superstep {
     org.apache.spark.sql.graft.CheckpointStats
       .dropOriginStats(df.localCheckpoint(eager))
 
+  /** Release the block-manager blocks pinned by a localCheckpoint'd
+    * frame. `Dataset.unpersist` only consults the CacheManager and is
+    * a NO-OP for checkpoint-pinned RDDs; this unpersists the
+    * checkpoint RDD itself. The frame becomes unusable afterwards
+    * (checkpoint lineage is truncated and cannot recompute) — call
+    * only when every reference is dead. No-op for non-checkpoint
+    * frames.
+    */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Frees superseded localCheckpoint state RDDs.
     *
     * `Dataset.localCheckpoint` pins its RDD in the block manager for

@@ -103,7 +103,11 @@ object Dedup {
     // exchange left is the small-bucket self-join itself.
     // The entries are checkpointed lazily: they carry the signature
     // computation (minhash/simhash/hyperplane HOFs) and feed three
-    // subplans (stats, self-join ×2, star fallback).
+    // subplans (stats, self-join ×2, star fallback). The checkpoint
+    // pins blocks for the session lifetime (Dataset.unpersist cannot
+    // free them) — callers looping over many batches should scope a
+    // Superstep.CheckpointGC around the loop; the bench harness
+    // force-frees between reps.
     val e = entries.localCheckpoint(false)
     val hot = broadcast(
       e.groupBy(col("band"), col("bucket"))

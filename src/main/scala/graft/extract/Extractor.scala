@@ -54,6 +54,16 @@ object Extractor {
     }
   }
 
+  /** Drop the cached marker scan for `corpus` and free its pinned
+    * blocks, forcing the next extraction to re-scan. Benchmark reps
+    * need this: with the cache warm, a repeated pipeline run would
+    * skip the corpus scan + regex pass entirely and under-measure.
+    */
+  def evictMarkers(corpus: DataFrame): Unit = markerCache.synchronized {
+    Option(markerCache.remove(corpus))
+      .foreach(graft.algo.Superstep.freeCheckpoint)
+  }
+
   /** Entity table at raw-surface grain:
     * (id, name, displayName, label, definition, aliases, sourceSpans).
     *
@@ -66,6 +76,10 @@ object Extractor {
   def entities(corpus: DataFrame): DataFrame = {
     val m = markers(corpus)
     val relRe = "^rel\\[([^|]+)\\|([^:]+):([^|]*)\\|([^:]+):([^\\]]*)\\]$"
+    // GRAMMAR NOTE: '|' is reserved as the marker field delimiter, so
+    // entity surfaces may not contain it — an ent marker whose name
+    // embeds '|' fails the parse and is dropped by the name filter
+    // below (CorpusGen never emits one; a real extractor would escape)
     // ent markers may carry a deterministic acronym alias suffix
     // (`ent[Label:raw|a:ALIAS]`, CorpusGen) — the regex stand-in for the
     // reference's LLM alias augmentation (langextract_augmenter.py:344)

@@ -78,16 +78,21 @@ object QualityFilters {
 
   /** PII redaction: masks emails/phones with typed placeholders and
     * reports per-doc match counts. One stateless pass over the corpus.
-    * Returns (doc_id, n_emails, n_phones, text_redacted).
+    * Returns (doc_id, n_emails, n_phones, text_redacted). Phones are
+    * counted on the email-redacted text — a phone-shaped substring
+    * inside an email is swallowed by the [EMAIL] mask, so counting it
+    * on the raw text would report a phantom unredacted phone; this way
+    * n_emails/n_phones always equal the placeholder counts in
+    * text_redacted.
     */
   def redactPii(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame =
+                textCol: String = "text"): DataFrame = {
+    val emailMasked = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
     docs.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+      size(regexp_extract_all(emailMasked, lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"),
-      regexp_replace(
-        regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
-        PhoneRe, "[PHONE]").as("text_redacted"))
+      regexp_replace(emailMasked, PhoneRe, "[PHONE]").as("text_redacted"))
+  }
 }

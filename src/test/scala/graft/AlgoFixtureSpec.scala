@@ -204,6 +204,19 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(q1 > q0, s"modularity did not rise: $q0 -> $q1")
   }
 
+  test("ModularityRefine: same-parity pair merges (id-parity gate regression)") {
+    // single edge 0–2: under the old id-parity gate both endpoints moved
+    // in the same (even) round and swapped singleton communities forever —
+    // never merging. Direction gating admits only vertex 2's downward
+    // move, so one round merges them and the next two go still.
+    val und = Seq((0L, 2L)).toDF("src", "dst")
+    val res = ModularityRefine.run(spark, GraphOps.symmetrize(und),
+      Seq((0L, 0L), (2L, 2L)).toDF("id", "community"), numPartitions = 2)
+    assert(res.converged, "even-even pair must converge, not oscillate")
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 2L -> 0L), s"pair did not merge: $got")
+  }
+
   test("Louvain: ring of cliques resolves to one community per clique") {
     // 4 cliques of 5, ring-linked by single bridges between the cliques'
     // first vertices — small enough that the resolution limit does NOT

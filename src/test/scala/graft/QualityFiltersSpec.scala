@@ -29,7 +29,8 @@ class QualityFiltersSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "mail me at jane.doe+x@sub.example.org thanks"),
       (2L, "call +1 555-123-4567 or 555 987 6543 now"),
-      (3L, "no pii here")
+      (3L, "no pii here"),
+      (4L, "reach me: 555-123-4567x@corp.com ok") // phone-shaped local part
     ).toDF("doc_id", "text")
     val out = QualityFilters.redactPii(docs)
       .collect().map(r => r.getLong(0) ->
@@ -37,5 +38,8 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 0L, "mail me at [EMAIL] thanks")))
     assert(out(2L) == ((0L, 2L, "call +1 [PHONE] or [PHONE] now")))
     assert(out(3L) == ((0L, 0L, "no pii here")))
+    // the phone inside the email is swallowed by [EMAIL]; counting it
+    // would claim an unredacted phone that isn't there
+    assert(out(4L) == ((1L, 0L, "reach me: [EMAIL] ok")))
   }
 }
