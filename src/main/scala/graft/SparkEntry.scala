@@ -741,6 +741,12 @@ object SparkEntry {
         defaultRate = 0.0625, salt = 7L)
         .select(col("doc_id"), col("lang"))),
 
+    // ── hybrid retrieval: BM25 ∪ vector, reciprocal-rank fusion ──
+    "api_hybrid_search" -> ((s, d) =>
+      api.HybridSearch.search(
+        s.read.parquet(t(d, "documents")), s.read.parquet(t(d, "embeddings")),
+        Seq("spark", "window", "hash"), queryVecId = 0L, k = 10, kSource = 20)),
+
     // ── corpus profiling ──
     "stats_vocab_topk" -> ((s, d) =>
       text.CorpusStats.vocabTopK(s.read.parquet(t(d, "documents")), k = 50)),
@@ -2160,6 +2166,44 @@ object SparkEntry {
            CAST(prefix // 256 AS BIGINT) AS pack_id,
            CAST(prefix % 256 AS BIGINT) AS pack_offset
          FROM c""",
+
+    "api_hybrid_search" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS l
+           FROM documents),
+         dls AS (SELECT doc_id, len(l) AS dl FROM toks),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
+         p AS (SELECT doc_id, unnest(l) AS term FROM toks),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM p
+                WHERE term IN ('spark', 'window', 'hash') GROUP BY term, doc_id),
+         dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+             ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0)) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / s.avgdl)) AS sc
+           FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id
+           CROSS JOIN stats s),
+         bm AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS brank
+                FROM (SELECT doc_id, round(sum(sc), 4) AS score FROM scored
+                      GROUP BY doc_id)
+                ORDER BY score DESC, doc_id LIMIT 20),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         vsc AS (SELECT e.vec_id AS doc_id,
+                   round(${cosSql("q.qv", "e.embedding")}, 5) AS vscore
+                 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         vtop AS (SELECT doc_id, vscore FROM vsc
+                  ORDER BY vscore DESC, doc_id LIMIT 20),
+         vr AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY vscore DESC, doc_id) AS INT) AS vrank FROM vtop),
+         fused AS (
+           SELECT coalesce(bm.doc_id, vr.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + bm.brank), 0) +
+                   coalesce(1.0 / (60 + vr.vrank), 0), 6) AS rrf
+           FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id)
+         SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     "stats_vocab_topk" ->
       """WITH toks AS (
