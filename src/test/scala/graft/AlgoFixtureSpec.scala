@@ -316,4 +316,27 @@ class AlgoFixtureSpec extends AnyFunSuite {
     val after = ref.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before, "refinement changed an optimal 2-triangle split")
   }
+
+  test("freshCheckpoint resets inherited stats; bare localCheckpoint compounds them") {
+    // Spark 4 copies the origin plan's sizeInBytes into localCheckpoint's
+    // LogicalRDD; a self-join per round then SQUARES it, so the BigInt's
+    // bit-length doubles each round and BigInteger math eats the driver
+    // (the Leiden 19-minute planning stall). freshCheckpoint drops the
+    // origin stats, capping the chain at the 63-bit default.
+    import graft.algo.Superstep
+    def round(df: org.apache.spark.sql.DataFrame) =
+      df.join(df.select(col("id").as("id2")), col("id") === col("id2"))
+        .select(col("id"))
+    var bare = spark.range(100).toDF().localCheckpoint(true)
+    var fresh = Superstep.freshCheckpoint(spark.range(100).toDF(), eager = true)
+    for (_ <- 1 to 8) {
+      bare = round(bare).localCheckpoint(true)
+      fresh = Superstep.freshCheckpoint(round(fresh), eager = true)
+    }
+    val bareBits = bare.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    val freshBits = fresh.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(freshBits <= 64, s"fresh chain stats grew: $freshBits bits")
+    assert(bareBits > 4 * freshBits,
+      s"expected compounding without the reset (got $bareBits vs $freshBits bits)")
+  }
 }
