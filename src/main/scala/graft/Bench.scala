@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, PageRank, Superstep, Triangles}
 import graft.corpus.CorpusGen
 import graft.extract.Extractor
 import graft.graph.GraphOps
@@ -106,13 +106,9 @@ object Bench {
     val stealPct = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def bench[T](name: String, cleanup: T => Unit = (_: T) => ())(f: => T): T = {
       var out: Option[T] = None
-      val pre = spark.sparkContext.getPersistentRDDs.keySet
+      val gc = new Superstep.CheckpointGC(spark) // pre-entry frames survive
       val samples = (1 to reps).map { _ =>
-        out.foreach { o =>
-          cleanup(o)
-          val now = spark.sparkContext.getPersistentRDDs
-          (now.keySet -- pre).foreach(id => now.get(id).foreach(_.unpersist(false)))
-        }
+        out.foreach { o => cleanup(o); gc.close(0) }
         val (s0, j0) = cpuJiffies()
         val (r, dt) = time(f)
         val (s1, j1) = cpuJiffies()

@@ -1581,6 +1581,31 @@ object SparkEntry {
     * order (CosineSim: widen floats, left-to-right sums) — bit-identical
     * doubles, so 5dp-rounded scores hash-match.
     */
+  /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
+    * scored) for the fulltext and hybrid oracles — ONE copy of the
+    * Okapi constants / rounding / term list, so the two twins cannot
+    * drift apart. Plain string (no interpolator): the tokenizer regex
+    * keeps its backslash literal.
+    */
+  private val bm25CtesSql: String =
+    """toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents),
+         dls AS (SELECT doc_id, len(l) AS dl FROM toks),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
+         p AS (SELECT doc_id, unnest(l) AS term FROM toks),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM p
+                WHERE term IN ('spark', 'window', 'hash') GROUP BY term, doc_id),
+         dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+             ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0)) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / s.avgdl)) AS sc
+           FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id
+           CROSS JOIN stats s)"""
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
         (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
@@ -2168,23 +2193,7 @@ object SparkEntry {
          FROM c""",
 
     "api_hybrid_search" ->
-      s"""WITH toks AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS l
-           FROM documents),
-         dls AS (SELECT doc_id, len(l) AS dl FROM toks),
-         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
-         p AS (SELECT doc_id, unnest(l) AS term FROM toks),
-         tf AS (SELECT term, doc_id, count(*) AS tf FROM p
-                WHERE term IN ('spark', 'window', 'hash') GROUP BY term, doc_id),
-         dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         scored AS (
-           SELECT tf.doc_id,
-             ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
-               (tf.tf * (1.2 + 1.0)) /
-               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / s.avgdl)) AS sc
-           FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id
-           CROSS JOIN stats s),
+      s"""WITH $bm25CtesSql,
          bm AS (SELECT doc_id,
                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS brank
                 FROM (SELECT doc_id, round(sum(sc), 4) AS score FROM scored
@@ -2327,23 +2336,7 @@ object SparkEntry {
                           ELSE 0.0625 END * 2147483648 AS BIGINT)""",
 
     "fulltext_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
-           FROM documents),
-         dls AS (SELECT doc_id, len(l) AS dl FROM toks),
-         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
-         p AS (SELECT doc_id, unnest(l) AS term FROM toks),
-         tf AS (SELECT term, doc_id, count(*) AS tf FROM p
-                WHERE term IN ('spark', 'window', 'hash') GROUP BY term, doc_id),
-         dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         scored AS (
-           SELECT tf.doc_id,
-             ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
-               (tf.tf * (1.2 + 1.0)) /
-               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / s.avgdl)) AS sc
-           FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id
-           CROSS JOIN stats s)
+      s"""WITH $bm25CtesSql
          SELECT doc_id, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
          FROM (SELECT doc_id, round(sum(sc), 4) AS score FROM scored GROUP BY doc_id)

@@ -187,8 +187,6 @@ object Louvain {
     // same ownership contract as ModularityRefine.Result.cleanup: only
     // what THIS call registered; frames the caller creates later survive
     val mine = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
-    Result(labels, level, () => spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => mine.contains(id) }
-      .values.foreach(_.unpersist(false)))
+    Result(labels, level, () => Superstep.releaseIds(spark, mine.toSet))
   }
 }

@@ -131,9 +131,7 @@ object ModularityRefine {
         // only what THIS call registered (e, deg, the per-round lazy
         // checkpoints) — frames the caller creates later must survive
         val mine = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
-        () => spark.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => mine.contains(id) }
-          .values.foreach(_.unpersist(false))
+        () => Superstep.releaseIds(spark, mine.toSet)
       }
     Result(out, round, converged, cleanup)
   }

@@ -50,6 +50,17 @@ object Superstep {
       case _ => ()
     }
 
+  /** Unpersist exactly the persistent RDDs in `ids` (skipping any
+    * already gone) — the ownership-scoped release behind the
+    * ModularityRefine / Louvain cleanup hooks: callers snapshot
+    * `getPersistentRDDs.keySet` before and after their run and pass
+    * the difference, so frames created later by anyone else survive.
+    */
+  def releaseIds(spark: SparkSession, ids: Set[Int]): Unit = {
+    val now = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => now.get(id).foreach(_.unpersist(false)))
+  }
+
   /** Frees superseded localCheckpoint state RDDs.
     *
     * `Dataset.localCheckpoint` pins its RDD in the block manager for
