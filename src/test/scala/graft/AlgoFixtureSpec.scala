@@ -317,6 +317,24 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(after == before, "refinement changed an optimal 2-triangle split")
   }
 
+  test("Louvain cleanup releases this run's pinned frames, not the caller's") {
+    val mine = spark.range(50).toDF("id").localCheckpoint(true) // caller-owned
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val und = (0L until 12L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
+    val res = Louvain.run(spark, GraphOps.symmetrize(und), 4)
+    res.labels.count() // materialize BEFORE cleanup, per the contract
+    val pinnedDuring = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedDuring.nonEmpty, "expected per-level pinned frames")
+    res.cleanup()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after & pinnedDuring).forall(id =>
+      !spark.sparkContext.getPersistentRDDs(id).getStorageLevel.useMemory &&
+        !spark.sparkContext.getPersistentRDDs(id).getStorageLevel.useDisk) ||
+      (after & pinnedDuring).isEmpty,
+      s"run-created frames survived cleanup: ${after & pinnedDuring}")
+    assert(mine.count() == 50, "caller-owned checkpoint must survive cleanup")
+  }
+
   test("freshCheckpoint resets inherited stats; bare localCheckpoint compounds them") {
     // Spark 4 copies the origin plan's sizeInBytes into localCheckpoint's
     // LogicalRDD; a self-join per round then SQUARES it, so the BigInt's
