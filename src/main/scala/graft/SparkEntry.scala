@@ -591,6 +591,25 @@ object SparkEntry {
       Louvain.run(s, sym, parts(s, d), maxLevels = 2, roundsPerLevel = 2).labels
     }),
 
+    "ppr_sql_graph" -> ((s, d) => {
+      // personalized PageRank: teleport mass restricted to the %20==0
+      // seed vertices, 5 fixed supersteps vs the unrolled recurrence
+      val e = sqlGraphEdges(s)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val seeds = verts.filter(pmod(col("id"), lit(20L)) === 0)
+      val pr = PageRank.run(s, e, parts(s, d), tol = 0.0, maxIter = 5,
+        seeds = Some(seeds))
+      pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
+    "kcore_sql_graph" -> ((s, d) =>
+      // 4-core of the arithmetic graph: 11 peeling rounds to stable
+      // (749 of 1500 vertices survive) — real multi-round iteration,
+      // replayed exactly by the unrolled DuckDB twin
+      algo.KCore.run(s, GraphOps.symmetrize(sqlGraphEdges(s)), k = 4,
+        numPartitions = parts(s, d))),
+
     "leiden_sql_graph" -> ((s, d) => {
       // full Leiden: the Louvain move/aggregate loop PLUS the
       // connected-split refinement between them (Traag et al. 2019) —
@@ -1581,6 +1600,65 @@ object SparkEntry {
     * order (CosineSim: widen floats, left-to-right sums) — bit-identical
     * doubles, so 5dp-rounded scores hash-match.
     */
+  /** Unrolled personalized-PageRank recurrence: same 5-iteration shape
+    * as [[prSqlOracle]] with the teleport (and dangling) mass landing
+    * on the %20==0 seed distribution s_i = 1/|S| instead of 1/n —
+    * exactly PageRank.run's `seeds` arithmetic, doubles throughout.
+    */
+  private def pprSqlOracle(iters: Int): String = {
+    val si = "CASE WHEN g.id % 20 = 0 THEN 1.0 / sc.m ELSE 0.0 END"
+    val head =
+      s"""WITH $sqlGraphCte,
+         ew AS (SELECT src, dst, 1.0 AS w FROM e),
+         deg AS (
+           SELECT id, sum(od) AS outdeg FROM (
+             SELECT src AS id, w AS od FROM ew
+             UNION ALL SELECT dst, 0.0 FROM ew) GROUP BY id),
+         sc AS (SELECT count(*) AS m FROM deg WHERE id % 20 = 0),
+         r0 AS (SELECT g.id, g.outdeg, $si AS rank
+                FROM deg g CROSS JOIN sc)"""
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+         d$k AS (SELECT sum(CASE WHEN outdeg = 0 THEN rank ELSE 0.0 END) AS dang
+                 FROM r$p),
+         r$k AS (
+           SELECT g.id, g.outdeg,
+             (1.0 - 0.85) * ($si) +
+               0.85 * (coalesce(s.contrib, 0.0) + d.dang * ($si)) AS rank
+           FROM deg g
+           LEFT JOIN (SELECT e.dst AS id, sum(r.rank / r.outdeg * e.w) AS contrib
+                      FROM ew e JOIN r$p r ON e.src = r.id
+                      WHERE r.outdeg > 0 GROUP BY e.dst) s ON g.id = s.id
+           CROSS JOIN sc CROSS JOIN d$k d)"""
+    }.mkString
+    s"$head$steps SELECT id, round(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** Unrolled k-core peeling twin: `rounds` delete-below-k sweeps over
+    * the arithmetic graph (enough that the last sweep is a no-op — the
+    * Scala side runs to convergence, so any R ≥ rounds-to-stable gives
+    * the identical fixed point). Materialized CTEs for the usual
+    * DuckDB re-inlining reason.
+    */
+  private def kCoreSqlOracle(k: Int, rounds: Int): String = {
+    val head = s"WITH $sqlGraphCte"
+    val steps = (0 until rounds).map { r =>
+      s""",
+         kd$r AS (SELECT src AS id, count(*) AS dg FROM ks$r GROUP BY src),
+         ka$r AS (SELECT id FROM kd$r WHERE dg >= $k),
+         ks${r + 1} AS (SELECT c.src, c.dst FROM ks$r c
+           JOIN ka$r x ON c.src = x.id JOIN ka$r y ON c.dst = y.id)"""
+    }.mkString
+    s"""$head,
+       ks0 AS (SELECT src, dst FROM sym WHERE src <> dst)$steps
+       SELECT src AS id, CAST(count(*) AS BIGINT) AS core_deg
+       FROM ks$rounds GROUP BY src"""
+      .replace(" AS (", " AS MATERIALIZED (")
+      // the graph CTEs e/sym predate the peel chain and are referenced
+      // once each — MATERIALIZED is harmless there too
+  }
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -1944,6 +2022,8 @@ object SparkEntry {
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
     "louvain_sql_graph" -> louvainSqlOracle(2),
     "leiden_sql_graph" -> leidenSqlOracle(2),
+    "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
+    "ppr_sql_graph" -> pprSqlOracle(5),
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

@@ -40,6 +40,14 @@ object PageRank {
     *                 the edge `weight` column (rank·w/Σw) instead of
     *                 uniformly (rank/outDeg); with all weights equal the
     *                 two are identical
+    * @param seeds optional (id) table → PERSONALIZED PageRank: the
+    *              teleport (and dangling) mass lands uniformly on the
+    *              seed set instead of on every vertex, i.e. the rank
+    *              update becomes (1−d)·s_i + d·(contrib + dangling·s_i)
+    *              with s_i = 1/|S| on seeds, 0 elsewhere; ranks start
+    *              at s. None keeps the exact global formula (and plan)
+    *              unchanged. Not supported together with `ckpt`
+    *              (resume would need s persisted in the state table).
     */
   def run(spark: SparkSession,
           edges: DataFrame,
@@ -48,7 +56,10 @@ object PageRank {
           maxIter: Int = 100,
           damping: Double = 0.85,
           ckpt: Option[Superstep] = None,
-          weighted: Boolean = false): Result = Superstep.withoutAQE(spark) {
+          weighted: Boolean = false,
+          seeds: Option[DataFrame] = None): Result = Superstep.withoutAQE(spark) {
+    require(seeds.isEmpty || ckpt.isEmpty,
+      "personalized PageRank does not support checkpoint/resume")
 
     val wCol = if (weighted) col("weight").cast("double") else lit(1.0)
     val eAll = edges.select(col("src"), col("dst"), wCol.as("w"))
@@ -97,8 +108,22 @@ object PageRank {
         .repartition(numPartitions, col("id"))
     }
     val n = state.count()
+    // personalization column s joins in ONCE and rides the state table;
+    // the uniform path adds no column and keeps its exact expressions
+    seeds.foreach { sd =>
+      val seedCnt = sd.select(col("id")).distinct().count()
+      require(seedCnt > 0, "personalized PageRank needs a non-empty seed set")
+      state = state.join(
+        sd.select(col("id")).distinct().withColumn("isSeed", lit(true)),
+        Seq("id"), "left")
+        .withColumn("s",
+          when(col("isSeed"), lit(1.0 / seedCnt)).otherwise(lit(0.0)))
+        .drop("isSeed")
+        .repartition(numPartitions, col("id"))
+    }
     if (resumed.isEmpty) {
-      state = state.withColumn("rank", lit(1.0 / n))
+      state = state.withColumn("rank",
+        if (seeds.isEmpty) lit(1.0 / n) else col("s"))
     }
     // LAZY checkpoints throughout the loop: the per-iteration stats
     // aggregation is the action that materializes them, so each
@@ -140,13 +165,19 @@ object PageRank {
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("contrib"))
 
+      val rankExpr =
+        if (seeds.isEmpty)
+          lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n))
+        else
+          lit(1.0 - damping) * col("s") +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dangling) * col("s"))
+      val carry = if (seeds.isEmpty) Seq.empty else Seq(col("s"))
       val next = state
         .join(contribs.hint("shuffle_hash"), Seq("id"), "left")
-        .select(col("id"), col("outDeg"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
-            .as("rank"),
-          col("rank").as("prev"))
+        .select(Seq(col("id"), col("outDeg"), rankExpr.as("rank"),
+          col("rank").as("prev")) ++ carry: _*)
 
       state = next.localCheckpoint(false)
       step += 1

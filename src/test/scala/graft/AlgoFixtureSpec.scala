@@ -317,6 +317,38 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(after == before, "refinement changed an optimal 2-triangle split")
   }
 
+  test("personalized PageRank: seeded triangle keeps all mass, the other gets none") {
+    // two disjoint triangles; seeds = one triangle's vertices. With no
+    // path and no teleport to the other triangle, its PPR is exactly 0
+    // and the seeded triangle's symmetric stationary ranks are 1/3.
+    val sym = GraphOps.symmetrize(nameEdges(twoTriNames))
+    val ids = idsOf(twoTriNames)
+    val seedNames = Seq("traceability", "scope creep", "requirements elicitation")
+    val seeds = seedNames.map(ids).toDF("id")
+    val res = PageRank.run(spark, sym, numPartitions = 4, seeds = Some(seeds))
+    assert(res.converged)
+    val ranks = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    seedNames.foreach(nm =>
+      assert(math.abs(ranks(ids(nm)) - 1.0 / 3) < 1e-6, s"$nm: ${ranks(ids(nm))}"))
+    Seq("iso 26262", "automotive", "functional safety").foreach(nm =>
+      assert(ranks(ids(nm)) == 0.0, s"unseeded $nm got mass: ${ranks(ids(nm))}"))
+  }
+
+  test("KCore: K4 plus a dangling path — the clique survives k=3, the tail peels") {
+    // K4 on {0,1,2,3}; path 3-10-11-12 hangs off it. At k=3 the path
+    // peels back over three rounds (12, then 11, then 10) and the
+    // clique remains with in-core degree exactly 3.
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val und = (k4 ++ Seq((3L, 10L), (10L, 11L), (11L, 12L))).toDF("src", "dst")
+    val got = graft.algo.KCore.run(spark, GraphOps.symmetrize(und), k = 3,
+      numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
+    // k above the max coreness → empty core
+    assert(graft.algo.KCore.run(spark, GraphOps.symmetrize(und), k = 4,
+      numPartitions = 4).count() == 0)
+  }
+
   test("Louvain cleanup releases this run's pinned frames, not the caller's") {
     val mine = spark.range(50).toDF("id").localCheckpoint(true) // caller-owned
     val before = spark.sparkContext.getPersistentRDDs.keySet
