@@ -603,6 +603,12 @@ object SparkEntry {
       pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "ktruss_sql_graph" -> ((s, d) =>
+      // 3-truss (every edge in ≥1 triangle): peels to a stable
+      // 1278-edge truss; the DuckDB twin unrolls the peel rounds
+      algo.KTruss.run(s, GraphOps.symmetrize(sqlGraphEdges(s)), k = 3,
+        numPartitions = parts(s, d))),
+
     "kcore_sql_graph" -> ((s, d) =>
       // 4-core of the arithmetic graph: 11 peeling rounds to stable
       // (749 of 1500 vertices survive) — real multi-round iteration,
@@ -1659,6 +1665,37 @@ object SparkEntry {
       // once each — MATERIALIZED is harmless there too
   }
 
+  /** Unrolled k-truss peeling twin: per round, edge support = common
+    * neighbors of the endpoints in the CURRENT symmetric edge set;
+    * edges below k−2 (and triangle-free edges, which get no support
+    * row) peel. `rounds` ≥ rounds-to-stable gives the Scala side's
+    * fixed point; the final support recomputes over the stable truss.
+    */
+  private def kTrussSqlOracle(k: Int, rounds: Int): String = {
+    val need = k - 2
+    def supCte(tag: String, src: String) =
+      s"""sy$tag AS (SELECT u AS a, v AS b FROM $src
+                     UNION ALL SELECT v, u FROM $src),
+         sp$tag AS (SELECT c.u, c.v, count(*) AS s FROM $src c
+           JOIN sy$tag x ON x.a = c.u JOIN sy$tag y ON y.a = c.v AND y.b = x.b
+           GROUP BY c.u, c.v)"""
+    val head =
+      s"""WITH $sqlGraphCte,
+         ts0 AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                 FROM e WHERE src <> dst GROUP BY 1, 2)"""
+    val steps = (0 until rounds).map { r =>
+      s""",
+         ${supCte(r.toString, s"ts$r")},
+         ts${r + 1} AS (SELECT c.u, c.v FROM ts$r c
+           JOIN sp$r s ON c.u = s.u AND c.v = s.v WHERE s.s >= $need)"""
+    }.mkString
+    s"""$head$steps,
+       ${supCte("F", s"ts$rounds")}
+       SELECT t.u AS src, t.v AS dst, CAST(coalesce(s.s, 0) AS BIGINT) AS support
+       FROM ts$rounds t LEFT JOIN spF s ON t.u = s.u AND t.v = s.v"""
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -2024,6 +2061,7 @@ object SparkEntry {
     "leiden_sql_graph" -> leidenSqlOracle(2),
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
     "ppr_sql_graph" -> pprSqlOracle(5),
+    "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

@@ -1,0 +1,102 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-truss decomposition: iteratively delete every edge in fewer than
+  * k−2 triangles until stable. The truss is the edge-level density
+  * filter one step up from [[KCore]] (every k-truss is a subgraph of
+  * the (k−1)-core): it keeps only cohesive, triangle-reinforced
+  * structure — the communities-within-communities signal a link-graph
+  * layer uses for tight cluster seeds.
+  *
+  * Per round, edge support comes from the same degree-orientation used
+  * by [[Triangles]] (Suri & Vassilvitskii 2011): orient edges low→high
+  * (degree, id), out-lists stay O(√m), each triangle {u,v,w} is found
+  * once as w ∈ N⁺(u) ∩ N⁺(v) via codegen'd `array_intersect`, and
+  * credits its three EDGES (vs `Triangles.perVertex`'s three corners).
+  *
+  * Scale shape per round: adjacency groupBy + two shuffle-hash joins +
+  * one explode whose output is the CURRENT triangle count, then a
+  * map-side-combinable per-edge sum and a semi-join — the triangle
+  * enumeration dominates exactly as in G-6, shrinking monotonically as
+  * rounds peel. Deterministic set algebra end-to-end: the DuckDB twin
+  * (`ktruss_sql_graph`) unrolls the rounds bit-for-bit.
+  */
+object KTruss {
+
+  /** Per-edge triangle support of an undirected (u<v distinct) pair
+    * set: (a, b, support), rows only for edges in ≥1 triangle.
+    */
+  private def edgeSupport(pairs: DataFrame, numPartitions: Int): DataFrame = {
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("id").as("src"), col("deg").as("dsrc")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddst")), Seq("dst"))
+    val oriented = withDeg.select(
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
+        col("src")).otherwise(col("dst")).as("u"),
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
+        col("dst")).otherwise(col("src")).as("v"))
+      .repartition(numPartitions, col("u"))
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nb"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nb").as("nbU")).hint("shuffle_hash"), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nb").as("nbV")).hint("shuffle_hash"),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nbU"), col("nbV"))).as("w"))
+    tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** @param symEdges symmetrized undirected edges (both directions)
+    * @return the k-truss as (src, dst, support): unique u<v pairs with
+    *   their within-truss triangle support (≥ k−2 by construction for
+    *   k ≥ 3; support 0 rows survive only for k ≤ 2)
+    */
+  def run(spark: SparkSession,
+          symEdges: DataFrame,
+          k: Int,
+          numPartitions: Int = 32,
+          maxIter: Int = 100): DataFrame = Superstep.withoutAQE(spark) {
+    require(k >= 2, s"k-truss needs k >= 2, got $k")
+
+    var cur = Superstep.freshCheckpoint(
+      symEdges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct(), eager = true)
+    var size = cur.count()
+    var changed = k > 2 // a 2-truss is the input itself
+    var iter = 0
+    val gc = new Superstep.CheckpointGC(spark)
+
+    while (changed && iter < maxIter) {
+      val keep = edgeSupport(cur, numPartitions)
+        .filter(col("support") >= k - 2)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val next = Superstep.freshCheckpoint(
+        cur.join(keep.hint("shuffle_hash"), Seq("src", "dst"), "left_semi"),
+        eager = false)
+      val nextSize = next.count() // materializes the lazy checkpoint
+      gc.tick()
+      changed = nextSize != size
+      cur = next; size = nextSize; iter += 1
+    }
+    gc.close()
+    cur.join(
+        edgeSupport(cur, numPartitions)
+          .select(col("a").as("src"), col("b").as("dst"), col("support")),
+        Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+}

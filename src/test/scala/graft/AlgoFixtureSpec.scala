@@ -349,6 +349,21 @@ class AlgoFixtureSpec extends AnyFunSuite {
       numPartitions = 4).count() == 0)
   }
 
+  test("KTruss: K4 edges survive up to k=4 with support 2, the tail peels") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val und = (k4 ++ Seq((3L, 10L), (10L, 11L))).toDF("src", "dst")
+    val sym = GraphOps.symmetrize(und)
+    // 3-truss: every K4 edge sits in 2 triangles; the tail has none
+    val t3 = graft.algo.KTruss.run(spark, sym, k = 3, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == k4.map(e => e -> 2L).toMap, s"got $t3")
+    // K4 is exactly a 4-truss (support ≥ 2) but not a 5-truss
+    assert(graft.algo.KTruss.run(spark, sym, k = 4, numPartitions = 4)
+      .count() == 6)
+    assert(graft.algo.KTruss.run(spark, sym, k = 5, numPartitions = 4)
+      .count() == 0)
+  }
+
   test("Louvain cleanup releases this run's pinned frames, not the caller's") {
     val mine = spark.range(50).toDF("id").localCheckpoint(true) // caller-owned
     val before = spark.sparkContext.getPersistentRDDs.keySet
