@@ -603,6 +603,12 @@ object SparkEntry {
       pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "link_scores_sql_graph" -> ((s, d) =>
+      // per-edge link-prediction features: common neighbors, Jaccard,
+      // Adamic–Adar — one triangle enumeration, decimal-exact AA sum
+      graph.LinkScores.edgeScores(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        parts(s, d))),
+
     "ktruss_sql_graph" -> ((s, d) =>
       // 3-truss (every edge in ≥1 triangle): peels to a stable
       // 1278-edge truss; the DuckDB twin unrolls the peel rounds
@@ -1665,6 +1671,32 @@ object SparkEntry {
       // once each — MATERIALIZED is harmless there too
   }
 
+  /** Link-scores twin: per-edge common-neighbor count, Jaccard and
+    * Adamic–Adar over the arithmetic graph — wedge join for common
+    * neighbors, AA accumulated in DECIMAL(30,15) to kill summation-
+    * order divergence (the repo-wide dsum rule), 6dp rounding.
+    */
+  private val linkScoresSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e WHERE src <> dst GROUP BY 1, 2),
+       syu AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+       dgt AS (SELECT a AS id, count(*) AS dg FROM syu GROUP BY a),
+       cm AS (SELECT c.u, c.v, count(*) AS common,
+                CAST(sum(CAST(1.0 / ln(dw.dg) AS DECIMAL(30,15))) AS DOUBLE) AS aa
+              FROM und c
+              JOIN syu x ON x.a = c.u
+              JOIN syu y ON y.a = c.v AND y.b = x.b
+              JOIN dgt dw ON dw.id = x.b
+              GROUP BY c.u, c.v)
+       SELECT c.u AS src, c.v AS dst,
+         CAST(coalesce(m.common, 0) AS BIGINT) AS common,
+         round(coalesce(m.common, 0) / (du.dg + dv.dg - coalesce(m.common, 0)), 6)
+           AS jaccard,
+         round(coalesce(m.aa, 0.0), 6) AS adamic_adar
+       FROM und c LEFT JOIN cm m ON c.u = m.u AND c.v = m.v
+       JOIN dgt du ON du.id = c.u JOIN dgt dv ON dv.id = c.v"""
+
   /** Unrolled k-truss peeling twin: per round, edge support = common
     * neighbors of the endpoints in the CURRENT symmetric edge set;
     * edges below k−2 (and triangle-free edges, which get no support
@@ -2062,6 +2094,7 @@ object SparkEntry {
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
     "ppr_sql_graph" -> pprSqlOracle(5),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
+    "link_scores_sql_graph" -> linkScoresSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

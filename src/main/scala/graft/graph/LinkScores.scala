@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo.Superstep
+
+/** Structural link scores for existing edges — the classic
+  * link-prediction features (Liben-Nowell & Kleinberg 2003) a
+  * GraphRAG "related entities" surface ranks by, and the natural
+  * edge-weight rescoring input for weighted community detection:
+  *
+  *   common(u,v)      = |N(u) ∩ N(v)|
+  *   jaccard(u,v)     = common / (deg u + deg v − common)
+  *                      (u,v adjacent ⇒ neighborhoods overlap only in
+  *                       common; u∈N(v),v∈N(u) are NOT in the
+  *                       intersection, hence no −2 correction)
+  *   adamic_adar(u,v) = Σ_w∈N(u)∩N(v) 1 / ln(deg w)
+  *
+  * Common neighbors come from the same degree-orientation the
+  * triangle counter uses (each triangle {u,v,w} enumerated ONCE and
+  * credited to its three edges, out-lists O(√m)); Adamic–Adar then
+  * joins the skinny degree table on the enumerated w. One triangle
+  * enumeration, two combinable aggregations — no new scale surface
+  * beyond G-6. Scores round to 6dp for cross-engine hash parity.
+  */
+object LinkScores {
+
+  /** @param symEdges symmetrized undirected edges (both directions)
+    * @return (src, dst, common, jaccard, adamic_adar) for every
+    *   unique u<v edge; triangle-free edges score (0, 0.0, 0.0)
+    */
+  def edgeScores(spark: SparkSession, symEdges: DataFrame,
+                 numPartitions: Int = 32): DataFrame = {
+    val pairs = symEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+
+    val withDeg = pairs
+      .join(deg.select(col("id").as("src"), col("deg").as("dsrc")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddst")), Seq("dst"))
+    val oriented = withDeg.select(
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
+        col("src")).otherwise(col("dst")).as("u"),
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
+        col("dst")).otherwise(col("src")).as("v"))
+      .repartition(numPartitions, col("u"))
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nb"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nb").as("nbU")).hint("shuffle_hash"), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nb").as("nbV")).hint("shuffle_hash"),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nbU"), col("nbV"))).as("w"))
+
+    // triangle {u,v,w}: each edge gains (common += 1, aa += 1/ln(deg of
+    // the opposite corner)); the skinny degree join rides the corner id
+    val contrib = tri
+      .join(deg.select(col("id").as("w"), col("deg").as("dw")), Seq("w"))
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"),
+          (lit(1.0) / log(col("dw").cast("double"))).as("aa")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b"),
+          (lit(1.0) / log(col("dv").cast("double"))).as("aa")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b"),
+          (lit(1.0) / log(col("du").cast("double"))).as("aa")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"), col("ed.aa").as("aa"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(col("aa").cast("decimal(30,15)")).cast("double").as("aa"))
+
+    pairs
+      .join(contrib.select(col("a").as("src"), col("b").as("dst"),
+        col("common"), col("aa")), Seq("src", "dst"), "left")
+      .join(deg.select(col("id").as("src"), col("deg").as("dsrc")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddst")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("dsrc") + col("ddst") - coalesce(col("common"), lit(0L))), 6)
+          .as("jaccard"),
+        round(coalesce(col("aa"), lit(0.0)), 6).as("adamic_adar"))
+  }
+}

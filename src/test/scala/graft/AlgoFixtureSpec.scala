@@ -364,6 +364,25 @@ class AlgoFixtureSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("LinkScores: K4-with-tail edge features match hand computation") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val und = (k4 ++ Seq((3L, 10L), (10L, 11L))).toDF("src", "dst")
+    val got = graft.graph.LinkScores.edgeScores(spark, GraphOps.symmetrize(und), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // degrees: 0,1,2 → 3; 3 → 4; 10 → 2; 11 → 1
+    // edge (0,1): commons {2,3}; jaccard 2/(3+3-2); aa 1/ln3 + 1/ln4
+    assert(got((0L, 1L)) ==
+      ((2L, 0.5, r6(1 / math.log(3) + 1 / math.log(4)))))
+    // edge (0,3): commons {1,2}; jaccard 2/(3+4-2); aa 2/ln3
+    assert(got((0L, 3L)) ==
+      ((2L, r6(2.0 / 5), r6(2 / math.log(3)))))
+    // tail edges: no triangles → all-zero features
+    assert(got((3L, 10L)) == ((0L, 0.0, 0.0)))
+    assert(got((10L, 11L)) == ((0L, 0.0, 0.0)))
+  }
+
   test("Louvain cleanup releases this run's pinned frames, not the caller's") {
     val mine = spark.range(50).toDF("id").localCheckpoint(true) // caller-owned
     val before = spark.sparkContext.getPersistentRDDs.keySet
