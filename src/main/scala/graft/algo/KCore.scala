@@ -55,6 +55,10 @@ object KCore {
       changed = nextSize != size
       e = next; size = nextSize; iter += 1
     }
+    // a silently truncated peel would present sub-k degrees as the
+    // k-core — fail loudly instead (sibling algos report `converged`)
+    require(!changed,
+      s"k-core peeling did not stabilize within $maxIter rounds — raise maxIter")
     gc.close()
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
   }

@@ -29,25 +29,7 @@ object KTruss {
     * set: (a, b, support), rows only for edges in ≥1 triangle.
     */
   private def edgeSupport(pairs: DataFrame, numPartitions: Int): DataFrame = {
-    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val withDeg = pairs
-      .join(deg.select(col("id").as("src"), col("deg").as("dsrc")), Seq("src"))
-      .join(deg.select(col("id").as("dst"), col("deg").as("ddst")), Seq("dst"))
-    val oriented = withDeg.select(
-      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
-        col("src")).otherwise(col("dst")).as("u"),
-      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
-        col("dst")).otherwise(col("src")).as("v"))
-      .repartition(numPartitions, col("u"))
-    val adj = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nb"))
-    val tri = oriented
-      .join(adj.select(col("u"), col("nb").as("nbU")).hint("shuffle_hash"), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nb").as("nbV")).hint("shuffle_hash"),
-        Seq("v"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nbU"), col("nbV"))).as("w"))
+    val tri = Triangles.enumerate(pairs, numPartitions)
     tri.select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
@@ -77,24 +59,31 @@ object KTruss {
     var size = cur.count()
     var changed = k > 2 // a 2-truss is the input itself
     var iter = 0
+    // the last round's support table: at loop exit it was computed
+    // over an edge set identical to the stable truss, so the final
+    // (dominant-cost) enumeration need not run again
+    var lastSup: DataFrame = null
     val gc = new Superstep.CheckpointGC(spark)
 
     while (changed && iter < maxIter) {
-      val keep = edgeSupport(cur, numPartitions)
-        .filter(col("support") >= k - 2)
+      val sup = Superstep.freshCheckpoint(
+        edgeSupport(cur, numPartitions), eager = false)
+      val keep = sup.filter(col("support") >= k - 2)
         .select(col("a").as("src"), col("b").as("dst"))
       val next = Superstep.freshCheckpoint(
         cur.join(keep.hint("shuffle_hash"), Seq("src", "dst"), "left_semi"),
         eager = false)
-      val nextSize = next.count() // materializes the lazy checkpoint
+      val nextSize = next.count() // materializes the lazy checkpoints
       gc.tick()
       changed = nextSize != size
-      cur = next; size = nextSize; iter += 1
+      cur = next; size = nextSize; lastSup = sup; iter += 1
     }
-    gc.close()
+    require(!changed,
+      s"k-truss peeling did not stabilize within $maxIter rounds — raise maxIter")
+    gc.close(2) // keep BOTH survivors: cur and the lastSup it joins below
+    val finalSup = if (lastSup != null) lastSup else edgeSupport(cur, numPartitions)
     cur.join(
-        edgeSupport(cur, numPartitions)
-          .select(col("a").as("src"), col("b").as("dst"), col("support")),
+        finalSup.select(col("a").as("src"), col("b").as("dst"), col("support")),
         Seq("src", "dst"), "left")
       .select(col("src"), col("dst"),
         coalesce(col("support"), lit(0L)).as("support"))

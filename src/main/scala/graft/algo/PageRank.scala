@@ -111,11 +111,18 @@ object PageRank {
     // personalization column s joins in ONCE and rides the state table;
     // the uniform path adds no column and keeps its exact expressions
     seeds.foreach { sd =>
-      val seedCnt = sd.select(col("id")).distinct().count()
+      // evaluate the (possibly non-trivial) seed query ONCE; the tiny
+      // checkpoint backs both the count and the state join
+      val s = sd.select(col("id")).distinct().localCheckpoint(true)
+      val seedCnt = s.count()
       require(seedCnt > 0, "personalized PageRank needs a non-empty seed set")
-      state = state.join(
-        sd.select(col("id")).distinct().withColumn("isSeed", lit(true)),
-        Seq("id"), "left")
+      // a seed id absent from the vertex set would silently deflate the
+      // teleport distribution (Σs < 1) — or, all-isolated, "converge"
+      // instantly to all-zero ranks. Fail loudly instead.
+      val matched = s.join(state.select(col("id")), Seq("id"), "left_semi").count()
+      require(matched == seedCnt,
+        s"${seedCnt - matched} of $seedCnt seed ids are not graph vertices")
+      state = state.join(s.withColumn("isSeed", lit(true)), Seq("id"), "left")
         .withColumn("s",
           when(col("isSeed"), lit(1.0 / seedCnt)).otherwise(lit(0.0)))
         .drop("isSeed")

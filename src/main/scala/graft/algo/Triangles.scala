@@ -60,11 +60,16 @@ object Triangles {
     if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
   }
 
-  /** Per-vertex triangle participation counts (id, triangles) —
-    * each triangle credits all three corners.
+  /** Degree-oriented triangle ENUMERATION — the one copy of the
+    * scale-critical kernel shared by [[perVertex]], `KTruss` and
+    * `LinkScores` (orientation tie-break, repartition, shuffle_hash
+    * hints live here and nowhere else). Each triangle appears exactly
+    * once as (u, v, w): (u,v) an oriented edge, w a common
+    * out-neighbor. [[countTriangles]] keeps its fused count-only tail
+    * (native `sorted_intersect_count`, no per-triangle rows).
     */
-  def perVertex(spark: SparkSession, undirectedPairs: DataFrame,
-                numPartitions: Int = 32): DataFrame = {
+  private[graft] def enumerate(undirectedPairs: DataFrame,
+                               numPartitions: Int): DataFrame = {
     val pairs = undirectedPairs.select(col("src"), col("dst"))
     val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -82,15 +87,20 @@ object Triangles {
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nb"))
 
-    // for each oriented edge (u,v): the common out-neighbors w close a
-    // triangle {u,v,w}; credit all three corners
-    val tri = oriented
+    oriented
       .join(adj.select(col("u"), col("nb").as("nbU")).hint("shuffle_hash"), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nb").as("nbV")).hint("shuffle_hash"),
         Seq("v"))
-      .select(col("u"), col("v"), explode(array_intersect(col("nbU"), col("nbV"))).as("w"))
-
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nbU"), col("nbV"))).as("w"))
   }
+
+  /** Per-vertex triangle participation counts (id, triangles) —
+    * each triangle credits all three corners.
+    */
+  def perVertex(spark: SparkSession, undirectedPairs: DataFrame,
+                numPartitions: Int = 32): DataFrame =
+    enumerate(undirectedPairs, numPartitions)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
 }

@@ -3,7 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.Superstep
+import graft.algo.Triangles
 
 /** Structural link scores for existing edges — the classic
   * link-prediction features (Liben-Nowell & Kleinberg 2003) a
@@ -38,24 +38,7 @@ object LinkScores {
       .distinct()
     val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-
-    val withDeg = pairs
-      .join(deg.select(col("id").as("src"), col("deg").as("dsrc")), Seq("src"))
-      .join(deg.select(col("id").as("dst"), col("deg").as("ddst")), Seq("dst"))
-    val oriented = withDeg.select(
-      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
-        col("src")).otherwise(col("dst")).as("u"),
-      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
-        col("dst")).otherwise(col("src")).as("v"))
-      .repartition(numPartitions, col("u"))
-    val adj = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nb"))
-    val tri = oriented
-      .join(adj.select(col("u"), col("nb").as("nbU")).hint("shuffle_hash"), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nb").as("nbV")).hint("shuffle_hash"),
-        Seq("v"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nbU"), col("nbV"))).as("w"))
+    val tri = Triangles.enumerate(pairs, numPartitions)
 
     // triangle {u,v,w}: each edge gains (common += 1, aa += 1/ln(deg of
     // the opposite corner)); the skinny degree join rides the corner id

@@ -395,8 +395,7 @@ class AlgoFixtureSpec extends AnyFunSuite {
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after & pinnedDuring).forall(id =>
       !spark.sparkContext.getPersistentRDDs(id).getStorageLevel.useMemory &&
-        !spark.sparkContext.getPersistentRDDs(id).getStorageLevel.useDisk) ||
-      (after & pinnedDuring).isEmpty,
+        !spark.sparkContext.getPersistentRDDs(id).getStorageLevel.useDisk),
       s"run-created frames survived cleanup: ${after & pinnedDuring}")
     assert(mine.count() == 50, "caller-owned checkpoint must survive cleanup")
   }
