@@ -603,6 +603,11 @@ object SparkEntry {
       pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "graph_stats_sql_graph" -> ((s, d) =>
+      // one-row structural profile: counts, degree extremes/mean,
+      // Newman degree assortativity (exact BIGINT moments)
+      GraphOps.graphSummary(GraphOps.symmetrize(sqlGraphEdges(s)))),
+
     "link_scores_sql_graph" -> ((s, d) =>
       // per-edge link-prediction features: common neighbors, Jaccard,
       // Adamic–Adar — one triangle enumeration, decimal-exact AA sum
@@ -1671,6 +1676,31 @@ object SparkEntry {
       // once each — MATERIALIZED is harmless there too
   }
 
+  /** Graph-summary twin: the assortativity moments are exact BIGINT
+    * sums over the directed symmetric edges, so only the final
+    * division is floating — 6dp rounding both sides.
+    */
+  private val graphStatsSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       dgt AS (SELECT src AS id, count(*) AS dg FROM sym GROUP BY src),
+       j AS (SELECT s.src, s.dst, du.dg AS du, dv.dg AS dv
+             FROM sym s JOIN dgt du ON du.id = s.src
+                        JOIN dgt dv ON dv.id = s.dst),
+       m AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_vertices,
+               CAST(count(*) // 2 AS BIGINT) AS n_edges,
+               CAST(min(du) AS BIGINT) AS min_degree,
+               CAST(max(du) AS BIGINT) AS max_degree,
+               CAST(count(*) AS BIGINT) AS se,
+               CAST(sum(du) AS BIGINT) AS sx,
+               CAST(sum(du * du) AS BIGINT) AS sxx,
+               CAST(sum(du * dv) AS BIGINT) AS sxy
+             FROM j)
+       SELECT n_vertices, n_edges, min_degree, max_degree,
+         round(CAST(se AS DOUBLE) / n_vertices, 6) AS avg_degree,
+         round(CAST(se * sxy - sx * sx AS DOUBLE) /
+               CAST(se * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+       FROM m"""
+
   /** Link-scores twin: per-edge common-neighbor count, Jaccard and
     * Adamic–Adar over the arithmetic graph — wedge join for common
     * neighbors, AA accumulated in DECIMAL(30,15) to kill summation-
@@ -2095,6 +2125,7 @@ object SparkEntry {
     "ppr_sql_graph" -> pprSqlOracle(5),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
+    "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

@@ -110,4 +110,41 @@ object GraphOps {
     typedEdges
       .select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("relationship_count"))
+
+  /** One-row structural profile of an undirected graph: vertex/edge
+    * counts, degree extremes/mean, and degree assortativity (Newman
+    * 2002 — the Pearson correlation of endpoint degrees over directed
+    * symmetric edges; negative = hubs attach to leaves). All the
+    * correlation's moments are EXACT BIGINT sums of integer degrees
+    * (Se, Σd_u, Σd_u², Σd_u·d_v), so both engines agree bit-for-bit
+    * until the single final division — 6dp rounding seals parity.
+    * Cost: one degree aggregation + one edge⨝degree join, both
+    * map-side combinable; scale-free. The final moment PRODUCTS
+    * (Se·Sxy, Sx²) hold in int64 while 2m·Σd_u d_v < 2⁶³; past that
+    * cast the four sums to DecimalType(38,0) — same plan shape.
+    */
+  def graphSummary(symEdges: DataFrame): DataFrame = {
+    val deg = degrees(symEdges)
+    val joined = symEdges
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), Seq("dst"))
+    joined.agg(
+      count_distinct(col("src")).as("n_vertices"),
+      (count(lit(1)) / 2).cast("long").as("n_edges"),
+      min(col("du")).as("min_degree"),
+      max(col("du")).as("max_degree"),
+      count(lit(1)).as("se"),
+      sum(col("du")).as("sx"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("du") * col("dv")).as("sxy"))
+      .select(col("n_vertices"), col("n_edges"),
+        col("min_degree"), col("max_degree"),
+        // mean degree = 2m / n (NOT avg over edge rows, which would
+        // weight each vertex by its own degree)
+        round(col("se").cast("double") / col("n_vertices"), 6).as("avg_degree"),
+        round(
+          (col("se") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("se") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("assortativity"))
+  }
 }

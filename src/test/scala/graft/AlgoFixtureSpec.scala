@@ -364,6 +364,15 @@ class AlgoFixtureSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("graphSummary: star graph profile, assortativity exactly -1") {
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val row = GraphOps.graphSummary(GraphOps.symmetrize(star)).collect()(0)
+    assert(row.getLong(0) == 5 && row.getLong(1) == 4)   // n_vertices, n_edges
+    assert(row.getLong(2) == 1 && row.getLong(3) == 4)   // min/max degree
+    assert(row.getDouble(4) == 1.6)                      // 2m/n = 8/5
+    assert(row.getDouble(5) == -1.0)                     // perfect hub-leaf
+  }
+
   test("LinkScores: K4-with-tail edge features match hand computation") {
     val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
     val und = (k4 ++ Seq((3L, 10L), (10L, 11L))).toDF("src", "dst")
