@@ -603,6 +603,13 @@ object SparkEntry {
       pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "sssp_sql_graph" -> ((s, d) =>
+      // multi-source BFS hop distances to landmarks {1,2,3}: 18 real
+      // frontier rounds (landmark eccentricity) on the arithmetic
+      // graph, replayed by a capped recursive CTE in DuckDB
+      algo.ShortestPaths.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        landmarks = Seq(1L, 2L, 3L), numPartitions = parts(s, d))),
+
     "graph_stats_sql_graph" -> ((s, d) =>
       // one-row structural profile: counts, degree extremes/mean,
       // Newman degree assortativity (exact BIGINT moments)
@@ -1676,6 +1683,23 @@ object SparkEntry {
       // once each — MATERIALIZED is harmless there too
   }
 
+  /** BFS twin: capped recursive frontier expansion (the landmark
+    * eccentricity is 18 on this graph, so the 40-hop cap only bounds
+    * the CTE's termination, never the result) followed by the min-hop
+    * reduction. Pure integer arithmetic — exact parity.
+    */
+  private val ssspSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       b(landmark, id, dist) AS (
+         SELECT lm, lm, 0 FROM (VALUES (1),(2),(3)) t(lm)
+         UNION
+         SELECT b.landmark, s.dst, b.dist + 1
+         FROM b JOIN sym s ON s.src = b.id WHERE b.dist < 40
+       )
+       SELECT CAST(landmark AS BIGINT) AS landmark, CAST(id AS BIGINT) AS id,
+         CAST(min(dist) AS BIGINT) AS dist
+       FROM b GROUP BY 1, 2"""
+
   /** Graph-summary twin: the assortativity moments are exact BIGINT
     * sums over the directed symmetric edges, so only the final
     * division is floating — 6dp rounding both sides.
@@ -2126,6 +2150,7 @@ object SparkEntry {
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
+    "sssp_sql_graph" -> ssspSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

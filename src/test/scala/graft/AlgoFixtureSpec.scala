@@ -364,6 +364,20 @@ class AlgoFixtureSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("ShortestPaths: path + disjoint component, two landmarks exact") {
+    // path 0-1-2-3 plus a disjoint edge 10-11
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.algo.ShortestPaths
+      .run(spark, GraphOps.symmetrize(und), landmarks = Seq(0L, 3L),
+        numPartitions = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 2L, (3L, 0L) -> 3L,
+      (3L, 3L) -> 0L, (2L, 3L) -> 1L, (1L, 3L) -> 2L, (0L, 3L) -> 3L)
+    assert(got == want) // 10/11 unreachable → absent, no +inf rows
+  }
+
   test("graphSummary: star graph profile, assortativity exactly -1") {
     val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
     val row = GraphOps.graphSummary(GraphOps.symmetrize(star)).collect()(0)
