@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.bridge
 
-import graft.functions.{BoundedTopK, IndelRatio, MinHashSig, SimHash64, SortedIntersectCount}
+import graft.functions.{BoundedTopK, IndelRatio, KmvMerge, KmvSketch, MinHashSig, Mix64, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL. Use either at build time —
@@ -48,7 +48,14 @@ object GraftExtensions {
     "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
     "bounded_topk" -> { args =>
       BoundedTopK(args(0), args(1), intArg(args(2), "k")).toAggregateExpression()
-    })
+    },
+    "kmv_min" -> { args =>
+      KmvSketch(args(0), intArg(args(1), "k")).toAggregateExpression()
+    },
+    "kmv_merge" -> { args =>
+      KmvMerge(args(0), intArg(args(1), "k")).toAggregateExpression()
+    },
+    "mix64" -> { args => Mix64(args.head) })
 
   /** Register all functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -615,6 +615,31 @@ object SparkEntry {
       // Newman degree assortativity (exact BIGINT moments)
       GraphOps.graphSummary(GraphOps.symmetrize(sqlGraphEdges(s)))),
 
+    "hyperball_sql_graph" -> ((s, d) => {
+      // HyperBall neighborhood function → reachable / sum-of-distances
+      // / harmonic centrality. k=2048 exceeds every ball on this graph
+      // (≤ 1500 vertices), so the KMV sketch is EXACT and the output
+      // hash-matches the all-pairs-BFS DuckDB twin; output sampled to
+      // the id%10==1 sources to keep the twin's recursion small
+      algo.Hyperball
+        .run(s, GraphOps.symmetrize(sqlGraphEdges(s)), k = 2048,
+          numPartitions = parts(s, d))
+        .filter(pmod(col("id"), lit(10L)) === 1)
+        .select(col("id"), col("nf").cast("long").as("reachable"),
+          col("sum_dist").cast("long").as("sum_dist"),
+          round(col("harmonic"), 6).as("harmonic"))
+    }),
+
+    "kmv_distinct_sql_graph" -> ((s, d) => {
+      // KMV sketch as a per-group distinct counter: k=256 is above the
+      // max out-degree, so size(sketch) is exactly count(DISTINCT dst)
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      sym.groupBy(col("src").as("id"))
+        .agg(graft.functions.kmv_min(graft.functions.mix64(col("dst")), 256)
+          .as("sk"))
+        .select(col("id"), size(col("sk")).cast("long").as("nd"))
+    }),
+
     "link_scores_sql_graph" -> ((s, d) =>
       // per-edge link-prediction features: common neighbors, Jaccard,
       // Adamic–Adar — one triangle enumeration, decimal-exact AA sum
@@ -1700,6 +1725,39 @@ object SparkEntry {
          CAST(min(dist) AS BIGINT) AS dist
        FROM b GROUP BY 1, 2"""
 
+  /** HyperBall twin: exact all-pairs BFS (min hop distance) from the
+    * id%10==1 sample sources via a capped recursive CTE — max
+    * eccentricity on this graph is 20, so the 24-hop cap never clips —
+    * then the three geometric aggregates. reachable/sum_dist are pure
+    * integers; harmonic is a sum of 1/dist doubles whose grouping
+    * differs between engines only at ~1e-12 relative, sealed by 6dp
+    * rounding.
+    */
+  private val hyperballSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       verts AS (SELECT DISTINCT src AS id FROM sym),
+       b(src, id, dist) AS (
+         SELECT id, id, 0 FROM verts WHERE id % 10 = 1
+         UNION
+         SELECT b.src, s.dst, b.dist + 1
+         FROM b JOIN sym s ON s.src = b.id WHERE b.dist < 24
+       ),
+       d AS (SELECT src, id, min(dist) AS dist FROM b GROUP BY 1, 2)
+       SELECT CAST(src AS BIGINT) AS id,
+         CAST(count(*) AS BIGINT) AS reachable,
+         CAST(sum(dist) AS BIGINT) AS sum_dist,
+         round(sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 6)
+           AS harmonic
+       FROM d GROUP BY 1"""
+
+  /** KMV-distinct twin: below saturation the sketch is the distinct
+    * set itself, so its size is plain count(DISTINCT dst).
+    */
+  private val kmvDistinctSqlOracle: String =
+    s"""WITH $sqlGraphCte
+       SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nd
+       FROM sym GROUP BY 1"""
+
   /** Graph-summary twin: the assortativity moments are exact BIGINT
     * sums over the directed symmetric edges, so only the final
     * division is floating — 6dp rounding both sides.
@@ -2151,6 +2209,8 @@ object SparkEntry {
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
+    "hyperball_sql_graph" -> hyperballSqlOracle,
+    "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

@@ -33,4 +33,20 @@ package object functions {
     bridge.column(
       BoundedTopK(bridge.expression(score), bridge.expression(id), k)
         .toAggregateExpression())
+
+  /** KMV distinct-count sketch aggregate over long values: ascending
+    * array of the k smallest DISTINCT inputs, map-side bounded to ≤ k.
+    */
+  def kmv_min(value: Column, k: Int): Column =
+    bridge.column(KmvSketch(bridge.expression(value), k).toAggregateExpression())
+
+  /** Union-merge of KMV sketches (arrays from [[kmv_min]] or singleton
+    * inits): the k smallest distinct values across all input arrays.
+    */
+  def kmv_merge(sketch: Column, k: Int): Column =
+    bridge.column(KmvMerge(bridge.expression(sketch), k).toAggregateExpression())
+
+  /** Bijective 64-bit avalanche hash (distinct-count preserving). */
+  def mix64(x: Column): Column =
+    bridge.column(Mix64(bridge.expression(x)))
 }

@@ -378,6 +378,30 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == want) // 10/11 unreachable → absent, no +inf rows
   }
 
+  test("Hyperball: path + disjoint edge, geometric centralities exact below k") {
+    // path 0-1-2-3 plus a disjoint edge 10-11; k=64 > every ball → exact
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.algo.Hyperball
+      .run(spark, GraphOps.symmetrize(und), k = 64, numPartitions = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((4.0, 6.0, 1.0 + 0.5 + 1.0 / 3))) // dists 1,2,3
+    assert(got(1L) == ((4.0, 4.0, 1.0 + 1.0 + 0.5)))     // dists 1,1,2
+    assert(got(10L) == ((2.0, 1.0, 1.0)))                // the pair only
+  }
+
+  test("Hyperball: saturated sketch still estimates the clique ball") {
+    // K20: true ball = 20 everywhere; k=8 saturates → (k-1)/u_(k)
+    val k20 = (for (i <- 0L until 20L; j <- (i + 1) until 20L) yield (i, j))
+      .toDF("src", "dst")
+    val est = graft.algo.Hyperball
+      .run(spark, GraphOps.symmetrize(k20), k = 8, numPartitions = 4)
+      .agg(avg(col("nf"))).collect()(0).getDouble(0)
+    // ±1/√(k−2) ≈ 41% per vertex, tighter after averaging 20 sketches
+    assert(est > 10.0 && est < 40.0, s"mean estimate $est vs true 20")
+  }
+
   test("graphSummary: star graph profile, assortativity exactly -1") {
     val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
     val row = GraphOps.graphSummary(GraphOps.symmetrize(star)).collect()(0)

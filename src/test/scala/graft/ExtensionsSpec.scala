@@ -27,6 +27,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(top == Seq((3.0, 29L), (3.0, 30L)))
   }
 
+  test("kmv_min / kmv_merge / mix64 are SQL-callable; sketch dedupes and bounds") {
+    GraftExtensions.register(spark)
+    // 6 values, 4 distinct (7 twice, 9 twice) → k=3 keeps 3 smallest distinct
+    val sk = spark.sql(
+      """SELECT kmv_min(v, 3) AS sk FROM VALUES
+         (9L), (7L), (12L), (7L), (3L), (9L) AS t(v)""")
+      .first().getSeq[Long](0)
+    assert(sk == Seq(3L, 7L, 9L))
+    // merging two sketches unions their distinct values, keeps k smallest
+    val mg = spark.sql(
+      """SELECT kmv_merge(a, 4) AS sk FROM VALUES
+         (array(1L, 5L, 9L)), (array(2L, 5L, 11L)) AS t(a)""")
+      .first().getSeq[Long](0)
+    assert(mg == Seq(1L, 2L, 5L, 9L))
+    // mix64 is a bijection: distinct counts survive the hash
+    val n = spark.sql(
+      "SELECT count(DISTINCT mix64(x)) FROM range(1000) t(x)")
+      .first().getLong(0)
+    assert(n == 1000L)
+  }
+
   test("builder-time extensions injection works end-to-end") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
