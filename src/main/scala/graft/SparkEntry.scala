@@ -630,6 +630,20 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
     }),
 
+    "walks_sql_graph" -> ((s, d) => {
+      // DeepWalk corpus: 2 walks × 8 steps from the id%10==1 starts,
+      // congruential step choice both engines replay row-for-row
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val starts = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(10L)) === 1)
+      graph.RandomWalks
+        .run(s, sym, starts, walksPerVertex = 2, walkLength = 8,
+          numPartitions = parts(s, d))
+        .select(col("walk_id"), posexplode(col("path")))
+        .select(col("walk_id"), col("pos").cast("long").as("step"),
+          col("col").as("vertex"))
+    }),
+
     "kmv_distinct_sql_graph" -> ((s, d) => {
       // KMV sketch as a per-group distinct counter: k=256 is above the
       // max out-degree, so size(sketch) is exactly count(DISTINCT dst)
@@ -1750,6 +1764,33 @@ object SparkEntry {
            AS harmonic
        FROM d GROUP BY 1"""
 
+  /** Random-walk twin: the step choice is exact 64-bit integer
+    * arithmetic (see RandomWalks.choice), so the recursive CTE replays
+    * the walks row-for-row against the same dst-ordered rank index.
+    */
+  private val walksSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       ranked AS (
+         SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+           count(*) OVER (PARTITION BY src) AS deg
+         FROM sym),
+       w(walk_id, step, cur) AS (
+         SELECT src * 2 + r, 0, src
+         FROM (SELECT DISTINCT src FROM sym) v, (VALUES (0), (1)) t(r)
+         WHERE src % 10 = 1
+         UNION ALL
+         SELECT w.walk_id, w.step + 1, r.dst
+         FROM w JOIN ranked r ON r.src = w.cur
+          AND r.rank = ((w.cur % 2147483647) * 31 +
+                        (w.walk_id % 2147483647) * 131 +
+                        w.step * 257) % 2147483647 % r.deg
+         WHERE w.step < 8
+       )
+       SELECT CAST(walk_id AS BIGINT) AS walk_id,
+         CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS vertex
+       FROM w"""
+
   /** KMV-distinct twin: below saturation the sketch is the distinct
     * set itself, so its size is plain count(DISTINCT dst).
     */
@@ -2211,6 +2252,7 @@ object SparkEntry {
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
+    "walks_sql_graph" -> walksSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

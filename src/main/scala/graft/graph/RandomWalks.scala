@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algo.Superstep
+
+/** DeepWalk-style random-walk corpus generation (Perozzi et al. 2014):
+  * `walksPerVertex` fixed-length uniform walks from each start vertex,
+  * the training-data primitive for skip-gram graph embeddings over the
+  * entity graph.
+  *
+  * Determinism contract: the step-t choice out of vertex v on walk w is
+  * `((v mod P)·31 + (w mod P)·131 + t·257) mod P mod degree(v)` into
+  * v's dst-sorted adjacency (P = 2³¹−1). A congruential mix rather
+  * than an avalanche hash, deliberately: every operand stays below
+  * 2⁴¹ so the arithmetic is exact in ANY engine's 64-bit integers —
+  * the walks replay row-for-row in the DuckDB twin, in a property
+  * test, or in a downstream Python consumer. Swap [[choice]] for
+  * `mix64`-based mixing when statistical quality matters more than
+  * cross-engine replay.
+  *
+  * Scale shape, per step (L steps total):
+  *  - ONE skinny equi-join state⨝degrees on the current vertex to
+  *    compute the choice rank;
+  *  - ONE equi-join on BOTH keys (src, rank) against the rank-indexed
+  *    adjacency — output exactly one row per live walk. Joining on
+  *    the rank (not filtering post-join) is the skew defense: a
+  *    million-follower hub matches each arriving walk against ONE
+  *    adjacency row, never fanning out degree-wide.
+  * The rank-indexed adjacency (src, rank, dst, deg) is built once with
+  * a per-src `row_number` window — the same one-off sort a CSR pack
+  * would do — and reused read-only by every step.
+  *
+  * Walks that reach a vertex with no outgoing edge (possible only on
+  * directed input; never on a symmetrized graph) stop early: their
+  * rows simply end at that step.
+  */
+object RandomWalks {
+
+  private val P = 2147483647L // 2^31-1
+
+  /** The deterministic step choice — exact in 64-bit: |operands| < 2^41. */
+  def choice(cur: Column, walkId: Column, step: Int, deg: Column): Column =
+    pmod(pmod(cur, lit(P)) * 31 + pmod(walkId, lit(P)) * 131 + lit(step.toLong) * 257,
+      lit(P)) % deg
+
+  /** @param edges directed edges to walk along (pass a symmetrized
+    *              table for undirected walks)
+    * @param starts one column `id` of walk start vertices
+    * @return (walk_id, start, path) — path is the array<long> visit
+    *         sequence INCLUDING the start, length ≤ walkLength+1;
+    *         walk_id = start·walksPerVertex + replica
+    */
+  def run(spark: SparkSession,
+          edges: DataFrame,
+          starts: DataFrame,
+          walksPerVertex: Int = 2,
+          walkLength: Int = 8,
+          numPartitions: Int = 32): DataFrame = Superstep.withoutAQE(spark) {
+    require(walksPerVertex > 0 && walkLength > 0)
+
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    // one-off rank index: v's neighbors numbered 0..deg-1 in dst order
+    val ranked = Superstep.freshCheckpoint(
+      e.select(col("src"), col("dst"),
+        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long").as("rank"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+        .repartition(numPartitions, col("src")), eager = true)
+    val degs = Superstep.freshCheckpoint(
+      ranked.groupBy(col("src").as("id")).agg(first(col("deg")).as("deg"))
+        .repartition(numPartitions, col("id")), eager = true)
+
+    var state = Superstep.freshCheckpoint(
+      starts.select(col("id"))
+        .crossJoin(spark.range(walksPerVertex).select(col("id").as("replica")))
+        .select(
+          (col("id") * walksPerVertex + col("replica")).as("walk_id"),
+          col("id").as("start"), array(col("id")).as("path"),
+          col("id").as("cur")),
+      eager = true)
+    var finished = state.filter(lit(false))
+
+    // `finished` lazily references every step's state frame, so keep
+    // all of a walk's checkpoints live until the final materialization
+    // (walks are short; the close() below reclaims everything at once)
+    val gc = new Superstep.CheckpointGC(spark, keep = walkLength + 4)
+    var t = 0
+    while (t < walkLength) {
+      val withPick = state
+        .join(degs.hint("shuffle_hash"), state("cur") === degs("id"), "left")
+        .select(col("walk_id"), col("start"), col("path"), col("cur"),
+          when(col("deg").isNull, lit(null))
+            .otherwise(choice(col("cur"), col("walk_id"), t, col("deg")))
+            .as("pick"))
+      // dead ends (directed input only) retire into `finished`
+      finished = finished.unionByName(
+        withPick.filter(col("pick").isNull)
+          .select(col("walk_id"), col("start"), col("path"), col("cur")))
+      val stepped = withPick.filter(col("pick").isNotNull)
+        .join(ranked.hint("shuffle_hash"),
+          col("cur") === ranked("src") && col("pick") === ranked("rank"))
+        .select(col("walk_id"), col("start"),
+          concat(col("path"), array(ranked("dst"))).as("path"),
+          ranked("dst").as("cur"))
+      state = Superstep.freshCheckpoint(stepped, eager = true)
+      gc.tick()
+      t += 1
+    }
+    val out = Superstep.freshCheckpoint(
+      state.unionByName(finished).select(col("walk_id"), col("start"), col("path")),
+      eager = true)
+    gc.close(keepLatest = 1)
+    Superstep.freeCheckpoint(ranked)
+    Superstep.freeCheckpoint(degs)
+    out
+  }
+}

@@ -402,6 +402,32 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(est > 10.0 && est < 40.0, s"mean estimate $est vs true 20")
   }
 
+  test("RandomWalks: directed cycle is fully deterministic") {
+    // out-degree 1 everywhere → the walk IS the cycle traversal
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val starts = Seq(0L).toDF("id")
+    val got = graft.graph.RandomWalks
+      .run(spark, cyc, starts, walksPerVertex = 1, walkLength = 5,
+        numPartitions = 2)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getSeq[Long](2) == Seq(0L, 1L, 2L, 3L, 0L, 1L))
+  }
+
+  test("RandomWalks: dead end retires the walk early; walks follow edges") {
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst") // directed, 2 a sink
+    val starts = Seq(0L, 2L).toDF("id")
+    val got = graft.graph.RandomWalks
+      .run(spark, path, starts, walksPerVertex = 2, walkLength = 5,
+        numPartitions = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(got.size == 4)
+    // both walks from 0 march to the sink and stop; from 2 they never move
+    assert(got(0L) == Seq(0L, 1L, 2L) && got(1L) == Seq(0L, 1L, 2L))
+    assert(got(4L) == Seq(2L) && got(5L) == Seq(2L))
+  }
+
   test("graphSummary: star graph profile, assortativity exactly -1") {
     val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
     val row = GraphOps.graphSummary(GraphOps.symmetrize(star)).collect()(0)
