@@ -630,6 +630,15 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
     }),
 
+    "hits_sql_graph" -> ((s, d) => {
+      // HITS hubs/authorities, 5 fixed iterations (tol=0 = oracle
+      // mode, no convergence action) vs the unrolled recurrence
+      val r = algo.Hits.run(s, sqlGraphEdges(s),
+        numPartitions = parts(s, d), tol = 0.0, maxIter = 5)
+      r.scores.select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+    }),
+
     "walks_sql_graph" -> ((s, d) => {
       // DeepWalk corpus: 2 walks × 8 steps from the id%10==1 starts,
       // congruential step choice both engines replay row-for-row
@@ -1764,6 +1773,44 @@ object SparkEntry {
            AS harmonic
        FROM d GROUP BY 1"""
 
+  /** HITS twin: the textbook per-iteration recurrence unrolled —
+    * araw = Eᵀh then a = araw/‖araw‖₂, hraw = E·a then h = hraw/‖hraw‖₂
+    * — with the L2 normalizers as scalar subqueries, exactly the
+    * sequence of operations Hits.run performs (only the float sum
+    * grouping differs, ~1e-14 relative, sealed by 6dp rounding).
+    */
+  private def hitsSqlOracle(iters: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""WITH $sqlGraphCte,
+         vts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         s0 AS (SELECT id, 1.0 AS h, 1.0 AS a FROM vts)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      chain.append(
+        s""",
+         arx$i AS (SELECT e.dst AS id, sum(s$p.h) AS araw
+                   FROM e JOIN s$p ON s$p.id = e.src GROUP BY e.dst),
+         ar$i AS (SELECT v.id, COALESCE(x.araw, 0.0) AS araw
+                  FROM vts v LEFT JOIN arx$i x ON x.id = v.id),
+         na$i AS (SELECT sqrt(sum(araw * araw)) AS n FROM ar$i),
+         a$i AS (SELECT id, araw / (SELECT n FROM na$i) AS a FROM ar$i),
+         hrx$i AS (SELECT e.src AS id, sum(a$i.a) AS hraw
+                   FROM e JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
+         hr$i AS (SELECT v.id, COALESCE(x.hraw, 0.0) AS hraw
+                  FROM vts v LEFT JOIN hrx$i x ON x.id = v.id),
+         nh$i AS (SELECT sqrt(sum(hraw * hraw)) AS n FROM hr$i),
+         s$i AS (SELECT h.id, h.hraw / (SELECT n FROM nh$i) AS h, a$i.a AS a
+                 FROM hr$i h JOIN a$i ON a$i.id = h.id)""")
+    }
+    chain.append(
+      s"""
+         SELECT id, round(h, 6) AS hub, round(a, 6) AS auth FROM s$iters""")
+    // force every CTE materialized: DuckDB re-inlines multiply-
+    // referenced CTEs, which goes exponential on an unrolled recurrence
+    chain.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Random-walk twin: the step choice is exact 64-bit integer
     * arithmetic (see RandomWalks.choice), so the recursive CTE replays
     * the walks row-for-row against the same dst-ordered rank index.
@@ -2253,6 +2300,7 @@ object SparkEntry {
     "hyperball_sql_graph" -> hyperballSqlOracle,
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "walks_sql_graph" -> walksSqlOracle,
+    "hits_sql_graph" -> hitsSqlOracle(5),
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

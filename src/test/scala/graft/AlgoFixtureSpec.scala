@@ -402,6 +402,30 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(est > 10.0 && est < 40.0, s"mean estimate $est vs true 20")
   }
 
+  test("HITS: in-star is the exact fixed point (auth 1, hubs 1/sqrt(3))") {
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val got = graft.algo.Hits.run(spark, star, numPartitions = 2, maxIter = 5)
+      .scores.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(0L)._1 == 0.0 && got(0L)._2 == 1.0)
+    val h = 1.0 / math.sqrt(3.0)
+    Seq(1L, 2L, 3L).foreach { u =>
+      assert(math.abs(got(u)._1 - h) < 1e-12 && got(u)._2 == 0.0)
+    }
+  }
+
+  test("HITS: tol-driven convergence flag on complete bipartite 2x2") {
+    // hubs {0,1} -> auths {10,11}: fixed point h=a=1/sqrt(2) from iter 1
+    val e = Seq((0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L)).toDF("src", "dst")
+    val r = graft.algo.Hits.run(spark, e, numPartitions = 2, tol = 1e-9,
+      maxIter = 20)
+    assert(r.converged && r.iterations <= 3)
+    val got = r.scores.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val v = 1.0 / math.sqrt(2.0)
+    assert(math.abs(got(0L)._1 - v) < 1e-9 && math.abs(got(10L)._2 - v) < 1e-9)
+  }
+
   test("RandomWalks: directed cycle is fully deterministic") {
     // out-degree 1 everywhere → the walk IS the cycle traversal
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
