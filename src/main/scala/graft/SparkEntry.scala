@@ -630,6 +630,29 @@ object SparkEntry {
           round(col("harmonic"), 6).as("harmonic"))
     }),
 
+    "clustering_sql_graph" -> ((s, d) =>
+      // local clustering coefficient over the undirected pair form —
+      // shares the G-6 degree-oriented triangle enumeration
+      Triangles.clustering(s, GraphOps.undirectedPairs(sqlGraphEdges(s)),
+          parts(s, d))
+        .select(col("id"), col("degree"), col("triangles"),
+          round(col("coeff"), 6).as("coeff"))),
+
+    "sssp_weighted_sql_graph" -> ((s, d) => {
+      // Bellman-Ford weighted distances to landmarks {1,2,3} with the
+      // deterministic symmetric weight 1 + (src+dst) % 3
+      val we = GraphOps.symmetrize(sqlGraphEdges(s))
+        .withColumn("weight", lit(1L) + pmod(col("src") + col("dst"), lit(3L)))
+      algo.ShortestPaths.weighted(s, we, landmarks = Seq(1L, 2L, 3L),
+        numPartitions = parts(s, d))
+    }),
+
+    "scc_sql_graph" -> ((s, d) =>
+      // strongly connected components on the DIRECTED arithmetic
+      // graph: trim + forward-color + backward cut, vs the DuckDB
+      // mutual-reachability closure
+      algo.Scc.run(s, sqlGraphEdges(s), numPartitions = parts(s, d))),
+
     "hits_sql_graph" -> ((s, d) => {
       // HITS hubs/authorities, 5 fixed iterations (tol=0 = oracle
       // mode, no convergence action) vs the unrolled recurrence
@@ -1773,6 +1796,69 @@ object SparkEntry {
            AS harmonic
        FROM d GROUP BY 1"""
 
+  /** Clustering twin: per-vertex triangle credits (the tri_vertex
+    * wedge join) + simple-graph degree; the coefficient is ONE fp
+    * division over exact integers — bit parity, 6dp-rounded anyway.
+    */
+  private val clusteringSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM und e1 JOIN und e2 ON e1.v = e2.u
+             JOIN und e3 ON e2.v = e3.v AND e1.u = e3.u),
+       deg AS (SELECT id, count(*) AS degree FROM (
+                 SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+               GROUP BY id),
+       tv AS (SELECT id, count(*) AS triangles FROM (
+                SELECT a AS id FROM t UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t)
+              GROUP BY id)
+       SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+         CAST(coalesce(tv.triangles, 0) AS BIGINT) AS triangles,
+         round(CASE WHEN d.degree < 2 THEN 0.0
+           ELSE 2.0 * coalesce(tv.triangles, 0) / (d.degree * (d.degree - 1))
+           END, 6) AS coeff
+       FROM deg d LEFT JOIN tv ON tv.id = d.id"""
+
+  /** Weighted-SSSP twin: cost-accumulating recursive walk with the
+    * same deterministic weight, min-reduced per pair. The 70 cap
+    * bounds the recursion (distinct (lm, id, cost) triples) without
+    * clipping any minimum: max min-cost ≤ 3 × eccentricity(20) = 60.
+    */
+  private val ssspWeightedSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       b(landmark, id, cost) AS (
+         SELECT lm, lm, 0 FROM (VALUES (1), (2), (3)) t(lm)
+         UNION
+         SELECT b.landmark, s.dst, b.cost + 1 + (s.src + s.dst) % 3
+         FROM b JOIN sym s ON s.src = b.id WHERE b.cost < 70
+       )
+       SELECT CAST(landmark AS BIGINT) AS landmark, CAST(id AS BIGINT) AS id,
+         CAST(min(cost) AS BIGINT) AS dist
+       FROM b GROUP BY 1, 2"""
+
+  /** SCC twin: brute-force mutual reachability — the transitive
+    * closure r, then scc(u) = min{v : r(u,v) ∧ r(v,u)} (u itself is in
+    * the set via the cycle pair r(u,u) whenever u's SCC is
+    * nontrivial), singletons defaulting to themselves. Pure integer
+    * arithmetic — exact parity with the coloring algorithm's labels.
+    */
+  private val sccSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       r(a, b) AS (
+         SELECT src, dst FROM e
+         UNION
+         SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+       ),
+       vts AS (SELECT DISTINCT id
+               FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       m AS (SELECT x.a AS id, min(x.b) AS mn
+             FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+             GROUP BY x.a)
+       SELECT CAST(v.id AS BIGINT) AS id,
+         CAST(least(v.id, coalesce(m.mn, v.id)) AS BIGINT) AS scc
+       FROM vts v LEFT JOIN m ON m.id = v.id"""
+
   /** HITS twin: the textbook per-iteration recurrence unrolled —
     * araw = Eᵀh then a = araw/‖araw‖₂, hraw = E·a then h = hraw/‖hraw‖₂
     * — with the L2 normalizers as scalar subqueries, exactly the
@@ -2301,6 +2387,9 @@ object SparkEntry {
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "walks_sql_graph" -> walksSqlOracle,
     "hits_sql_graph" -> hitsSqlOracle(5),
+    "scc_sql_graph" -> sccSqlOracle,
+    "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,
+    "clustering_sql_graph" -> clusteringSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

@@ -94,4 +94,72 @@ object ShortestPaths {
     Superstep.freeCheckpoint(edges)
     state
   }
+
+  /** Weighted single-source shortest paths from a landmark set —
+    * Bellman–Ford frontier relaxation (non-negative weights). Unlike
+    * the hop-count BFS above, a settled (id, landmark) pair CAN still
+    * improve via a longer-hop cheaper path, so the state is min-merged
+    * each round and the frontier is the set of pairs whose best cost
+    * just improved; convergence when nothing improves (≤ V−1 rounds,
+    * in practice the weighted diameter's hop count).
+    *
+    * Per round: one frontier⨝edges join (map-side min-combined before
+    * the (id, landmark) exchange — a hub frontier contributes one row
+    * per (partition, pair)), one left join against the state to keep
+    * strict improvements, one skinny state re-aggregation. Total
+    * traffic is |E|·|L| × (improvement rounds per pair), the classic
+    * Bellman–Ford overhead over Dijkstra that buys full parallelism —
+    * the standard trade on web-scale graphs.
+    */
+  def weighted(spark: SparkSession,
+               edges: DataFrame,
+               landmarks: Seq[Long],
+               numPartitions: Int = 32,
+               maxIter: Int = 512): DataFrame = Superstep.withoutAQE(spark) {
+    require(landmarks.nonEmpty, "ShortestPaths needs at least one landmark")
+    import spark.implicits._
+
+    val e = Superstep.freshCheckpoint(
+      edges.select(col("src"), col("dst"), col("weight").cast("long"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(numPartitions, col("src")), eager = true)
+
+    val init = landmarks.distinct.toDF("landmark")
+      .select(col("landmark").as("id"), col("landmark"), lit(0L).as("dist"))
+    var state = Superstep.freshCheckpoint(init, eager = true)
+    var frontier = state
+    var frontierSize = frontier.count()
+    var iter = 0
+    val gc = new Superstep.CheckpointGC(spark, keep = 6)
+
+    while (frontierSize > 0 && iter < maxIter) {
+      val candidates = frontier
+        .join(e.hint("shuffle_hash"), frontier("id") === e("src"))
+        .select(e("dst").as("id"), col("landmark"),
+          (col("dist") + col("weight")).as("dist"))
+        .groupBy(col("id"), col("landmark"))
+        .agg(min(col("dist")).as("dist"))
+      val improved = Superstep.freshCheckpoint(
+        candidates
+          .join(state.select(col("id"), col("landmark"),
+            col("dist").as("old")), Seq("id", "landmark"), "left")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select(col("id"), col("landmark"), col("dist")), eager = false)
+      frontierSize = improved.count() // materializes the lazy checkpoint
+      if (frontierSize > 0) {
+        state = Superstep.freshCheckpoint(
+          state.unionByName(improved)
+            .groupBy(col("id"), col("landmark"))
+            .agg(min(col("dist")).as("dist")), eager = true)
+      }
+      frontier = improved
+      gc.tick()
+      iter += 1
+    }
+    require(frontierSize == 0,
+      s"Bellman-Ford still improving after $maxIter rounds — raise maxIter")
+    gc.close(keepLatest = 2)
+    Superstep.freeCheckpoint(e)
+    state
+  }
 }

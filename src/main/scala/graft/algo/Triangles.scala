@@ -103,4 +103,25 @@ object Triangles {
     enumerate(undirectedPairs, numPartitions)
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
+
+  /** Local clustering coefficient cc(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * (Watts–Strogatz) over the simple undirected graph; 0 for degree
+    * < 2. One shared degree-oriented triangle enumeration + one degree
+    * aggregation + one left join — the per-vertex "how clique-like is
+    * this entity's neighborhood" feature. The division is a single fp
+    * op over exact integers, so it is bit-identical across engines.
+    */
+  def clustering(spark: SparkSession, undirectedPairs: DataFrame,
+                 numPartitions: Int = 32): DataFrame = {
+    val pairs = undirectedPairs.select(col("src"), col("dst"))
+    val deg = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    deg.join(perVertex(spark, pairs, numPartitions), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1))))
+  }
 }

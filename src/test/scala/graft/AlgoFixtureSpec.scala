@@ -402,6 +402,55 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(est > 10.0 && est < 40.0, s"mean estimate $est vs true 20")
   }
 
+  test("Triangles.clustering: K4 with tail, hand-computed coefficients") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val und = (k4 ++ Seq((3L, 10L), (10L, 11L))).toDF("src", "dst")
+    val got = Triangles.clustering(spark, und, numPartitions = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((3L, 3L, 1.0)))  // pure K4 corner
+    assert(got(3L) == ((4L, 3L, 0.5)))  // 2*3/(4*3)
+    assert(got(10L) == ((2L, 0L, 0.0))) // path vertex, no triangle
+    assert(got(11L) == ((1L, 0L, 0.0))) // leaf: degree < 2
+  }
+
+  test("ShortestPaths.weighted: longer-hop cheaper path wins (relaxation)") {
+    // 0->1 (5), 1->2 (1), 0->2 (10): best 0->2 is 6 via two hops —
+    // the pair settles at 10 in round 1 and must IMPROVE in round 2
+    val e = Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 10L))
+      .toDF("src", "dst", "weight")
+    val got = graft.algo.ShortestPaths
+      .weighted(spark, e, landmarks = Seq(0L), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 5L, 2L -> 6L))
+  }
+
+  test("SCC: two 2-cycles bridged one-way, same forward color") {
+    // 0<->1 -> 2<->3: coloring gives everyone color 0, so the backward
+    // pass must cut {2,3} away from root 0 and a second round settles it
+    val e = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = graft.algo.Scc.run(spark, e, numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("SCC: cycle with a DAG tail; trim settles the tail") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = graft.algo.Scc.run(spark, e, numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("SCC: pure DAG is all singletons via trim alone") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.algo.Scc.run(spark, e, numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("HITS: in-star is the exact fixed point (auth 1, hubs 1/sqrt(3))") {
     val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
     val got = graft.algo.Hits.run(spark, star, numPartitions = 2, maxIter = 5)
