@@ -176,6 +176,29 @@ object Bench {
       Triangles.countTriangles(spark, GraphOps.undirectedPairs(g.edges), P))
     extra += "triangle_count" -> tri.toDouble
 
+    // opt-in like louvain: the round-3 graph additions have no
+    // BASELINE round-1/2 rows, so they stay out of the default total;
+    // measured numbers live in BASELINE.md's operator table
+    if (sys.env.get("GRAFT_BENCH_GRAPH2").contains("1")) {
+      val lms = sym.select(col("src")).distinct().orderBy(col("src"))
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      bench("sssp_bfs")(
+        algo.ShortestPaths.run(spark, sym, lms, P).count())
+      val hb = bench[algo.Hyperball.Result]("hyperball")(
+        algo.Hyperball.run(spark, sym, k = 64, numPartitions = P))
+      extra += "hyperball_rounds" -> (hb.nf.size - 1).toDouble
+      extra += "hyperball_eff_diameter" -> hb.effectiveDiameter(0.9)
+      bench("scc")(algo.Scc.run(spark, g.edges, P).count())
+      bench("hits")(
+        algo.Hits.run(spark, g.edges, P, tol = 0.0, maxIter = 10).scores.count())
+      bench("random_walks")(
+        graph.RandomWalks.run(spark, sym,
+          sym.select(col("src").as("id")).distinct(),
+          walksPerVertex = 2, walkLength = 8, numPartitions = P).count())
+      bench("clustering_coeff")(
+        Triangles.clustering(spark, GraphOps.undirectedPairs(g.edges), P).count())
+    }
+
     // ── headline: PageRank on a large synthesized skewed edge table ──
     // (same distribution the extractor produces; sized so the
     // measurement is algorithm-bound, not corpus-generation-bound)

@@ -624,6 +624,7 @@ object SparkEntry {
       algo.Hyperball
         .run(s, GraphOps.symmetrize(sqlGraphEdges(s)), k = 2048,
           numPartitions = parts(s, d))
+        .perVertex
         .filter(pmod(col("id"), lit(10L)) === 1)
         .select(col("id"), col("nf").cast("long").as("reachable"),
           col("sum_dist").cast("long").as("sum_dist"),
@@ -671,7 +672,9 @@ object SparkEntry {
       graph.RandomWalks
         .run(s, sym, starts, walksPerVertex = 2, walkLength = 8,
           numPartitions = parts(s, d))
-        .select(col("walk_id"), posexplode(col("path")))
+        // small non-negative ids here, so the flat walk_id is safe
+        .select((col("start") * 2 + col("replica")).as("walk_id"),
+          posexplode(col("path")))
         .select(col("walk_id"), col("pos").cast("long").as("step"),
           col("col").as("vertex"))
     }),
@@ -1908,19 +1911,19 @@ object SparkEntry {
            row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
            count(*) OVER (PARTITION BY src) AS deg
          FROM sym),
-       w(walk_id, step, cur) AS (
-         SELECT src * 2 + r, 0, src
+       w(start, rep, step, cur) AS (
+         SELECT src, r, 0, src
          FROM (SELECT DISTINCT src FROM sym) v, (VALUES (0), (1)) t(r)
          WHERE src % 10 = 1
          UNION ALL
-         SELECT w.walk_id, w.step + 1, r.dst
+         SELECT w.start, w.rep, w.step + 1, r.dst
          FROM w JOIN ranked r ON r.src = w.cur
           AND r.rank = ((w.cur % 2147483647) * 31 +
-                        (w.walk_id % 2147483647) * 131 +
-                        w.step * 257) % 2147483647 % r.deg
+                        (w.start % 2147483647) * 131 +
+                        w.rep * 8191 + w.step * 257) % 2147483647 % r.deg
          WHERE w.step < 8
        )
-       SELECT CAST(walk_id AS BIGINT) AS walk_id,
+       SELECT CAST(start * 2 + rep AS BIGINT) AS walk_id,
          CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS vertex
        FROM w"""
 

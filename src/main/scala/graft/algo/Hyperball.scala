@@ -57,17 +57,38 @@ object Hyperball {
         ((element_at(sk, k).cast("double") + 9.223372036854776e18) /
           1.8446744073709552e19))
 
+  /** @param perVertex (id, nf, sum_dist, harmonic) — nf = ball-size
+    *                  estimate (exact integral double below
+    *                  saturation), sum_dist = Σ dist to reachable
+    *                  vertices, harmonic = Σ 1/dist
+    * @param nf the global neighborhood function: nf(t) = Σ_v |B(v,t)|
+    *           = number of (ordered) vertex pairs within distance t,
+    *           self-pairs included; nf(0) = |V|, one entry per radius
+    *           up to the last GROWING round (the distance distribution
+    *           of the graph, HyperBall's headline output)
+    */
+  final case class Result(perVertex: DataFrame, nf: Seq[Double]) {
+    /** Interpolated effective diameter: the radius within which a
+      * fraction q of all reachable pairs lies (Boldi–Vigna; q = 0.9
+      * is the standard "90% effective diameter").
+      */
+    def effectiveDiameter(q: Double = 0.9): Double = {
+      require(q > 0 && q <= 1, s"quantile q must be in (0, 1], got $q")
+      val target = q * nf.last
+      val i = nf.indexWhere(_ >= target)
+      if (i <= 0) 0.0
+      else i - 1 + (target - nf(i - 1)) / (nf(i) - nf(i - 1))
+    }
+  }
+
   /** @param symEdges symmetrized edges (both directions present)
     * @param k sketch size: exact below k reachable, ±1/√(k−2) beyond
-    * @return (id, nf, sum_dist, harmonic) — nf = ball-size estimate
-    *         (exact integral double below saturation), sum_dist =
-    *         Σ dist to reachable vertices, harmonic = Σ 1/dist
     */
   def run(spark: SparkSession,
           symEdges: DataFrame,
           k: Int = 256,
           numPartitions: Int = 32,
-          maxIter: Int = 128): DataFrame = Superstep.withoutAQE(spark) {
+          maxIter: Int = 128): Result = Superstep.withoutAQE(spark) {
 
     val edges = Superstep.freshCheckpoint(
       symEdges.select(col("src"), col("dst"))
@@ -83,6 +104,10 @@ object Hyperball {
       eager = true)
 
     val gc = new Superstep.CheckpointGC(spark, keep = 4)
+    // nf(0) = |V|: the eager init checkpoint makes this count cheap,
+    // and each round extends the series by its Δ-sum — the convergence
+    // action doubles as the distance-distribution collector
+    val nfSeries = scala.collection.mutable.ArrayBuffer(state.count().toDouble)
     var t = 1
     var growing = true
     while (growing && t <= maxIter) {
@@ -107,7 +132,9 @@ object Hyperball {
       val chk = Superstep.freshCheckpoint(next, eager = false)
       // the single per-round action: materializes the checkpoint and
       // decides convergence (sketches stop changing → Δ exactly 0)
-      growing = chk.agg(sum(col("delta")).as("d")).collect()(0).getDouble(0) > 0.0
+      val dSum = chk.agg(sum(col("delta")).as("d")).collect()(0).getDouble(0)
+      growing = dSum > 0.0
+      if (growing) nfSeries += nfSeries.last + dSum
       state = chk
       gc.tick()
       t += 1
@@ -116,6 +143,7 @@ object Hyperball {
       s"HyperBall still expanding after $maxIter rounds — raise maxIter")
     gc.close(keepLatest = 1)
     Superstep.freeCheckpoint(edges)
-    state.select(col("id"), col("nf"), col("sum_dist"), col("harmonic"))
+    Result(state.select(col("id"), col("nf"), col("sum_dist"), col("harmonic")),
+      nfSeries.toSeq)
   }
 }

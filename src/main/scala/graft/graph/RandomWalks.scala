@@ -41,17 +41,23 @@ object RandomWalks {
 
   private val P = 2147483647L // 2^31-1
 
-  /** The deterministic step choice — exact in 64-bit: |operands| < 2^41. */
-  def choice(cur: Column, walkId: Column, step: Int, deg: Column): Column =
-    pmod(pmod(cur, lit(P)) * 31 + pmod(walkId, lit(P)) * 131 + lit(step.toLong) * 257,
-      lit(P)) % deg
+  /** The deterministic step choice — exact in 64-bit for ANY long
+    * vertex id (pmod maps into [0, P) before the small-constant
+    * multiplies, so every operand stays below 2^41; a raw
+    * `id·walksPerVertex` walk id would overflow on hashed ids).
+    */
+  def choice(cur: Column, start: Column, replica: Column, step: Int,
+             deg: Column): Column =
+    pmod(pmod(cur, lit(P)) * 31 + pmod(start, lit(P)) * 131 +
+      replica * 8191 + lit(step.toLong) * 257, lit(P)) % deg
 
   /** @param edges directed edges to walk along (pass a symmetrized
     *              table for undirected walks)
     * @param starts one column `id` of walk start vertices
-    * @return (walk_id, start, path) — path is the array<long> visit
-    *         sequence INCLUDING the start, length ≤ walkLength+1;
-    *         walk_id = start·walksPerVertex + replica
+    * @return (start, replica, path) — walk identity is the (start,
+    *         replica) pair (overflow-safe for hashed 64-bit ids);
+    *         path is the array<long> visit sequence INCLUDING the
+    *         start, length ≤ walkLength+1
     */
   def run(spark: SparkSession,
           edges: DataFrame,
@@ -76,10 +82,8 @@ object RandomWalks {
     var state = Superstep.freshCheckpoint(
       starts.select(col("id"))
         .crossJoin(spark.range(walksPerVertex).select(col("id").as("replica")))
-        .select(
-          (col("id") * walksPerVertex + col("replica")).as("walk_id"),
-          col("id").as("start"), array(col("id")).as("path"),
-          col("id").as("cur")),
+        .select(col("id").as("start"), col("replica"),
+          array(col("id")).as("path"), col("id").as("cur")),
       eager = true)
     var finished = state.filter(lit(false))
 
@@ -91,18 +95,19 @@ object RandomWalks {
     while (t < walkLength) {
       val withPick = state
         .join(degs.hint("shuffle_hash"), state("cur") === degs("id"), "left")
-        .select(col("walk_id"), col("start"), col("path"), col("cur"),
+        .select(col("start"), col("replica"), col("path"), col("cur"),
           when(col("deg").isNull, lit(null))
-            .otherwise(choice(col("cur"), col("walk_id"), t, col("deg")))
+            .otherwise(choice(col("cur"), col("start"), col("replica"), t,
+              col("deg")))
             .as("pick"))
       // dead ends (directed input only) retire into `finished`
       finished = finished.unionByName(
         withPick.filter(col("pick").isNull)
-          .select(col("walk_id"), col("start"), col("path"), col("cur")))
+          .select(col("start"), col("replica"), col("path"), col("cur")))
       val stepped = withPick.filter(col("pick").isNotNull)
         .join(ranked.hint("shuffle_hash"),
           col("cur") === ranked("src") && col("pick") === ranked("rank"))
-        .select(col("walk_id"), col("start"),
+        .select(col("start"), col("replica"),
           concat(col("path"), array(ranked("dst"))).as("path"),
           ranked("dst").as("cur"))
       state = Superstep.freshCheckpoint(stepped, eager = true)
@@ -110,7 +115,8 @@ object RandomWalks {
       t += 1
     }
     val out = Superstep.freshCheckpoint(
-      state.unionByName(finished).select(col("walk_id"), col("start"), col("path")),
+      state.unionByName(finished)
+        .select(col("start"), col("replica"), col("path")),
       eager = true)
     gc.close(keepLatest = 1)
     Superstep.freeCheckpoint(ranked)

@@ -381,14 +381,19 @@ class AlgoFixtureSpec extends AnyFunSuite {
   test("Hyperball: path + disjoint edge, geometric centralities exact below k") {
     // path 0-1-2-3 plus a disjoint edge 10-11; k=64 > every ball → exact
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
-    val got = graft.algo.Hyperball
+    val res = graft.algo.Hyperball
       .run(spark, GraphOps.symmetrize(und), k = 64, numPartitions = 4)
-      .collect()
+    val got = res.perVertex.collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
       .toMap
     assert(got(0L) == ((4.0, 6.0, 1.0 + 0.5 + 1.0 / 3))) // dists 1,2,3
     assert(got(1L) == ((4.0, 4.0, 1.0 + 1.0 + 0.5)))     // dists 1,1,2
     assert(got(10L) == ((2.0, 1.0, 1.0)))                // the pair only
+    // global neighborhood function: pairs within radius 0,1,2,3
+    assert(res.nf == Seq(6.0, 14.0, 18.0, 20.0))
+    // 90% of 20 pairs = 18, hit exactly at radius 2
+    assert(res.effectiveDiameter(0.9) == 2.0)
+    assert(res.effectiveDiameter(1.0) == 3.0)
   }
 
   test("Hyperball: saturated sketch still estimates the clique ball") {
@@ -397,7 +402,7 @@ class AlgoFixtureSpec extends AnyFunSuite {
       .toDF("src", "dst")
     val est = graft.algo.Hyperball
       .run(spark, GraphOps.symmetrize(k20), k = 8, numPartitions = 4)
-      .agg(avg(col("nf"))).collect()(0).getDouble(0)
+      .perVertex.agg(avg(col("nf"))).collect()(0).getDouble(0)
     // ±1/√(k−2) ≈ 41% per vertex, tighter after averaging 20 sketches
     assert(est > 10.0 && est < 40.0, s"mean estimate $est vs true 20")
   }
@@ -485,6 +490,14 @@ class AlgoFixtureSpec extends AnyFunSuite {
       .collect()
     assert(got.length == 1)
     assert(got(0).getSeq[Long](2) == Seq(0L, 1L, 2L, 3L, 0L, 1L))
+    // overflow-safety: the same walk on hash-ranged vertex ids
+    val big = Seq((Long.MaxValue - 3, Long.MinValue + 7),
+      (Long.MinValue + 7, Long.MaxValue - 3)).toDF("src", "dst")
+    val bw = graft.graph.RandomWalks
+      .run(spark, big, Seq(Long.MaxValue - 3).toDF("id"),
+        walksPerVertex = 2, walkLength = 4, numPartitions = 2)
+      .collect()
+    assert(bw.length == 2 && bw.forall(_.getSeq[Long](2).size == 5))
   }
 
   test("RandomWalks: dead end retires the walk early; walks follow edges") {
@@ -494,11 +507,11 @@ class AlgoFixtureSpec extends AnyFunSuite {
       .run(spark, path, starts, walksPerVertex = 2, walkLength = 5,
         numPartitions = 2)
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
     assert(got.size == 4)
     // both walks from 0 march to the sink and stop; from 2 they never move
-    assert(got(0L) == Seq(0L, 1L, 2L) && got(1L) == Seq(0L, 1L, 2L))
-    assert(got(4L) == Seq(2L) && got(5L) == Seq(2L))
+    assert(got((0L, 0L)) == Seq(0L, 1L, 2L) && got((0L, 1L)) == Seq(0L, 1L, 2L))
+    assert(got((2L, 0L)) == Seq(2L) && got((2L, 1L)) == Seq(2L))
   }
 
   test("graphSummary: star graph profile, assortativity exactly -1") {
