@@ -654,6 +654,21 @@ object SparkEntry {
       // mutual-reachability closure
       algo.Scc.run(s, sqlGraphEdges(s), numPartitions = parts(s, d))),
 
+    "scc_condensation_sql_graph" -> ((s, d) => {
+      // component-level DAG over the SCC labels (cycle-free by
+      // construction): distinct cross-component edges
+      val e = sqlGraphEdges(s)
+      algo.Scc.condensation(e, algo.Scc.run(s, e, parts(s, d)))
+    }),
+
+    "reciprocity_sql_graph" -> ((s, d) =>
+      // how mutual the directed graph is: |{(u,v): (v,u)∈E}| / |E|
+      GraphOps.reciprocity(sqlGraphEdges(s))),
+
+    "degree_hist_sql_graph" -> ((s, d) =>
+      // log2-bucketed degree histogram (exact bit-length buckets)
+      GraphOps.degreeHistogram(GraphOps.symmetrize(sqlGraphEdges(s)))),
+
     "hits_sql_graph" -> ((s, d) => {
       // HITS hubs/authorities, 5 fixed iterations (tol=0 = oracle
       // mode, no convergence action) vs the unrolled recurrence
@@ -1862,6 +1877,53 @@ object SparkEntry {
          CAST(least(v.id, coalesce(m.mn, v.id)) AS BIGINT) AS scc
        FROM vts v LEFT JOIN m ON m.id = v.id"""
 
+  /** Condensation twin: SCC labels via the closure (as in
+    * [[sccSqlOracle]]) mapped over both edge endpoints, distinct
+    * cross-component pairs.
+    */
+  private val sccCondensationSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       r(a, b) AS (
+         SELECT src, dst FROM e
+         UNION
+         SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+       ),
+       vts AS (SELECT DISTINCT id
+               FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       m AS (SELECT x.a AS id, min(x.b) AS mn
+             FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+             GROUP BY x.a),
+       lab AS (SELECT v.id, least(v.id, coalesce(m.mn, v.id)) AS scc
+               FROM vts v LEFT JOIN m ON m.id = v.id)
+       SELECT DISTINCT CAST(ls.scc AS BIGINT) AS csrc,
+         CAST(ld.scc AS BIGINT) AS cdst
+       FROM e JOIN lab ls ON ls.id = e.src JOIN lab ld ON ld.id = e.dst
+       WHERE ls.scc <> ld.scc"""
+
+  /** Reciprocity twin: mutual-edge count via a semi-join on the
+    * swapped pair; single fp division over exact counts.
+    */
+  private val reciprocitySqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       mu AS (SELECT count(*) AS n_mutual FROM e a
+              WHERE EXISTS (SELECT 1 FROM e b
+                            WHERE b.src = a.dst AND b.dst = a.src)),
+       ne AS (SELECT count(*) AS n_edges FROM e)
+       SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+         CAST(mu.n_mutual AS BIGINT) AS n_mutual,
+         round(CAST(mu.n_mutual AS DOUBLE) / ne.n_edges, 6) AS reciprocity
+       FROM ne, mu"""
+
+  /** Degree-histogram twin: bit-length buckets (exact integers; see
+    * GraphOps.degreeHistogram for why not floor(log2)).
+    */
+  private val degreeHistSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       dg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+       SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_vertices
+       FROM dg GROUP BY 1"""
+
   /** HITS twin: the textbook per-iteration recurrence unrolled —
     * araw = Eᵀh then a = araw/‖araw‖₂, hraw = E·a then h = hraw/‖hraw‖₂
     * — with the L2 normalizers as scalar subqueries, exactly the
@@ -2393,6 +2455,9 @@ object SparkEntry {
     "scc_sql_graph" -> sccSqlOracle,
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,
     "clustering_sql_graph" -> clusteringSqlOracle,
+    "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
+    "reciprocity_sql_graph" -> reciprocitySqlOracle,
+    "degree_hist_sql_graph" -> degreeHistSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
 
     "tri_sql_graph" ->

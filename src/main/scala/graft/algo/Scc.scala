@@ -161,4 +161,16 @@ object Scc {
     Superstep.freeCheckpoint(verts)
     settled
   }
+
+  /** Condensation DAG: one vertex per SCC, an edge (cu, cv) for every
+    * pair of distinct components joined by at least one original edge.
+    * Two skinny label joins + a distinct — the standard follow-up
+    * (cycle-free dependency order over the component graph).
+    */
+  def condensation(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"), col("scc").as("csrc")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("scc").as("cdst")), Seq("dst"))
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc"), col("cdst")).distinct()
 }

@@ -147,4 +147,36 @@ object GraphOps {
             (col("se") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
           .as("assortativity"))
   }
+
+  /** Directed-graph reciprocity: the fraction of edges whose reverse
+    * also exists (Wasserman–Faust), plus the raw counts — how mutual
+    * the link graph is. One self-semi-join on the swapped key; the
+    * final division is one fp op over exact integers.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(mutual.agg(count(lit(1)).as("n_mutual")))
+      .select(col("n_edges"), col("n_mutual"),
+        round(col("n_mutual").cast("double") / col("n_edges"), 6)
+          .as("reciprocity"))
+  }
+
+  /** log₂-bucketed degree histogram of the undirected graph: bucket b
+    * holds vertices with degree in [2^b, 2^(b+1)) — the standard
+    * power-law eyeball. One degree agg + one tiny agg. The bucket is
+    * the integer bit length − 1, computed EXACTLY via the binary
+    * string (`floor(log2(x))` would be a cross-engine trap: Spark
+    * evaluates log2 as ln/ln, which lands below the integer at exact
+    * powers of two).
+    */
+  def degreeHistogram(symEdges: DataFrame): DataFrame =
+    degrees(symEdges)
+      .select((length(conv(col("degree"), 10, 2)) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vertices"))
 }

@@ -456,6 +456,24 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("SCC condensation / reciprocity / degree histogram fixtures") {
+    val e = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L), (1L, 2L))
+      .toDF("src", "dst")
+    val cond = graft.algo.Scc
+      .condensation(e, graft.algo.Scc.run(spark, e, numPartitions = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cond.toSeq == Seq((0L, 2L))) // the one cross-SCC bridge
+
+    val rec = GraphOps.reciprocity(e).collect()(0)
+    assert(rec.getLong(0) == 5 && rec.getLong(1) == 4) // 2 mutual pairs
+    assert(rec.getDouble(2) == 0.8)
+
+    val star = GraphOps.symmetrize((1L to 4L).map(i => (0L, i)).toDF("src", "dst"))
+    val hist = GraphOps.degreeHistogram(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(2L -> 1L, 0L -> 4L)) // hub degree 4, leaves 1
+  }
+
   test("HITS: in-star is the exact fixed point (auth 1, hubs 1/sqrt(3))") {
     val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
     val got = graft.algo.Hits.run(spark, star, numPartitions = 2, maxIter = 5)
