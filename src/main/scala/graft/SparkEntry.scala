@@ -661,6 +661,12 @@ object SparkEntry {
       algo.Scc.condensation(e, algo.Scc.run(s, e, parts(s, d)))
     }),
 
+    "recommend_sql_graph" -> ((s, d) =>
+      // non-edge link prediction: wedge candidates (degree-capped
+      // centers), existing edges anti-joined away, common/jaccard/AA
+      graph.LinkScores.recommend(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        numPartitions = parts(s, d), minCommon = 2)),
+
     "reciprocity_sql_graph" -> ((s, d) =>
       // how mutual the directed graph is: |{(u,v): (v,u)∈E}| / |E|
       GraphOps.reciprocity(sqlGraphEdges(s))),
@@ -1877,6 +1883,32 @@ object SparkEntry {
          CAST(least(v.id, coalesce(m.mn, v.id)) AS BIGINT) AS scc
        FROM vts v LEFT JOIN m ON m.id = v.id"""
 
+  /** Recommendation twin: wedge self-join on the center (mirroring
+    * the 1024 degree cap, inactive on this graph), NOT EXISTS against
+    * the edge set, DECIMAL-exact Adamic–Adar like [[linkScoresSqlOracle]].
+    */
+  private val recommendSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e WHERE src <> dst GROUP BY 1, 2),
+       syu AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+       dgt AS (SELECT a AS id, count(*) AS dg FROM syu GROUP BY a),
+       wg AS (SELECT x.b AS a, y.b AS b, dv.dg AS dv
+              FROM syu x JOIN syu y ON y.a = x.a AND x.b < y.b
+              JOIN dgt dv ON dv.id = x.a AND dv.dg <= 1024),
+       ne AS (SELECT a, b, dv FROM wg
+              WHERE NOT EXISTS (SELECT 1 FROM und
+                                WHERE und.u = wg.a AND und.v = wg.b)),
+       sc AS (SELECT a, b, count(*) AS common,
+                CAST(sum(CAST(1.0 / ln(dv) AS DECIMAL(30,15))) AS DOUBLE) AS aa
+              FROM ne GROUP BY a, b)
+       SELECT sc.a AS src, sc.b AS dst,
+         CAST(sc.common AS BIGINT) AS common,
+         round(sc.common / (da.dg + db.dg - sc.common), 6) AS jaccard,
+         round(sc.aa, 6) AS adamic_adar
+       FROM sc JOIN dgt da ON da.id = sc.a JOIN dgt db ON db.id = sc.b
+       WHERE sc.common >= 2"""
+
   /** Condensation twin: SCC labels via the closure (as in
     * [[sccSqlOracle]]) mapped over both edge endpoints, distinct
     * cross-component pairs.
@@ -2456,6 +2488,7 @@ object SparkEntry {
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,
     "clustering_sql_graph" -> clusteringSqlOracle,
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
+    "recommend_sql_graph" -> recommendSqlOracle,
     "reciprocity_sql_graph" -> reciprocitySqlOracle,
     "degree_hist_sql_graph" -> degreeHistSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,

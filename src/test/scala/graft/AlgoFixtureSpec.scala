@@ -456,6 +456,27 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("LinkScores.recommend: C4 non-edge diagonals, hand-computed") {
+    // 4-cycle 0-1-2-3-0: the two diagonals are the only pairs with
+    // 2 common neighbors; aa = 2/ln(2), jaccard = 2/(2+2-2) = 1
+    val c4 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val got = graph.LinkScores
+      .recommend(spark, GraphOps.symmetrize(c4), numPartitions = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((0L, 2L), (1L, 3L)))
+    got.values.foreach { case (common, jac, aa) =>
+      assert(common == 2L && jac == 1.0)
+      assert(math.abs(aa - 2.0 / math.log(2.0)) < 1e-6)
+    }
+    // degree cap excludes the hub center: star has no surviving wedge
+    val star = GraphOps.symmetrize((1L to 4L).map(i => (0L, i)).toDF("src", "dst"))
+    assert(graph.LinkScores
+      .recommend(spark, star, numPartitions = 2, minCommon = 1,
+        maxCenterDegree = 3).count() == 0)
+  }
+
   test("SCC condensation / reciprocity / degree histogram fixtures") {
     val e = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L), (1L, 2L))
       .toDF("src", "dst")
