@@ -661,6 +661,14 @@ object SparkEntry {
       algo.Scc.condensation(e, algo.Scc.run(s, e, parts(s, d)))
     }),
 
+    "betweenness_sql_graph" -> ((s, d) =>
+      // Brandes dependency accumulation from landmark sources {1,2,3}
+      // (the k-source betweenness sample), vs the fully unrolled
+      // forward-σ/backward-δ recurrence in DuckDB
+      algo.Betweenness.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+          sources = Seq(1L, 2L, 3L), numPartitions = parts(s, d))
+        .select(col("id"), round(col("betweenness"), 6).as("betweenness"))),
+
     "recommend_sql_graph" -> ((s, d) =>
       // non-edge link prediction: wedge candidates (degree-capped
       // centers), existing edges anti-joined away, common/jaccard/AA
@@ -1883,6 +1891,62 @@ object SparkEntry {
          CAST(least(v.id, coalesce(m.mn, v.id)) AS BIGINT) AS scc
        FROM vts v LEFT JOIN m ON m.id = v.id"""
 
+  /** Betweenness twin: Brandes fully unrolled — forward BFS levels
+    * l{i} carrying exact BIGINT path counts σ, then dependency levels
+    * dl{d} walked top-down with the same σv/σw·(1+δw) message
+    * grouping as the engine. Landmark eccentricity here is 18, so 20
+    * levels never clip (deeper CTEs are just empty). Sources' own
+    * dist-0 rows (δ(s,s)) stay out of the final sum, matching the
+    * v ≠ s convention. All CTEs MATERIALIZED (multiply referenced).
+    */
+  private def betweennessSqlOracle(levels: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         l0 AS (SELECT lm AS id, lm AS landmark, CAST(1 AS BIGINT) AS sigma
+                FROM (VALUES (1), (2), (3)) t(lm)),
+         s0 AS (SELECT id, landmark FROM l0)""")
+    for (i <- 1 to levels) {
+      val p = i - 1
+      b.append(
+        s""",
+         c$i AS (SELECT s.dst AS id, p.landmark,
+                   CAST(sum(p.sigma) AS BIGINT) AS sigma
+                 FROM l$p p JOIN sym s ON s.src = p.id GROUP BY 1, 2),
+         l$i AS (SELECT c.id, c.landmark, c.sigma FROM c$i c
+                 WHERE NOT EXISTS (SELECT 1 FROM s$p x
+                   WHERE x.id = c.id AND x.landmark = c.landmark)),
+         s$i AS (SELECT id, landmark FROM s$p
+                 UNION ALL SELECT id, landmark FROM l$i)""")
+    }
+    b.append(
+      s""",
+         dl$levels AS (SELECT id, landmark, 0.0 AS delta FROM l$levels)""")
+    for (d <- levels to 1 by -1) {
+      val p = d - 1
+      b.append(
+        s""",
+         cb$d AS (SELECT p.id, p.landmark,
+                    sum(CAST(p.sigma AS DOUBLE) / w.sigma * (1 + dw.delta))
+                      AS delta
+                  FROM l$d w
+                  JOIN dl$d dw ON dw.id = w.id AND dw.landmark = w.landmark
+                  JOIN sym s ON s.dst = w.id
+                  JOIN l$p p ON p.id = s.src AND p.landmark = w.landmark
+                  GROUP BY 1, 2),
+         dl$p AS (SELECT l.id, l.landmark, coalesce(c.delta, 0.0) AS delta
+                  FROM l$p l LEFT JOIN cb$d c
+                    ON c.id = l.id AND c.landmark = l.landmark)""")
+    }
+    val unions = (1 to levels)
+      .map(d => s"SELECT id, delta FROM dl$d").mkString(" UNION ALL ")
+    b.append(
+      s"""
+         SELECT id, round(sum(delta), 6) AS betweenness
+         FROM ($unions) GROUP BY id""")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Recommendation twin: wedge self-join on the center (mirroring
     * the 1024 degree cap, inactive on this graph), NOT EXISTS against
     * the edge set, DECIMAL-exact Adamic–Adar like [[linkScoresSqlOracle]].
@@ -2489,6 +2553,7 @@ object SparkEntry {
     "clustering_sql_graph" -> clusteringSqlOracle,
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,
+    "betweenness_sql_graph" -> betweennessSqlOracle(20),
     "reciprocity_sql_graph" -> reciprocitySqlOracle,
     "degree_hist_sql_graph" -> degreeHistSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,

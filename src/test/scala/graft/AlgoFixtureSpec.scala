@@ -456,6 +456,24 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("Betweenness: P4 all-source exact; C4 split σ dependencies") {
+    // path 0-1-2-3, all 4 sources → exact ordered betweenness
+    val p4 = GraphOps.symmetrize(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val got = graft.algo.Betweenness
+      .run(spark, p4, sources = Seq(0L, 1L, 2L, 3L), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.0, 1L -> 4.0, 2L -> 4.0, 3L -> 0.0))
+
+    // 4-cycle, source 0: σ(2)=2, so each of 1,3 carries δ = 1/2
+    val c4 = GraphOps.symmetrize(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst"))
+    val one = graft.algo.Betweenness
+      .run(spark, c4, sources = Seq(0L), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one == Map(1L -> 0.5, 2L -> 0.0, 3L -> 0.5))
+  }
+
   test("LinkScores.recommend: C4 non-edge diagonals, hand-computed") {
     // 4-cycle 0-1-2-3-0: the two diagonals are the only pairs with
     // 2 common neighbors; aa = 2/ln(2), jaccard = 2/(2+2-2) = 1
