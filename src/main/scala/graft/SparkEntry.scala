@@ -661,6 +661,17 @@ object SparkEntry {
       algo.Scc.condensation(e, algo.Scc.run(s, e, parts(s, d)))
     }),
 
+    "katz_sql_graph" -> ((s, d) => {
+      // Katz centrality, 5 fixed iterations, β=1 — walk counting
+      // without degree normalization, vs the unrolled twin. α = 1/16:
+      // a BINARY-exact damping makes every intermediate a dyadic
+      // rational under 53 bits, so both engines agree bit-for-bit
+      // regardless of summation order (0.05 flipped a 6dp boundary)
+      val r = algo.Katz.run(s, sqlGraphEdges(s), numPartitions = parts(s, d),
+        alpha = 0.0625, beta = 1.0, tol = 0.0, maxIter = 5)
+      r.scores.select(col("id"), round(col("k"), 6).as("katz"))
+    }),
+
     "betweenness_sql_graph" -> ((s, d) =>
       // Brandes dependency accumulation from landmark sources {1,2,3}
       // (the k-source betweenness sample), vs the fully unrolled
@@ -1891,6 +1902,35 @@ object SparkEntry {
          CAST(least(v.id, coalesce(m.mn, v.id)) AS BIGINT) AS scc
        FROM vts v LEFT JOIN m ON m.id = v.id"""
 
+  /** Katz twin: the α·Aᵀk + β recurrence unrolled with the same
+    * operation order as Katz.run. α = 1/16 keeps every value a dyadic
+    * rational well under 53 bits, so the doubles are EXACT in both
+    * engines and summation order cannot matter; MATERIALIZED to stop
+    * DuckDB's exponential CTE re-inlining.
+    */
+  private def katzSqlOracle(iters: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         vts AS (SELECT DISTINCT id
+                 FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         k0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS k FROM vts)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      b.append(
+        s""",
+         kx$i AS (SELECT e.dst AS id, sum(k$p.k) AS ks
+                  FROM e JOIN k$p ON k$p.id = e.src GROUP BY e.dst),
+         k$i AS (SELECT v.id,
+                   CAST(0.0625 AS DOUBLE) * coalesce(x.ks, CAST(0.0 AS DOUBLE))
+                     + CAST(1.0 AS DOUBLE) AS k
+                 FROM vts v LEFT JOIN kx$i x ON x.id = v.id)""")
+    }
+    b.append(s"""
+         SELECT id, round(k, 6) AS katz FROM k$iters""")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Betweenness twin: Brandes fully unrolled — forward BFS levels
     * l{i} carrying exact BIGINT path counts σ, then dependency levels
     * dl{d} walked top-down with the same σv/σw·(1+δw) message
@@ -2554,6 +2594,7 @@ object SparkEntry {
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,
     "betweenness_sql_graph" -> betweennessSqlOracle(20),
+    "katz_sql_graph" -> katzSqlOracle(5),
     "reciprocity_sql_graph" -> reciprocitySqlOracle,
     "degree_hist_sql_graph" -> degreeHistSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,

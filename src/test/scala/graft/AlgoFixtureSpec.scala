@@ -456,6 +456,18 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("Katz: directed star, hand-computed walk series") {
+    // 1,2,3 -> 0: k(leaf) = 1 (no in-edges); k(0) = 1 + 3α (only
+    // 1-hop walks exist) at every iteration ≥ 1
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r = graft.algo.Katz.run(spark, star, numPartitions = 2,
+      alpha = 0.1, tol = 1e-12, maxIter = 10)
+    assert(r.converged && r.iterations <= 3)
+    val got = r.scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0L) - 1.3) < 1e-12)
+    Seq(1L, 2L, 3L).foreach(u => assert(got(u) == 1.0))
+  }
+
   test("Betweenness: P4 all-source exact; C4 split σ dependencies") {
     // path 0-1-2-3, all 4 sources → exact ordered betweenness
     val p4 = GraphOps.symmetrize(
