@@ -197,6 +197,12 @@ object Bench {
           walksPerVertex = 2, walkLength = 8, numPartitions = P).count())
       bench("clustering_coeff")(
         Triangles.clustering(spark, GraphOps.undirectedPairs(g.edges), P).count())
+      bench("betweenness")(
+        algo.Betweenness.run(spark, sym, lms, P).count())
+      bench("katz")(
+        algo.Katz.run(spark, g.edges, P, tol = 0.0, maxIter = 10).scores.count())
+      bench("recommend")(
+        graph.LinkScores.recommend(spark, sym, P, minCommon = 2).count())
     }
 
     // ── headline: PageRank on a large synthesized skewed edge table ──

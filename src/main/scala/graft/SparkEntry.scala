@@ -1988,7 +1988,7 @@ object SparkEntry {
   }
 
   /** Recommendation twin: wedge self-join on the center (mirroring
-    * the 1024 degree cap, inactive on this graph), NOT EXISTS against
+    * the 128 degree cap, inactive on this graph), NOT EXISTS against
     * the edge set, DECIMAL-exact Adamic–Adar like [[linkScoresSqlOracle]].
     */
   private val recommendSqlOracle: String =
@@ -1999,7 +1999,7 @@ object SparkEntry {
        dgt AS (SELECT a AS id, count(*) AS dg FROM syu GROUP BY a),
        wg AS (SELECT x.b AS a, y.b AS b, dv.dg AS dv
               FROM syu x JOIN syu y ON y.a = x.a AND x.b < y.b
-              JOIN dgt dv ON dv.id = x.a AND dv.dg <= 1024),
+              JOIN dgt dv ON dv.id = x.a AND dv.dg <= 128),
        ne AS (SELECT a, b, dv FROM wg
               WHERE NOT EXISTS (SELECT 1 FROM und
                                 WHERE und.u = wg.a AND und.v = wg.b)),

@@ -3,7 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.Triangles
+import graft.algo.{Superstep, Triangles}
 
 /** Structural link scores for existing edges — the classic
   * link-prediction features (Liben-Nowell & Kleinberg 2003) a
@@ -92,7 +92,7 @@ object LinkScores {
   def recommend(spark: SparkSession, symEdges: DataFrame,
                 numPartitions: Int = 32,
                 minCommon: Long = 2,
-                maxCenterDegree: Long = 1024): DataFrame = {
+                maxCenterDegree: Long = 128): DataFrame = {
     val pairs = symEdges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
@@ -103,25 +103,36 @@ object LinkScores {
     val okCenters = deg.filter(col("deg") <= maxCenterDegree)
       .select(col("id").as("v"), col("deg").as("dv"))
 
-    val w1 = sym.select(col("src").as("v"), col("dst").as("a"))
-    val w2 = sym.select(col("src").as("v"), col("dst").as("b"))
-    val wedges = w1.join(w2, Seq("v")).filter(col("a") < col("b"))
-      .join(okCenters, Seq("v"))
-    val nonEdge = wedges.join(
-      pairs.select(col("src").as("a"), col("dst").as("b")),
-      Seq("a", "b"), "left_anti")
+    // apply the cap BEFORE the self-join: joining it on afterwards
+    // would let Catalyst build the full Σdeg² wedge set first
+    val cw = Superstep
+      .freshCheckpoint(sym.join(okCenters, sym("src") === okCenters("v"))
+        .select(col("v"), col("dst"), col("dv"))
+        .repartition(numPartitions, col("v")), eager = true)
+    val wedges = cw.select(col("v"), col("dst").as("a"), col("dv"))
+      .join(cw.select(col("v"), col("dst").as("b")), Seq("v"))
+      .filter(col("a") < col("b"))
 
-    nonEdge
+    // aggregate first, anti-join existing edges on the (much smaller)
+    // thresholded pair set rather than on every wedge row
+    val scored = wedges
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"),
         sum((lit(1.0) / log(col("dv").cast("double")))
           .cast("decimal(30,15)")).cast("double").as("aa"))
       .filter(col("common") >= minCommon)
+      .join(pairs.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+
+    val out = scored
       .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
       .select(col("a").as("src"), col("b").as("dst"), col("common"),
         round(col("common").cast("double") /
           (col("da") + col("db") - col("common")), 6).as("jaccard"),
         round(col("aa"), 6).as("adamic_adar"))
+    val chk = Superstep.freshCheckpoint(out, eager = true)
+    Superstep.freeCheckpoint(cw)
+    chk
   }
 }
