@@ -661,6 +661,17 @@ object SparkEntry {
       algo.Scc.condensation(e, algo.Scc.run(s, e, parts(s, d)))
     }),
 
+    "feature_prop_sql_graph" -> ((s, d) => {
+      // GraphSAGE-prep neighbor aggregation: 2 layers of neighbor
+      // sums over the deterministic feature 1 + id % 97 — all-integer
+      // aggregation, mean derived by one exact division
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val feats = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), (lit(1L) + pmod(col("id"), lit(97L))).as("f"))
+      graph.FeatureProp.neighborSums(s, sym, feats, layers = 2,
+        numPartitions = parts(s, d))
+    }),
+
     "katz_sql_graph" -> ((s, d) => {
       // Katz centrality, 5 fixed iterations, β=1 — walk counting
       // without degree normalization, vs the unrolled twin. α = 1/16:
@@ -1902,6 +1913,27 @@ object SparkEntry {
          CAST(least(v.id, coalesce(m.mn, v.id)) AS BIGINT) AS scc
        FROM vts v LEFT JOIN m ON m.id = v.id"""
 
+  /** Feature-propagation twin: two grouped neighbor-sum joins over
+    * the arithmetic feature — BIGINT throughout, the mean is one
+    * division of identical exact integers (bit-identical rounding).
+    */
+  private val featurePropSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       vts AS (SELECT DISTINCT src AS id FROM sym),
+       ft AS (SELECT id, 1 + id % 97 AS f FROM vts),
+       dg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+       l1 AS (SELECT s.dst AS id, sum(ft.f) AS s1
+              FROM sym s JOIN ft ON ft.id = s.src GROUP BY 1),
+       l2 AS (SELECT s.dst AS id, sum(l1.s1) AS s2
+              FROM sym s JOIN l1 ON l1.id = s.src GROUP BY 1)
+       SELECT v.id, CAST(dg.degree AS BIGINT) AS degree,
+         CAST(ft.f AS BIGINT) AS f,
+         CAST(coalesce(l1.s1, 0) AS BIGINT) AS s1,
+         CAST(coalesce(l2.s2, 0) AS BIGINT) AS s2,
+         round(CAST(coalesce(l1.s1, 0) AS DOUBLE) / dg.degree, 6) AS mean1
+       FROM vts v JOIN dg ON dg.id = v.id JOIN ft ON ft.id = v.id
+       LEFT JOIN l1 ON l1.id = v.id LEFT JOIN l2 ON l2.id = v.id"""
+
   /** Katz twin: the α·Aᵀk + β recurrence unrolled with the same
     * operation order as Katz.run. α = 1/16 keeps every value a dyadic
     * rational well under 53 bits, so the doubles are EXACT in both
@@ -2595,6 +2627,7 @@ object SparkEntry {
     "recommend_sql_graph" -> recommendSqlOracle,
     "betweenness_sql_graph" -> betweennessSqlOracle(20),
     "katz_sql_graph" -> katzSqlOracle(5),
+    "feature_prop_sql_graph" -> featurePropSqlOracle,
     "reciprocity_sql_graph" -> reciprocitySqlOracle,
     "degree_hist_sql_graph" -> degreeHistSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,

@@ -456,6 +456,21 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("FeatureProp: path graph 2-layer sums, hand-computed") {
+    // path 0-1-2 with f = id+10: s1(1) = 10+12, s2(1) = s1(0)+s1(2) = 11+11
+    val sym = GraphOps.symmetrize(Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"))
+    val feats = Seq((0L, 10L), (1L, 11L), (2L, 12L)).toDF("id", "f")
+    val got = graft.graph.FeatureProp
+      .neighborSums(spark, sym, feats, layers = 2, numPartitions = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got(0L) == ((1L, 10L, 11L, 22L, 11.0))) // s2(0) = s1(1) = 22
+    assert(got(1L) == ((2L, 11L, 22L, 22L, 11.0)))
+    assert(got(2L) == ((1L, 12L, 11L, 22L, 11.0)))
+  }
+
   test("Katz: directed star, hand-computed walk series") {
     // 1,2,3 -> 0: k(leaf) = 1 (no in-edges); k(0) = 1 + 3α (only
     // 1-hop walks exist) at every iteration ≥ 1
