@@ -730,6 +730,22 @@ object SparkEntry {
           col("col").as("vertex"))
     }),
 
+    "walks_biased_sql_graph" -> ((s, d) => {
+      // node2vec-style rejection-sampled walks (back/triangle/far
+      // weights 1/2/1): the accept/reject stream itself replays in
+      // the DuckDB twin's recursive CTE
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val starts = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(10L)) === 1)
+      graph.RandomWalks
+        .biased(s, sym, starts, walksPerVertex = 2, walkLength = 8,
+          wRet = 1, wTri = 2, wFar = 1, numPartitions = parts(s, d))
+        .select((col("start") * 2 + col("replica")).as("walk_id"),
+          posexplode(col("path")))
+        .select(col("walk_id"), col("pos").cast("long").as("step"),
+          col("col").as("vertex"))
+    }),
+
     "kmv_distinct_sql_graph" -> ((s, d) => {
       // KMV sketch as a per-group distinct counter: k=256 is above the
       // max out-degree, so size(sketch) is exactly count(DISTINCT dst)
@@ -2157,6 +2173,55 @@ object SparkEntry {
          CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS vertex
        FROM w"""
 
+  /** Biased-walk twin: the full rejection-sampling state machine as a
+    * recursive CTE — each input row either advances (accept) or
+    * retries with att+1 (reject), with BOTH deterministic draws
+    * (rank and acceptance) in exact integer arithmetic, so the twin
+    * replays every attempt, not just the accepted path. Weights
+    * back/triangle/far = 1/2/1, M = 2. Visited positions are the
+    * att = 0 rows.
+    */
+  private val walksBiasedSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       ranked AS (
+         SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+           count(*) OVER (PARTITION BY src) AS deg
+         FROM sym),
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM sym),
+       w(start, rep, t, att, prev, cur) AS (
+         SELECT src, r, 0, 0, src, src
+         FROM (SELECT DISTINCT src FROM sym) s, (VALUES (0), (1)) q(r)
+         WHERE src % 10 = 1
+         UNION ALL
+         SELECT start, rep,
+           CASE WHEN ok THEN t + 1 ELSE t END,
+           CASE WHEN ok THEN 0 ELSE att + 1 END,
+           CASE WHEN ok THEN cur ELSE prev END,
+           CASE WHEN ok THEN x ELSE cur END
+         FROM (
+           SELECT w.start, w.rep, w.t, w.att, w.prev, w.cur, rk.dst AS x,
+             (w.t = 0 OR
+              ((w.cur % 2147483647) * 37 + (w.start % 2147483647) * 149 +
+               w.rep * 4099 + w.t * 263 + w.att * 12373) % 2147483647 % 2
+                < CASE WHEN rk.dst = w.prev THEN 1
+                       WHEN tu.u IS NOT NULL THEN 2 ELSE 1 END) AS ok
+           FROM w
+           JOIN ranked rk ON rk.src = w.cur
+            AND rk.rank = ((w.cur % 2147483647) * 31 +
+                           (w.start % 2147483647) * 131 +
+                           w.rep * 8191 + w.t * 257 +
+                           w.att * 12289) % 2147483647 % rk.deg
+           LEFT JOIN und tu ON tu.u = least(w.prev, rk.dst)
+                           AND tu.v = greatest(w.prev, rk.dst)
+           WHERE w.t < 8
+         )
+       )
+       SELECT CAST(start * 2 + rep AS BIGINT) AS walk_id,
+         CAST(t AS BIGINT) AS step, CAST(cur AS BIGINT) AS vertex
+       FROM w WHERE att = 0"""
+
   /** KMV-distinct twin: below saturation the sketch is the distinct
     * set itself, so its size is plain count(DISTINCT dst).
     */
@@ -2619,6 +2684,7 @@ object SparkEntry {
     "hyperball_sql_graph" -> hyperballSqlOracle,
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "walks_sql_graph" -> walksSqlOracle,
+    "walks_biased_sql_graph" -> walksBiasedSqlOracle,
     "hits_sql_graph" -> hitsSqlOracle(5),
     "scc_sql_graph" -> sccSqlOracle,
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,

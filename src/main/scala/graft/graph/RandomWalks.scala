@@ -123,4 +123,127 @@ object RandomWalks {
     Superstep.freeCheckpoint(degs)
     out
   }
+
+  /** The biased-walk acceptance draw for attempt `a` of edge choice
+    * `t` — same exact-64-bit contract as [[choice]], independent
+    * constants.
+    */
+  def acceptDraw(cur: Column, start: Column, replica: Column, m: Int): Column =
+    pmod(pmod(cur, lit(P)) * 37 + pmod(start, lit(P)) * 149 +
+      replica * 4099 + col("t") * 263 + col("att") * 12373, lit(P)) % m
+
+  private def rankDraw(cur: Column, start: Column, replica: Column,
+                       deg: Column): Column =
+    pmod(pmod(cur, lit(P)) * 31 + pmod(start, lit(P)) * 131 +
+      replica * 8191 + col("t") * 257 + col("att") * 12289, lit(P)) % deg
+
+  /** node2vec-STYLE biased walks by rejection sampling (the KnightKing
+    * scheme, Yang et al. 2019) — the exact-alias-table alternative
+    * that needs no O(Σ_edges deg) per-edge tables: draw a uniform
+    * neighbor with the same (src, rank) equi-join as [[run]], classify
+    * it against the previous vertex (back / triangle / far ≅ 1/p / 1 /
+    * 1/q as INTEGER weights wRet / wTri / wFar), and accept with
+    * probability weight/max-weight via a second deterministic draw;
+    * rejected walks retry with the attempt counter salting both draws.
+    * Expected attempts per step ≤ M/min-weight (all weights ≥ 1
+    * required, which also guarantees termination); the first hop is
+    * uniform, as in the paper.
+    *
+    * Everything is exact 64-bit integer arithmetic, so the
+    * accept/reject stream — not just the result — replays in the
+    * DuckDB twin. Per ROUND (not per step) the work is one skinny
+    * degree join, one (src, rank) equi-join, and one canonical-pair
+    * left join for the triangle test: hub fan-out stays bounded
+    * exactly as in [[run]]. Requires symmetrized input (walks must
+    * never dead-end mid-rejection).
+    */
+  def biased(spark: SparkSession,
+             symEdges: DataFrame,
+             starts: DataFrame,
+             walksPerVertex: Int = 2,
+             walkLength: Int = 8,
+             wRet: Int = 1,
+             wTri: Int = 2,
+             wFar: Int = 1,
+             numPartitions: Int = 32,
+             maxRounds: Int = 512): DataFrame = Superstep.withoutAQE(spark) {
+    require(walksPerVertex > 0 && walkLength > 0)
+    require(wRet >= 1 && wTri >= 1 && wFar >= 1,
+      "integer weights must be >= 1 (zero would let rejection loop forever)")
+    val m = math.max(wRet, math.max(wTri, wFar))
+
+    val e = symEdges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val ranked = Superstep.freshCheckpoint(
+      e.select(col("src"), col("dst"),
+        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long").as("rank"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+        .repartition(numPartitions, col("src")), eager = true)
+    val degs = Superstep.freshCheckpoint(
+      ranked.groupBy(col("src").as("id")).agg(first(col("deg")).as("deg"))
+        .repartition(numPartitions, col("id")), eager = true)
+    val und = Superstep.freshCheckpoint(
+      e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+        .repartition(numPartitions, col("u")), eager = true)
+
+    // state: t = edges taken so far, att = rejected attempts at this t
+    var state = Superstep.freshCheckpoint(
+      starts.select(col("id"))
+        .crossJoin(spark.range(walksPerVertex).select(col("id").as("replica")))
+        .select(col("id").as("start"), col("replica"),
+          array(col("id")).as("path"), col("id").as("prev"),
+          col("id").as("cur"), lit(0L).as("t"), lit(0L).as("att")),
+      eager = true)
+
+    val gc = new Superstep.CheckpointGC(spark, keep = 4)
+    var round = 0
+    var pending = state.filter(col("t") < walkLength).count()
+    while (pending > 0 && round < maxRounds) {
+      val live = state.filter(col("t") < walkLength)
+      val done = state.filter(col("t") >= walkLength)
+      val cand = live
+        .join(degs.hint("shuffle_hash"), live("cur") === degs("id"))
+        .withColumn("pick",
+          rankDraw(col("cur"), col("start"), col("replica"), col("deg")))
+        .join(ranked.hint("shuffle_hash"),
+          col("cur") === ranked("src") && col("pick") === ranked("rank"))
+        .select(col("start"), col("replica"), col("path"), col("prev"),
+          col("cur"), col("t"), col("att"), ranked("dst").as("x"))
+      val classified = cand
+        .join(und.hint("shuffle_hash"),
+          least(col("prev"), col("x")) === und("u") &&
+            greatest(col("prev"), col("x")) === und("v"), "left")
+        .select(col("start"), col("replica"), col("path"), col("prev"),
+          col("cur"), col("t"), col("att"), col("x"),
+          when(col("x") === col("prev"), lit(wRet))
+            .when(und("u").isNotNull, lit(wTri))
+            .otherwise(lit(wFar)).as("w"))
+      val stepped = classified.withColumn("ok",
+        col("t") === 0 || // first hop: uniform, always accept
+          acceptDraw(col("cur"), col("start"), col("replica"), m) < col("w"))
+        .select(col("start"), col("replica"),
+          when(col("ok"), concat(col("path"), array(col("x"))))
+            .otherwise(col("path")).as("path"),
+          when(col("ok"), col("cur")).otherwise(col("prev")).as("prev"),
+          when(col("ok"), col("x")).otherwise(col("cur")).as("cur"),
+          when(col("ok"), col("t") + 1).otherwise(col("t")).as("t"),
+          when(col("ok"), lit(0L)).otherwise(col("att") + 1).as("att"))
+      val next = Superstep.freshCheckpoint(
+        done.unionByName(stepped), eager = false)
+      pending = next.filter(col("t") < walkLength).count()
+      state = next
+      gc.tick()
+      round += 1
+    }
+    require(pending == 0,
+      s"biased walks still rejecting after $maxRounds rounds — raise maxRounds")
+    val out = Superstep.freshCheckpoint(
+      state.select(col("start"), col("replica"), col("path")), eager = true)
+    gc.close(keepLatest = 1)
+    Superstep.freeCheckpoint(ranked)
+    Superstep.freeCheckpoint(degs)
+    Superstep.freeCheckpoint(und)
+    out
+  }
 }

@@ -564,6 +564,44 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(math.abs(got(0L)._1 - v) < 1e-9 && math.abs(got(10L)._2 - v) < 1e-9)
   }
 
+  test("RandomWalks.biased: matches an independent step-by-step simulator") {
+    // C5 plus a chord: has triangles (0,1,2 / 0,2) and far hops
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L), (0L, 2L))
+    val sym = GraphOps.symmetrize(raw.toDF("src", "dst"))
+    val (wRet, wTri, wFar, bigM) = (1, 2, 1, 2)
+    val got = graft.graph.RandomWalks
+      .biased(spark, sym, (0L to 4L).toDF("id"), walksPerVertex = 2,
+        walkLength = 6, wRet = wRet, wTri = wTri, wFar = wFar,
+        numPartitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2))
+      .toMap
+
+    val P = 2147483647L
+    val adj = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    def walk(start: Long, rep: Long): Seq[Long] = {
+      var prev = start; var cur = start; var t = 0L; var att = 0L
+      val path = scala.collection.mutable.ArrayBuffer(start)
+      while (t < 6) {
+        val nbrs = adj(cur)
+        val rank = ((cur % P) * 31 + (start % P) * 131 + rep * 8191 +
+          t * 257 + att * 12289) % P % nbrs.size
+        val x = nbrs(rank.toInt)
+        val w = if (x == prev) wRet
+          else if (und((math.min(prev, x), math.max(prev, x)))) wTri else wFar
+        val u = ((cur % P) * 37 + (start % P) * 149 + rep * 4099 +
+          t * 263 + att * 12373) % P % bigM
+        if (t == 0 || u < w) { path += x; prev = cur; cur = x; t += 1; att = 0 }
+        else att += 1
+      }
+      path.toSeq
+    }
+    assert(got.size == 10)
+    for (s <- 0L to 4L; r <- 0L to 1L)
+      assert(got((s, r)) == walk(s, r), s"walk ($s,$r)")
+  }
+
   test("RandomWalks: directed cycle is fully deterministic") {
     // out-degree 1 everywhere → the walk IS the cycle traversal
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
