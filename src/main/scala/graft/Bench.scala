@@ -195,6 +195,10 @@ object Bench {
         graph.RandomWalks.run(spark, sym,
           sym.select(col("src").as("id")).distinct(),
           walksPerVertex = 2, walkLength = 8, numPartitions = P).count())
+      bench("random_walks_biased")(
+        graph.RandomWalks.biased(spark, sym,
+          sym.select(col("src").as("id")).distinct(),
+          walksPerVertex = 2, walkLength = 8, numPartitions = P).count())
       bench("clustering_coeff")(
         Triangles.clustering(spark, GraphOps.undirectedPairs(g.edges), P).count())
       bench("betweenness")(

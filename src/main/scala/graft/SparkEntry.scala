@@ -448,6 +448,14 @@ object SparkEntry {
         s"dedup_${dirTag(d)}")
     }),
 
+    "stream_degrees_sql_graph" -> ((s, d) => {
+      // streaming graph ingestion: running in+out degree over the
+      // arithmetic edge table replayed as a file stream
+      val dir = s"/tmp/graft_stream_edges_${dirTag(d)}"
+      sqlGraphEdges(s).write.mode("overwrite").parquet(dir)
+      streaming.StreamingOps.streamingDegrees(s, dir, s"sdeg_${dirTag(d)}")
+    }),
+
     "sessionize" -> ((s, d) => {
       // gap-based sessionization (30-min inactivity): lag + running sum,
       // the batch twin of Structured Streaming's session_window
@@ -2685,6 +2693,11 @@ object SparkEntry {
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "walks_sql_graph" -> walksSqlOracle,
     "walks_biased_sql_graph" -> walksBiasedSqlOracle,
+    "stream_degrees_sql_graph" ->
+      s"""WITH $sqlGraphCte
+         SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+           SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+         GROUP BY id""",
     "hits_sql_graph" -> hitsSqlOracle(5),
     "scc_sql_graph" -> sccSqlOracle,
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,

@@ -40,6 +40,29 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming graph ingestion: running degree counts over an edge
+    * STREAM — both endpoints exploded, stateful count per vertex,
+    * Complete-mode memory sink so the table always holds the current
+    * snapshot. The streaming state is one long per vertex (bounded by
+    * |V|, not by stream length), which is why running degrees — unlike,
+    * say, running triangle counts — is the incremental statistic you
+    * keep ON the ingest path at 100 TB; after the stream drains the
+    * snapshot equals the batch degree aggregation, which is exactly
+    * what the DuckDB oracle computes.
+    */
+  def streamingDegrees(spark: SparkSession, edgesDir: String,
+                       queryName: String): DataFrame = {
+    val schema = spark.read.parquet(edgesDir).schema
+    val q = spark.readStream.schema(schema).parquet(edgesDir)
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Per-user running aggregate with explicit keyed state: count, exact
     * running total (scaled-long cents to stay engine-reproducible) and
     * last-seen event time. Update-mode memory sink; with a single input
