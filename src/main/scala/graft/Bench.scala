@@ -199,6 +199,12 @@ object Bench {
         graph.RandomWalks.biased(spark, sym,
           sym.select(col("src").as("id")).distinct(),
           walksPerVertex = 2, walkLength = 8, numPartitions = P).count())
+      bench("skipgram_pairs")(
+        graph.RandomWalks.skipGramPairs(
+          graph.RandomWalks.run(spark, sym,
+            sym.select(col("src").as("id")).distinct(),
+            walksPerVertex = 2, walkLength = 8, numPartitions = P),
+          window = 2).count())
       bench("clustering_coeff")(
         Triangles.clustering(spark, GraphOps.undirectedPairs(g.edges), P).count())
       bench("betweenness")(

@@ -738,6 +738,18 @@ object SparkEntry {
           col("col").as("vertex"))
     }),
 
+    "skipgram_sql_graph" -> ((s, d) => {
+      // skip-gram (center, context) counts over the DeepWalk corpus,
+      // window 2 — pairs via a per-row array HOF, no exploded self-join
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val starts = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(10L)) === 1)
+      graph.RandomWalks.skipGramPairs(
+        graph.RandomWalks.run(s, sym, starts, walksPerVertex = 2,
+          walkLength = 8, numPartitions = parts(s, d)),
+        window = 2)
+    }),
+
     "walks_biased_sql_graph" -> ((s, d) => {
       // node2vec-style rejection-sampled walks (back/triangle/far
       // weights 1/2/1): the accept/reject stream itself replays in
@@ -2158,7 +2170,7 @@ object SparkEntry {
     * arithmetic (see RandomWalks.choice), so the recursive CTE replays
     * the walks row-for-row against the same dst-ordered rank index.
     */
-  private val walksSqlOracle: String =
+  private val walksCte: String =
     s"""WITH RECURSIVE $sqlGraphCte,
        ranked AS (
          SELECT src, dst,
@@ -2176,10 +2188,28 @@ object SparkEntry {
                         (w.start % 2147483647) * 131 +
                         w.rep * 8191 + w.step * 257) % 2147483647 % r.deg
          WHERE w.step < 8
-       )
+       )"""
+
+  private val walksSqlOracle: String =
+    s"""$walksCte
        SELECT CAST(start * 2 + rep AS BIGINT) AS walk_id,
          CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS vertex
        FROM w"""
+
+  /** Skip-gram twin: the walk replay self-joined on walk identity at
+    * position distance 1..2 (the SQL-natural form; the Spark side
+    * generates pairs with an array HOF instead of this join — same
+    * multiset by construction).
+    */
+  private val skipgramSqlOracle: String =
+    s"""$walksCte
+       SELECT CAST(a.cur AS BIGINT) AS center,
+         CAST(b.cur AS BIGINT) AS context,
+         CAST(count(*) AS BIGINT) AS cnt
+       FROM w a JOIN w b
+         ON b.start = a.start AND b.rep = a.rep
+        AND b.step <> a.step AND abs(b.step - a.step) <= 2
+       GROUP BY 1, 2"""
 
   /** Biased-walk twin: the full rejection-sampling state machine as a
     * recursive CTE — each input row either advances (accept) or
@@ -2692,6 +2722,7 @@ object SparkEntry {
     "hyperball_sql_graph" -> hyperballSqlOracle,
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "walks_sql_graph" -> walksSqlOracle,
+    "skipgram_sql_graph" -> skipgramSqlOracle,
     "walks_biased_sql_graph" -> walksBiasedSqlOracle,
     "stream_degrees_sql_graph" ->
       s"""WITH $sqlGraphCte

@@ -246,4 +246,39 @@ object RandomWalks {
     Superstep.freeCheckpoint(und)
     out
   }
+
+  /** Skip-gram training pairs from a walk corpus — the (center,
+    * context) co-occurrence counts word2vec-over-DeepWalk trains on:
+    * every ordered position pair at distance 1..`window` within each
+    * walk (both directions, the symmetric-context convention of
+    * Perozzi et al. 2014 §4.2).
+    *
+    * Scale shape: pair generation is a pure per-row array HOF over the
+    * `path` column — NOT the naive exploded self-join on walk id,
+    * which would shuffle the exploded corpus twice to rediscover
+    * within-row adjacency the row already holds. Per walk of length L
+    * the HOF emits ≤ 2·w·L pairs map-side; the ONLY exchange is the
+    * final (center, context) groupBy, map-side combinable, whose key
+    * space is bounded by the ≤window-hop co-reachability of the graph
+    * — not by the corpus size — so the reduce side stays small even
+    * when walksPerVertex is cranked for embedding quality.
+    *
+    * @param walks  output of [[run]] or [[biased]]: (start, replica,
+    *               path array<long>)
+    * @return (center, context, cnt) exact counts
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window > 0)
+    // (c, i) -> contexts at |j - i| ∈ [1, window], clipped to the path
+    val pairs = expr(
+      s"""flatten(transform(path, (c, i) ->
+            transform(
+              filter(sequence(greatest(0, i - $window),
+                              least(size(path) - 1, i + $window)),
+                     j -> j != i),
+              j -> struct(c AS center, path[j] AS context))))""")
+    walks.select(explode(pairs).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

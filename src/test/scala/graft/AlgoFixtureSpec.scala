@@ -636,6 +636,30 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got((2L, 0L)) == Seq(2L) && got((2L, 1L)) == Seq(2L))
   }
 
+  test("skipGramPairs: hand-computed counts, window clipping at walk ends") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("start", LongType), StructField("replica", LongType),
+      StructField("path", ArrayType(LongType))))
+    val walks = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 0L, Seq(1L, 2L, 3L, 2L)), // repeated vertex 2
+        Row(9L, 0L, Seq(9L))),            // singleton: zero pairs
+      schema)
+    val got = graft.graph.RandomWalks.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // positions 1@0 2@1 3@2 2@3; contexts at distance ≤2 per center:
+    //   1@0→{2,3}  2@1→{1,3,2}  3@2→{1,2,2}  2@3→{2,3}
+    val want = Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (2L, 1L) -> 1L, (2L, 3L) -> 2L, (2L, 2L) -> 2L,
+      (3L, 1L) -> 1L, (3L, 2L) -> 2L)
+    assert(got == want, s"got $got want $want")
+    // total pairs = Σ per-position context counts = 2+3+3+2
+    assert(got.values.sum == 10L)
+  }
+
   test("graphSummary: star graph profile, assortativity exactly -1") {
     val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
     val row = GraphOps.graphSummary(GraphOps.symmetrize(star)).collect()(0)

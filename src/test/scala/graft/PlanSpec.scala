@@ -50,6 +50,24 @@ class PlanSpec extends AnyFunSuite {
     assert(logicalWindows(topk) === 0, "top-k must use the bounded aggregate, not a global window rank")
   }
 
+  test("skipGramPairs: no join, no window — one exchange for the count agg") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("start", LongType), StructField("replica", LongType),
+      StructField("path", ArrayType(LongType))))
+    val walks = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, 0L, Seq(1L, 2L, 3L))),
+      schema)
+    val pairs = graft.graph.RandomWalks.skipGramPairs(walks, window = 2)
+    assert(logicalWindows(pairs) === 0, "pair generation must be a per-row HOF")
+    val phys = pairs.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join"), s"pair generation must not self-join:\n$phys")
+    val exchanges = "Exchange".r.findAllIn(phys).length
+    assert(exchanges <= 1, s"expected ≤1 exchange (final agg), got $exchanges:\n$phys")
+    assert(phys.contains("partial_count") || phys.contains("HashAggregate"),
+      s"final agg must be map-side combinable:\n$phys")
+  }
+
   test("modularity-refine round: edge-sized data crosses the wire exactly twice, no Window") {
     Superstep.withoutAQE(spark) {
       val P = 4
