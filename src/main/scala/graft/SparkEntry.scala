@@ -776,6 +776,14 @@ object SparkEntry {
         .select(col("id"), size(col("sk")).cast("long").as("nd"))
     }),
 
+    "bipartite_proj_sql_graph" -> ((s, d) =>
+      // bipartite co-occurrence projection: treat the arithmetic edge
+      // table as a (doc=src, entity=dst) incidence list and project
+      // onto entities; maxFanout=2 exercises the hub cap for real
+      // (src fanout here is 2..3, so fanout-3 docs get dropped)
+      GraphOps.bipartiteProject(sqlGraphEdges(s), "src", "dst",
+        maxFanout = 2)),
+
     "link_scores_sql_graph" -> ((s, d) =>
       // per-edge link-prediction features: common neighbors, Jaccard,
       // Adamic–Adar — one triangle enumeration, decimal-exact AA sum
@@ -2263,6 +2271,19 @@ object SparkEntry {
   /** KMV-distinct twin: below saturation the sketch is the distinct
     * set itself, so its size is plain count(DISTINCT dst).
     */
+  /** Bipartite-projection twin: distinct (src→dst) incidence rows,
+    * fanout-3 lefts dropped by the cap (maxFanout=2), then the
+    * per-left self-join and the pair count — all exact integers.
+    */
+  private val bipartiteProjSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       fan AS (SELECT src AS l, count(*) AS fan FROM e GROUP BY 1),
+       ok AS (SELECT e.src AS l, e.dst AS r
+              FROM e JOIN fan ON fan.l = e.src WHERE fan.fan <= 2)
+       SELECT x.r AS u, y.r AS v, CAST(count(*) AS BIGINT) AS weight
+       FROM ok x JOIN ok y ON x.l = y.l AND x.r < y.r
+       GROUP BY 1, 2"""
+
   private val kmvDistinctSqlOracle: String =
     s"""WITH $sqlGraphCte
        SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nd
@@ -2717,6 +2738,7 @@ object SparkEntry {
     "ppr_sql_graph" -> pprSqlOracle(5),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
+    "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,

@@ -166,6 +166,58 @@ object GraphOps {
           .as("reciprocity"))
   }
 
+  /** Bipartite co-occurrence projection: from a (left, right) incidence
+    * table (document→entity, repo→contributor, …) to the weighted
+    * right–right graph where weight = number of distinct shared lefts.
+    * The GraphRAG shape: project the chunk→entity MENTIONS table onto
+    * entities to get "co-mentioned in k chunks" edges.
+    *
+    * Scale shape: the projection is quadratic PER LEFT KEY (a left with
+    * fanout f emits f·(f−1)/2 pairs), so unbounded hubs — boilerplate
+    * documents mentioning thousands of entities — are the classic
+    * blowup. Same defense as the capped LSH buckets
+    * ([[graft.dedup.Dedup.cappedBucketPairs]]): fanouts via one
+    * map-side-combinable groupBy, the >maxFanout keys (tiny by
+    * construction — they are exactly the degenerate hubs the cap
+    * exists for) broadcast back and anti-joined away, so the only wide
+    * exchange is the small-key self-join + the final pair groupBy.
+    * A co-occurrence edge whose only witnesses are dropped hubs is
+    * lost — that is the documented recall trade (a "mentioned by the
+    * same boilerplate page" edge carries no signal anyway). Dropped
+    * hubs are observable via [[bipartiteFanoutStats]].
+    *
+    * Output: (u, v, weight) with u < v, both drawn from `rightCol`.
+    */
+  def bipartiteProject(pairs: DataFrame, leftCol: String, rightCol: String,
+                       maxFanout: Int): DataFrame = {
+    val p = pairs.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // feeds the fanout agg AND the self-join twice
+    val hot = broadcast(
+      p.groupBy(col("l")).agg(count(lit(1)).as("fan"))
+        .filter(col("fan") > maxFanout)
+        .select(col("l")))
+    val ok = p.join(hot, Seq("l"), "left_anti")
+    ok.as("x")
+      .join(ok.as("y"),
+        col("x.l") === col("y.l") && col("x.r") < col("y.r"))
+      .select(col("x.r").as("u"), col("y.r").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Companion observability for [[bipartiteProject]]: fanout of every
+    * left key over the cap — what the projection dropped and why.
+    */
+  def bipartiteFanoutStats(pairs: DataFrame, leftCol: String,
+                           rightCol: String, maxFanout: Int): DataFrame =
+    pairs.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+      .groupBy(col("l")).agg(count(lit(1)).as("fan"))
+      .filter(col("fan") > maxFanout)
+
   /** log₂-bucketed degree histogram of the undirected graph: bucket b
     * holds vertices with degree in [2^b, 2^(b+1)) — the standard
     * power-law eyeball. One degree agg + one tiny agg. The bucket is

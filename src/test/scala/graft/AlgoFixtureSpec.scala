@@ -705,6 +705,27 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(mine.count() == 50, "caller-owned checkpoint must survive cleanup")
   }
 
+  test("bipartite projection: co-occurrence weights + hub cap") {
+    // docs d1..d3 mention entities; d3 is a fanout-4 boilerplate hub
+    val inc = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),           // d1 -> {10,11,12}
+      (2L, 11L), (2L, 12L),                       // d2 -> {11,12}
+      (3L, 10L), (3L, 11L), (3L, 12L), (3L, 13L)) // d3: hub, fanout 4
+      .toDF("doc", "ent")
+    val full = GraphOps.bipartiteProject(inc, "doc", "ent", maxFanout = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (11,12) witnessed by d1,d2,d3; (10,11)/(10,12) by d1,d3; 13 only via d3
+    assert(full == Map((10L, 11L) -> 2L, (10L, 12L) -> 2L, (11L, 12L) -> 3L,
+      (10L, 13L) -> 1L, (11L, 13L) -> 1L, (12L, 13L) -> 1L))
+
+    val capped = GraphOps.bipartiteProject(inc, "doc", "ent", maxFanout = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // d3 dropped: 13 disappears entirely, shared weights lose d3's witness
+    assert(capped == Map((10L, 11L) -> 1L, (10L, 12L) -> 1L, (11L, 12L) -> 2L))
+    val stats = GraphOps.bipartiteFanoutStats(inc, "doc", "ent", 3).collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)))
+  }
+
   test("freshCheckpoint resets inherited stats; bare localCheckpoint compounds them") {
     // Spark 4 copies the origin plan's sizeInBytes into localCheckpoint's
     // LogicalRDD; a self-join per round then SQUARES it, so the BigInt's
