@@ -784,6 +784,26 @@ object SparkEntry {
       GraphOps.bipartiteProject(sqlGraphEdges(s), "src", "dst",
         maxFanout = 2)),
 
+    "topo_layers_sql_graph" -> ((s, d) =>
+      // Kahn longest-path layering of the arithmetic DAG (forward
+      // jumps only, acyclic by construction): the dependency-order
+      // batches over an Scc.condensation output
+      algo.Topology.layers(s, sqlDagEdges(s), numPartitions = parts(s, d))),
+
+    "mis_sql_graph" -> ((s, d) =>
+      // Luby/Jones–Plassmann maximal independent set by the exact
+      // double-quadratic priority; settles in 6 rounds on the fixture
+      // (the DuckDB twin unrolls 8)
+      algo.Mis.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        numPartitions = parts(s, d))),
+
+    "coloring_sql_graph" -> ((s, d) =>
+      // greedy coloring on the same priority schedule: winners take the
+      // round index as color, neighbors stay live — 20 colors on the
+      // fixture, adjacent vertices never share one
+      algo.Mis.coloring(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        numPartitions = parts(s, d))),
+
     "link_scores_sql_graph" -> ((s, d) =>
       // per-edge link-prediction features: common neighbors, Jaccard,
       // Adamic–Adar — one triangle enumeration, decimal-exact AA sum
@@ -1368,6 +1388,28 @@ object SparkEntry {
     rule(7, 1).unionAll(rule(11, 3)).unionAll(rule(13, 5))
       .filter(col("src") =!= col("dst")).distinct()
   }
+
+  /** Deterministic DAG fixture for the layering oracle: strictly
+    * forward jumps (60..148 and 97..187), so acyclic by construction
+    * with depth ~15 — real multi-round peeling, unlike the arithmetic
+    * graph's condensation (depth 1).
+    */
+  private def sqlDagEdges(s: SparkSession): DataFrame = {
+    val r = s.range(SqlGraphV).select(col("id").as("a"))
+    def rule(b: Long, k: Long, m: Long): DataFrame =
+      r.select(col("a").as("src"),
+        (col("a") + lit(b) + lit(k) * pmod(col("a"), lit(m))).as("dst"))
+    rule(60, 4, 23).unionAll(rule(97, 3, 31))
+      .filter(col("dst") < SqlGraphV).distinct()
+  }
+
+  /** DuckDB twin of [[sqlDagEdges]]. */
+  private val sqlDagCte: String =
+    """dag AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT i AS src, i + 60 + 4*(i % 23) AS dst FROM range(1500) t(i)
+           UNION ALL SELECT i, i + 97 + 3*(i % 31) FROM range(1500) t(i)
+         ) WHERE dst < 1500)"""
 
   /** Arithmetic dirty-entity fixture for the validation-family oracles:
     * id 0..1499 with CASE-planted dirt both engines synthesize
@@ -2284,6 +2326,56 @@ object SparkEntry {
        FROM ok x JOIN ok y ON x.l = y.l AND x.r < y.r
        GROUP BY 1, 2"""
 
+  /** Unrolled MIS / coloring rounds mirroring [[graft.algo.Mis]]: a
+    * live vertex wins when its key is a strict minimum among LIVE
+    * neighbors; MIS mode retires winners plus their neighborhoods,
+    * coloring retires winners only. The key is the same exact-BIGINT
+    * double-quadratic scramble as `Mis.key` (all operands < 2⁶², so
+    * DuckDB's overflow-checked BIGINT arithmetic replays it
+    * bit-for-bit). `iters` must be ≥ the engine's measured round count
+    * (6 MIS / 20 coloring on the fixture); surplus rounds have empty
+    * winner sets and add nothing.
+    */
+  private def misSqlOracle(iters: Int, removeNeighbors: Boolean): String = {
+    // MATERIALIZED throughout: live$k references live$p three times, so
+    // DuckDB's default CTE inlining would expand the chain 3^iters-fold
+    val head =
+      s"""WITH $sqlGraphCte,
+         keys AS MATERIALIZED (
+           SELECT id, q2 * 2147483648 + (id % 2147483648) AS k FROM (
+             SELECT id, (q1 * (q1 + 7)) % 2147483647 AS q2 FROM (
+               SELECT id,
+                 ((id % 2147483647) * ((id % 2147483647) + 3)) % 2147483647 AS q1
+               FROM (SELECT DISTINCT src AS id FROM sym)))),
+         live0 AS MATERIALIZED (SELECT id FROM keys)"""
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      val removed =
+        if (removeNeighbors)
+          s"""SELECT id FROM w$k
+              UNION SELECT s.dst FROM sym s JOIN w$k w ON s.src = w.id"""
+        else s"SELECT id FROM w$k"
+      s""",
+         w$k AS MATERIALIZED (
+           SELECT l.id FROM live$p l
+           JOIN keys kl ON l.id = kl.id
+           LEFT JOIN (
+             SELECT s.src AS id, min(kd.k) AS mn
+             FROM sym s
+             JOIN live$p a ON s.src = a.id
+             JOIN live$p b ON s.dst = b.id
+             JOIN keys kd ON s.dst = kd.id
+             GROUP BY s.src) nm ON l.id = nm.id
+           WHERE nm.mn IS NULL OR kl.k < nm.mn),
+         live$k AS MATERIALIZED (SELECT id FROM live$p EXCEPT ($removed))"""
+    }.mkString
+    val out = if (removeNeighbors) "round" else "color"
+    val union = (1 to iters)
+      .map(k => s"SELECT id, CAST($k AS BIGINT) AS $out FROM w$k")
+      .mkString(" UNION ALL ")
+    s"$head$steps $union"
+  }
+
   private val kmvDistinctSqlOracle: String =
     s"""WITH $sqlGraphCte
        SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nd
@@ -2739,6 +2831,21 @@ object SparkEntry {
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
+    // longest path from any source = the Kahn peel round; the UNION
+    // (not UNION ALL) dedups (id, lvl) states so the walk is bounded
+    // by |V|·depth rather than the path count
+    "topo_layers_sql_graph" ->
+      s"""WITH RECURSIVE $sqlDagCte,
+         verts AS (SELECT src AS id FROM dag UNION SELECT dst FROM dag),
+         lp(id, lvl) AS (
+           SELECT v.id, 0 FROM verts v
+           WHERE NOT EXISTS (SELECT 1 FROM dag WHERE dag.dst = v.id)
+           UNION
+           SELECT d.dst, l.lvl + 1 FROM lp l JOIN dag d ON d.src = l.id
+         )
+         SELECT id, CAST(max(lvl) AS BIGINT) AS layer FROM lp GROUP BY id""",
+    "mis_sql_graph" -> misSqlOracle(8, removeNeighbors = true),
+    "coloring_sql_graph" -> misSqlOracle(24, removeNeighbors = false),
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,
