@@ -215,6 +215,30 @@ object Bench {
         graph.LinkScores.recommend(spark, sym, P, minCommon = 2).count())
     }
 
+    // round-3 late additions #2: priority-peel / forest / embedding ops
+    if (sys.env.get("GRAFT_BENCH_GRAPH3").contains("1")) {
+      bench("mis")(algo.Mis.run(spark, sym, numPartitions = P).count())
+      // undirected pairs oriented low→high id: ids are xxhash64'd, so
+      // this is a uniform random acyclic orientation (shallow DAG)
+      val dag = GraphOps.undirectedPairs(g.edges)
+      bench("topo_layers")(
+        algo.Topology.layers(spark, dag, numPartitions = P).count())
+      val ew = GraphOps.undirectedPairs(g.edges).select(col("src"), col("dst"),
+        (lit(1L) + pmod(pmod(col("src"), lit(1000003L)) * 7
+          + pmod(col("dst"), lit(1000003L)) * 13, lit(97L))).as("weight"))
+      bench("mst")(algo.Mst.run(spark, ew, numPartitions = P).count())
+      val pairs = graph.RandomWalks.skipGramPairs(
+        graph.RandomWalks.run(spark, sym,
+          sym.select(col("src").as("id")).distinct(),
+          walksPerVertex = 2, walkLength = 8, numPartitions = P),
+        window = 2).localCheckpoint(true)
+      val nPairs = pairs.count()
+      extra += "node_embed_pairs" -> nPairs.toDouble
+      bench("node_embed")(
+        graph.NodeEmbeddings.randomIndexing(pairs, dims = 16).count())
+      Superstep.freeCheckpoint(pairs)
+    }
+
     // ── headline: PageRank on a large synthesized skewed edge table ──
     // (same distribution the extractor produces; sized so the
     // measurement is algorithm-bound, not corpus-generation-bound)

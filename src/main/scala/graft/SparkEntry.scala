@@ -750,6 +750,19 @@ object SparkEntry {
         window = 2)
     }),
 
+    "node_embed_sql_graph" -> ((s, d) => {
+      // the full DeepWalk pipeline closed end-to-end: walks →
+      // skip-gram pairs → random-indexing ±1 projection, dims=8 —
+      // exact integers, bit-identical in the DuckDB twin
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val starts = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(10L)) === 1)
+      val pairs = graph.RandomWalks.skipGramPairs(
+        graph.RandomWalks.run(s, sym, starts, walksPerVertex = 2,
+          walkLength = 8, numPartitions = parts(s, d)), window = 2)
+      graph.NodeEmbeddings.randomIndexing(pairs, dims = 8)
+    }),
+
     "walks_biased_sql_graph" -> ((s, d) => {
       // node2vec-style rejection-sampled walks (back/triangle/far
       // weights 1/2/1): the accept/reject stream itself replays in
@@ -789,6 +802,17 @@ object SparkEntry {
       // jumps only, acyclic by construction): the dependency-order
       // batches over an Scc.condensation output
       algo.Topology.layers(s, sqlDagEdges(s), numPartitions = parts(s, d))),
+
+    "mst_sql_graph" -> ((s, d) => {
+      // Borůvka minimum spanning forest with deterministic integer
+      // weights 1 + (7u + 13v) % 97: unique under the (w, u, v) total
+      // order, so it equals the Kruskal MSF (MstSpec) and the DuckDB
+      // twin's unrolled rounds (5 on the fixture; twin unrolls 6)
+      val ew = GraphOps.undirectedPairs(sqlGraphEdges(s))
+        .withColumn("weight",
+          lit(1L) + pmod(col("src") * 7 + col("dst") * 13, lit(97L)))
+      algo.Mst.run(s, ew, numPartitions = parts(s, d))
+    }),
 
     "mis_sql_graph" -> ((s, d) =>
       // Luby/Jones–Plassmann maximal independent set by the exact
@@ -2376,6 +2400,52 @@ object SparkEntry {
     s"$head$steps $union"
   }
 
+  /** Unrolled Borůvka rounds mirroring [[graft.algo.Mst]]: per round a
+    * per-component argmin outgoing edge under the packed-BIGINT order
+    * `w·2²² + u·2¹¹ + v` (identical to the struct (w, u, v) order while
+    * u, v < 2048 and w < 2048 — true for the fixture), then a recursive
+    * min-reachable closure over the picked component pairs for the
+    * merge (exactly what ConnectedComponents computes). MATERIALIZED
+    * throughout except the recursive closures (DuckDB rejects
+    * MATERIALIZED on recursion; each lab is referenced twice per
+    * round, so default inlining would double the chain per round).
+    */
+  private def mstSqlOracle(rounds: Int): String = {
+    val head =
+      s"""WITH RECURSIVE $sqlGraphCte,
+         ew AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v,
+                  1 + (least(src, dst)*7 + greatest(src, dst)*13) % 97 AS w
+                FROM e),
+         lab0 AS (SELECT u AS id, u AS comp FROM ew UNION SELECT v, v FROM ew)"""
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s""",
+         xe$k AS (SELECT lu.comp AS cu, lv.comp AS cv, ew.w, ew.u, ew.v
+                  FROM ew JOIN lab$p lu ON ew.u = lu.id
+                          JOIN lab$p lv ON ew.v = lv.id
+                  WHERE lu.comp <> lv.comp),
+         pk$k AS (SELECT comp, arg_min(other, pk) AS other, min(pk) AS pk FROM (
+                    SELECT cu AS comp, cv AS other,
+                           w*4194304 + u*2048 + v AS pk FROM xe$k
+                    UNION ALL SELECT cv, cu, w*4194304 + u*2048 + v FROM xe$k)
+                  GROUP BY comp),
+         cg$k AS (SELECT comp AS a, other AS b FROM pk$k
+                  UNION SELECT other, comp FROM pk$k),
+         reach$k(a, b) AS (SELECT a, b FROM cg$k
+                  UNION SELECT r.a, c.b FROM reach$k r JOIN cg$k c ON c.a = r.b),
+         m$k AS (SELECT a, least(a, min(b)) AS nc FROM reach$k GROUP BY a),
+         lab$k AS (SELECT l.id, coalesce(m.nc, l.comp) AS comp
+                   FROM lab$p l LEFT JOIN m$k m ON l.comp = m.a)"""
+    }.mkString
+    val union = (1 to rounds)
+      .map(k => s"""SELECT DISTINCT (pk // 2048) % 2048 AS u, pk % 2048 AS v,
+                           pk // 4194304 AS w FROM pk$k""")
+      .mkString(" UNION ALL ")
+    (s"$head$steps SELECT u, v, CAST(w AS BIGINT) AS weight FROM ($union)")
+      .replace(" AS (", " AS MATERIALIZED (")
+      .replace("(a, b) AS MATERIALIZED (", "(a, b) AS (")
+  }
+
   private val kmvDistinctSqlOracle: String =
     s"""WITH $sqlGraphCte
        SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nd
@@ -2844,6 +2914,7 @@ object SparkEntry {
            SELECT d.dst, l.lvl + 1 FROM lp l JOIN dag d ON d.src = l.id
          )
          SELECT id, CAST(max(lvl) AS BIGINT) AS layer FROM lp GROUP BY id""",
+    "mst_sql_graph" -> mstSqlOracle(6),
     "mis_sql_graph" -> misSqlOracle(8, removeNeighbors = true),
     "coloring_sql_graph" -> misSqlOracle(24, removeNeighbors = false),
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
@@ -2852,6 +2923,23 @@ object SparkEntry {
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "walks_sql_graph" -> walksSqlOracle,
     "skipgram_sql_graph" -> skipgramSqlOracle,
+    // random-indexing projection of the skip-gram counts: the ±1
+    // signature is the same double-quadratic scramble as NodeEmbeddings
+    // .sign (seed = (context mod P)·2048 + dim), staged through named
+    // CTEs so every operand stays below 2⁶²
+    "node_embed_sql_graph" ->
+      s"""WITH sg AS MATERIALIZED ($skipgramSqlOracle),
+         x AS (SELECT center, cnt, t.d AS dim,
+                 ((context % 2147483647) * 2048 + t.d) % 2147483647 AS s0
+               FROM sg CROSS JOIN range(8) t(d)),
+         y AS (SELECT center, cnt, dim,
+                 (s0 * (s0 + 3)) % 2147483647 AS q1 FROM x),
+         z AS (SELECT center, cnt, dim,
+                 (q1 * (q1 + 7)) % 2147483647 AS q2 FROM y)
+         SELECT center AS id, dim,
+           CAST(sum(cnt * CASE WHEN q2 % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+             AS value
+         FROM z GROUP BY 1, 2""",
     "walks_biased_sql_graph" -> walksBiasedSqlOracle,
     "stream_degrees_sql_graph" ->
       s"""WITH $sqlGraphCte
