@@ -814,6 +814,18 @@ object SparkEntry {
       algo.Mst.run(s, ew, numPartitions = parts(s, d))
     }),
 
+    "single_linkage_sql_graph" -> ((s, d) => {
+      // dendrogram cut at weight 40: clusters via CC over the FOREST
+      // edges ≤ 40, while the twin uses the FULL graph restricted to
+      // ≤ 40 — they agree exactly iff the MSF is correct (the defining
+      // MSF property), so this doubles as an independent MST check
+      val ew = GraphOps.undirectedPairs(sqlGraphEdges(s))
+        .withColumn("weight",
+          lit(1L) + pmod(col("src") * 7 + col("dst") * 13, lit(97L)))
+      algo.Mst.singleLinkage(s, ew, threshold = 40L,
+        numPartitions = parts(s, d))
+    }),
+
     "mis_sql_graph" -> ((s, d) =>
       // Luby/Jones–Plassmann maximal independent set by the exact
       // double-quadratic priority; settles in 6 rounds on the fixture
@@ -2915,6 +2927,25 @@ object SparkEntry {
          )
          SELECT id, CAST(max(lvl) AS BIGINT) AS layer FROM lp GROUP BY id""",
     "mst_sql_graph" -> mstSqlOracle(6),
+    // single-linkage = components of the full graph cut at the
+    // threshold (MSF defining property; the engine computes it over
+    // the forest edges instead). DuckDB 1.0 trap: inside WITH
+    // RECURSIVE, a top-level UNION in ANY cte loses its dedup
+    // semantics — verts needs the explicit DISTINCT wrapper
+    "single_linkage_sql_graph" ->
+      s"""WITH RECURSIVE $sqlGraphCte,
+         ew AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v,
+                  1 + (least(src, dst)*7 + greatest(src, dst)*13) % 97 AS w
+                FROM e),
+         verts AS (SELECT DISTINCT id FROM (
+                     SELECT u AS id FROM ew UNION ALL SELECT v FROM ew)),
+         ce AS (SELECT u, v FROM ew WHERE w <= 40),
+         cs AS (SELECT u AS a, v AS b FROM ce UNION SELECT v, u FROM ce),
+         reach(a, b) AS (SELECT a, b FROM cs
+                UNION SELECT r.a, s.b FROM reach r JOIN cs s ON s.a = r.b),
+         m AS (SELECT a, least(a, min(b)) AS c FROM reach GROUP BY a)
+         SELECT v.id, coalesce(m.c, v.id) AS cluster
+         FROM verts v LEFT JOIN m ON v.id = m.a""",
     "mis_sql_graph" -> misSqlOracle(8, removeNeighbors = true),
     "coloring_sql_graph" -> misSqlOracle(24, removeNeighbors = false),
     "graph_stats_sql_graph" -> graphStatsSqlOracle,

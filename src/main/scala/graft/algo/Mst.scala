@@ -112,4 +112,28 @@ object Mst {
     Superstep.freeCheckpoint(e)
     res
   }
+
+  /** Single-linkage clustering at a distance threshold: cut the MSF
+    * dendrogram at `threshold` — clusters are the connected components
+    * of the forest edges with weight ≤ threshold, which equals the
+    * components of the FULL graph restricted to weight ≤ threshold
+    * (the defining property of the minimum spanning forest), computed
+    * over |V|−c forest edges instead of |E|. Cluster label = min
+    * member id; every input endpoint gets a label (singletons above
+    * the cut keep their own id).
+    */
+  def singleLinkage(spark: SparkSession,
+                    weightedEdges: DataFrame,
+                    threshold: Long,
+                    numPartitions: Int = 32): DataFrame = {
+    val forest = run(spark, weightedEdges, numPartitions)
+    val verts = weightedEdges.select(col("src").as("id"))
+      .unionAll(weightedEdges.select(col("dst").as("id"))).distinct()
+    val cut = forest.filter(col("weight") <= threshold)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val labels = ConnectedComponents.run(spark, cut, Some(verts),
+      numPartitions)
+    Superstep.freeCheckpoint(forest)
+    labels.select(col("id"), col("component").as("cluster"))
+  }
 }

@@ -40,6 +40,16 @@ class MstSpec extends AnyFunSuite {
     assert(mst == Set((0L, 1L, 3L), (1L, 2L, 4L)))
   }
 
+  test("single linkage: dendrogram cut groups below the threshold") {
+    // chain 0-1 (w1), 1-2 (w5), 2-3 (w2): cut at 3 → {0,1}, {2,3}
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 5L), (2L, 3L, 2L))
+      .toDF("src", "dst", "weight")
+    val got = graft.algo.Mst.singleLinkage(spark, edges, threshold = 3L,
+        numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("arithmetic fixture: exact parity with Kruskal union-find") {
     val r = spark.range(1500L).select(col("id").as("a"))
       .filter(pmod(col("a"), lit(10L)) =!= 0)
