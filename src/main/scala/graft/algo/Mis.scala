@@ -131,12 +131,14 @@ object Mis {
         val won = sel.withColumn("round", lit(round.toLong))
         out = if (out == null) won else out.unionAll(won)
 
+        // no distinct on the neighborhood list: it only feeds the
+        // left_anti below, which is insensitive to right-side
+        // duplicates — deduping would cost an extra edge-scale exchange
         val removed =
           if (removeNeighbors)
             sel.unionAll(
               e.join(sel.select(col("id").as("src")).hint("shuffle_hash"),
                 Seq("src"), "left_semi").select(col("dst").as("id")))
-              .distinct()
           else sel
         val nextLive = Superstep.freshCheckpoint(
           live.join(removed.hint("shuffle_hash"), Seq("id"), "left_anti"),

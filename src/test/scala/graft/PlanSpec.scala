@@ -125,6 +125,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!phys.contains("Exchange"), s"sampling must not shuffle:\n$phys")
   }
 
+  test("MIS neighbor-min: two-phase HashAggregate, key computed in-agg, no key-table join") {
+    val e = (0L until 100L).map(i => (i, (i * 7 + 3) % 100)).toDF("src", "dst")
+    val nbrMin = e.groupBy(col("src").as("id"))
+      .agg(min(graft.algo.Mis.key(col("dst"))).as("mn"))
+    val phys = nbrMin.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_min"),
+      s"neighbor-min must map-side combine:\n$phys")
+    assert(phys.contains("HashAggregate"),
+      s"the scramble must stay on the hash-agg/codegen path (a struct or " +
+        s"UDF key would fall to SortAggregate/Object path):\n$phys")
+    assert(!phys.contains("Join") && !phys.contains("Window"),
+      s"the priority is arithmetic on dst — no key table, no window:\n$phys")
+  }
+
+  test("Boruvka pick: partial struct-min before the comp exchange, no Window") {
+    val e = (0L until 100L).map(i => (i, (i * 7 + 3) % 100, i % 13, i, (i * 7 + 3) % 100))
+      .toDF("u", "v", "w", "cu", "cv")
+    val bo = e.select(col("cu").as("comp"),
+        struct(col("w"), col("u"), col("v"), col("cv").as("other")).as("s"))
+      .unionAll(e.select(col("cv").as("comp"),
+        struct(col("w"), col("u"), col("v"), col("cu").as("other")).as("s")))
+    val picks = bo.groupBy(col("comp")).agg(min(col("s")).as("s"))
+    val phys = picks.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_min"),
+      s"pick must partial-aggregate (exchange carries ≤1 row/component):\n$phys")
+    assert(!phys.contains("Window"), s"no window rank in the pick:\n$phys")
+  }
+
+  test("randomIndexing: no join, no window, one exchange, partial-summed") {
+    val pairs = Seq((1L, 2L, 3L)).toDF("center", "context", "cnt")
+    val emb = graft.graph.NodeEmbeddings.randomIndexing(pairs, dims = 4)
+    assert(logicalWindows(emb) === 0)
+    val phys = emb.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join"),
+      s"signatures are computed arithmetically, never joined:\n$phys")
+    val exchanges = "Exchange".r.findAllIn(phys).length
+    assert(exchanges <= 1, s"expected ≤1 exchange (final agg), got $exchanges:\n$phys")
+    assert(phys.contains("partial_sum"),
+      s"the dims-fold explode must partial-aggregate before the exchange:\n$phys")
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     // own temp parquet, not the shared testdata file: another suite
     // caching the same read plan would substitute an InMemoryRelation
