@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape, per round: ONE map-side-combinable min-aggregation
   * per component side (`min(struct(w, u, v, other))` — lexicographic
-  * struct min, partial-aggregated before the exchange), then
-  * component merging on the PICKED edges only — a graph with ≤ one
-  * edge per live component, shrinking ≥2× per round — via the
-  * O(log² n) [[ConnectedComponents]], then one relabel join of the
-  * surviving cross edges against the comp-sized mapping. Intra-
-  * component edges are dropped permanently as soon as their endpoints
-  * merge, so the edge set shrinks monotonically. O(log n) rounds.
+  * struct min, partial-aggregated before the exchange), then the
+  * textbook Borůvka contraction on the PICKED pairs only (≤ one per
+  * live component, shrinking ≥2× per round): root each pick-tree at
+  * the mutual pair its unique 2-cycle forms and pointer-jump to the
+  * root in O(log depth) comp-sized self-joins, then one relabel join
+  * of the surviving cross edges against the comp-sized mapping.
+  * Intra-component edges are dropped permanently as soon as their
+  * endpoints merge, so the edge set shrinks monotonically. O(log n)
+  * rounds.
   *
   * Weights: any orderable numeric works, but cross-engine bit parity
   * is only guaranteed for integer weights (the DuckDB twin replays
@@ -78,11 +80,17 @@ object Mst {
       val won = picks.select(col("u"), col("v"), col("w")).distinct()
       out = if (out == null) won else out.unionAll(won)
 
-      // merge the picked component pairs: ≤1 edge per live component,
-      // so this CC input shrinks geometrically round over round
-      val cg = picks.select(col("comp").as("src"), col("other").as("dst"))
-      val mapping = ConnectedComponents.run(spark, cg,
-        numPartitions = numPartitions)
+      // contract the pick pseudo-forest (textbook Borůvka hooking):
+      // under a strict total edge order every pick-graph component has
+      // exactly ONE cycle and it has length 2 — the component's
+      // globally-min edge, whose endpoints picked each other (a longer
+      // cycle would need its pick weights to strictly decrease all the
+      // way around). Root = the smaller endpoint of that mutual pair;
+      // everyone else points along its pick, and pointer jumping
+      // converges in O(log depth) comp-sized self-joins — no nested
+      // CC run. Label choice is invisible downstream: the next round's
+      // picks depend on the component PARTITION, not the label values.
+      val mapping = contract(picks, numPartitions)
       val mu = mapping.select(col("id").as("cu"), col("component").as("ncu"))
       val mv = mapping.select(col("id").as("cv"), col("component").as("ncv"))
       val nextE = Superstep.freshCheckpoint(
@@ -110,6 +118,48 @@ object Mst {
     res.count()
     pinned.foreach(Superstep.freeCheckpoint)
     Superstep.freeCheckpoint(e)
+    res
+  }
+
+  /** Resolve the pick pseudo-forest to per-component roots: detect the
+    * mutual pairs (the unique 2-cycles), root each at its smaller
+    * endpoint, then pointer-jump to the root. Returns (id, component)
+    * for every comp appearing in `picks`.
+    */
+  private def contract(picks: DataFrame, numPartitions: Int): DataFrame = {
+    // mutual iff the pick of `other` points straight back
+    val back = picks.select(col("comp").as("other"), col("other").as("backTo"))
+    var par = Superstep.freshCheckpoint(
+      picks.select(col("comp"), col("other"))
+        .join(back.hint("shuffle_hash"), Seq("other"), "left")
+        .select(col("comp").as("id"),
+          when(col("backTo") === col("comp") && col("comp") < col("other"),
+            col("comp")).otherwise(col("other")).as("par"))
+        .repartition(numPartitions, col("id")), eager = true)
+    var changed = 1L
+    var jumps = 0
+    while (changed > 0 && jumps < 64) {
+      jumps += 1
+      // par is keyed by id (one pick per comp), so par(par(x)) is one
+      // self-join; every par value is itself a picked comp, so the
+      // inner join is lossless
+      val hop = par.select(col("id").as("hid"), col("par").as("gpar"))
+      val next = Superstep.freshCheckpoint(
+        par.join(hop.hint("shuffle_hash"), par("par") === col("hid"))
+          .select(par("id"), col("gpar").as("par")), eager = true)
+      changed = next.join(par.withColumnRenamed("par", "old")
+          .hint("shuffle_hash"), Seq("id"))
+        .filter(col("par") =!= col("old")).count()
+      Superstep.freeCheckpoint(par)
+      par = next
+    }
+    require(changed == 0, "Borůvka contraction did not converge in 64 jumps")
+    // re-checkpoint under the output names so the caller's
+    // freeCheckpoint (which matches a top-level LogicalRDD) can
+    // reclaim it; comp-sized, negligible
+    val res = Superstep.freshCheckpoint(
+      par.select(col("id"), col("par").as("component")), eager = true)
+    Superstep.freeCheckpoint(par)
     res
   }
 
