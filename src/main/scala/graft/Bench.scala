@@ -235,6 +235,11 @@ object Bench {
         (lit(1L) + pmod(pmod(col("src"), lit(1000003L)) * 7
           + pmod(col("dst"), lit(1000003L)) * 13, lit(97L))).as("weight"))
       bench("mst")(algo.Mst.run(spark, ew, numPartitions = P).count())
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(20L)) === 0)
+      bench("sweep_cut")(
+        graph.LocalCluster.sweepCut(spark, sym, seeds, k = 64, iters = 5,
+          numPartitions = P).count())
       val pairs = graph.RandomWalks.skipGramPairs(
         graph.RandomWalks.run(spark, sym,
           sym.select(col("src").as("id")).distinct(),

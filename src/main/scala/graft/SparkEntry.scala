@@ -814,6 +814,18 @@ object SparkEntry {
       algo.Mst.run(s, ew, numPartitions = parts(s, d))
     }),
 
+    "sweep_cut_sql_graph" -> ((s, d) => {
+      // PageRank–Nibble local community: 5-superstep PPR from the
+      // %20==0 seeds (same teleport as ppr_sql_graph), sweep the
+      // top-64 prefix by rank/degree — exact BIGINT volumes/cuts,
+      // conductance rounded 6 dp
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(20L)) === 0)
+      graph.LocalCluster.sweepCut(s, sym, seeds, k = 64, iters = 5,
+        numPartitions = parts(s, d))
+    }),
+
     "single_linkage_sql_graph" -> ((s, d) => {
       // dendrogram cut at weight 40: clusters via CC over the FOREST
       // edges ≤ 40, while the twin uses the FULL graph restricted to
@@ -1876,11 +1888,11 @@ object SparkEntry {
     * on the %20==0 seed distribution s_i = 1/|S| instead of 1/n —
     * exactly PageRank.run's `seeds` arithmetic, doubles throughout.
     */
-  private def pprSqlOracle(iters: Int): String = {
+  private def pprSqlOracle(iters: Int, over: String = "e"): String = {
     val si = "CASE WHEN g.id % 20 = 0 THEN 1.0 / sc.m ELSE 0.0 END"
     val head =
       s"""WITH $sqlGraphCte,
-         ew AS (SELECT src, dst, 1.0 AS w FROM e),
+         ew AS (SELECT src, dst, 1.0 AS w FROM $over),
          deg AS (
            SELECT id, sum(od) AS outdeg FROM (
              SELECT src AS id, w AS od FROM ew
@@ -1905,6 +1917,41 @@ object SparkEntry {
     }.mkString
     s"$head$steps SELECT id, round(rank, 6) AS rank FROM r$iters"
   }
+
+  /** Sweep-cut twin: replay the 5-iteration seeded PPR over the
+    * SYMMETRIZED graph (the engine sweeps the undirected view), order
+    * by round-6dp-rank/degree with the id tie-break, then score every
+    * top-k prefix — volumes and cuts as exact integer cumsums, the
+    * conductance division on identical IEEE inputs. The inner `pr`
+    * subquery carries its own WITH scope (its e/sym shadow the outer
+    * ones).
+    */
+  private def sweepSqlOracle(k: Int): String =
+    s"""WITH $sqlGraphCte,
+       pr AS MATERIALIZED (${pprSqlOracle(5, over = "sym")}),
+       dg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+       m2t AS (SELECT count(*) AS m2 FROM sym),
+       scored AS (SELECT p.id, d.deg, p.rank / d.deg AS score
+                  FROM pr p JOIN dg d ON p.id = d.id),
+       pre AS (SELECT * FROM (
+                 SELECT id, deg,
+                   CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+                     AS pos
+                 FROM scored) WHERE pos <= $k),
+       ia AS (SELECT greatest(a.pos, b.pos) AS pos, count(*) AS internal
+              FROM sym s JOIN pre a ON s.src = a.id JOIN pre b ON s.dst = b.id
+              GROUP BY 1),
+       fin AS (SELECT p.pos, p.id,
+                 sum(p.deg) OVER (ORDER BY p.pos) AS vol,
+                 sum(p.deg) OVER (ORDER BY p.pos)
+                   - sum(coalesce(i.internal, 0)) OVER (ORDER BY p.pos) AS cut
+               FROM pre p LEFT JOIN ia i ON p.pos = i.pos)
+       SELECT f.pos, f.id, CAST(f.vol AS BIGINT) AS vol,
+         CAST(f.cut AS BIGINT) AS cut,
+         CASE WHEN least(f.vol, t.m2 - f.vol) = 0 THEN NULL
+              ELSE round(f.cut / least(f.vol, t.m2 - f.vol), 6)
+         END AS conductance
+       FROM fin f CROSS JOIN m2t t"""
 
   /** Unrolled k-core peeling twin: `rounds` delete-below-k sweeps over
     * the arithmetic graph (enough that the last sweep is a no-op — the
@@ -2910,6 +2957,7 @@ object SparkEntry {
     "leiden_sql_graph" -> leidenSqlOracle(2),
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
     "ppr_sql_graph" -> pprSqlOracle(5),
+    "sweep_cut_sql_graph" -> sweepSqlOracle(64),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
