@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{ConnectedComponents, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, Mis, Mst, PageRank, Triangles}
 import graft.functions.IndelRatio
 import graft.graph.GraphOps
 
@@ -83,6 +83,51 @@ class PropertySpec extends AnyFunSuite {
       val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"), numPartitions = 4)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Oracles.components(edges, verts))
+    }
+  }
+
+  test("property: MIS is independent and maximal (5 random graphs)") {
+    val graphs = Seq(13, 19, 47, 61, 83).map { seed =>
+      edgeListGen.apply(Gen.Parameters.default.withSize(50),
+        org.scalacheck.rng.Seed(seed)).get
+    }.filter(_.nonEmpty)
+    graphs.foreach { edges =>
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val mis = Mis.run(spark, sym.toDF("src", "dst"), numPartitions = 4)
+        .collect().map(_.getLong(0)).toSet
+      sym.foreach { case (a, b) =>
+        assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside the MIS") }
+      val verts = sym.map(_._1).toSet
+      val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (verts -- mis).foreach { v =>
+        assert(nbrs(v).exists(mis), s"non-member $v has no MIS neighbor") }
+    }
+  }
+
+  test("property: Boruvka MSF equals Kruskal under (w,u,v) (5 random graphs)") {
+    val graphs = Seq(7, 31, 53, 67, 97).map { seed =>
+      edgeListGen.apply(Gen.Parameters.default.withSize(50),
+        org.scalacheck.rng.Seed(seed)).get
+    }.filter(_.nonEmpty)
+    graphs.foreach { raw =>
+      val ew = raw.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b), 1L + (a * 7 + b * 13) % 29) }
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      val got = Mst.run(spark, ew.toDF("src", "dst", "weight"),
+          numPartitions = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(e => (e._3, e._1, e._2)).toSeq
+      // Kruskal under the same strict total order
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val want = ew.sortBy(e => (e._3, e._1, e._2)).filter { case (u, v, _) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { parent(ru) = rv; true } else false
+      }
+      assert(got == want.toSeq)
     }
   }
 
