@@ -235,6 +235,8 @@ object Bench {
         (lit(1L) + pmod(pmod(col("src"), lit(1000003L)) * 7
           + pmod(col("dst"), lit(1000003L)) * 13, lit(97L))).as("weight"))
       bench("mst")(algo.Mst.run(spark, ew, numPartitions = P).count())
+      bench("matching")(
+        algo.Matching.run(spark, g.edges, numPartitions = P).count())
       val seeds = sym.select(col("src").as("id")).distinct()
         .filter(pmod(col("id"), lit(20L)) === 0)
       bench("sweep_cut")(

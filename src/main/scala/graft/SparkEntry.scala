@@ -845,6 +845,16 @@ object SparkEntry {
       algo.Mis.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         numPartitions = parts(s, d))),
 
+    "matching_sql_graph" -> ((s, d) =>
+      // Israeli–Itai maximal matching: an edge wins when its key is
+      // the minimum at BOTH endpoints; vertex-disjoint, maximal
+      algo.Matching.run(s, sqlGraphEdges(s), numPartitions = parts(s, d))),
+
+    "vertex_cover_sql_graph" -> ((s, d) =>
+      // 2-approx minimum vertex cover = both endpoints of the matching
+      algo.Matching.vertexCover(s, sqlGraphEdges(s),
+        numPartitions = parts(s, d))),
+
     "coloring_sql_graph" -> ((s, d) =>
       // greedy coloring on the same priority schedule: winners take the
       // round index as color, neighbors stay live — 20 colors on the
@@ -2505,6 +2515,60 @@ object SparkEntry {
       .replace("(a, b) AS MATERIALIZED (", "(a, b) AS (")
   }
 
+  /** Unrolled maximal-matching rounds mirroring [[graft.algo.Matching]]:
+    * per round a per-vertex min over both endpoint projections, winners
+    * where the edge key hits BOTH endpoint minima, matched endpoints
+    * retire with their incident edges. The edge key replays
+    * `Matching.edgeKey` arithmetic exactly (all operands < 2⁶²). No
+    * recursion, so plain WITH (UNION keeps set semantics); MATERIALIZED
+    * because each live set is referenced four times per round.
+    */
+  private def matchingSqlOracle(iters: Int, cover: Boolean): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         ew AS MATERIALIZED (
+           SELECT u, v,
+             q2 * 2147483648 + (arg % 2147483648) AS k FROM (
+             SELECT u, v, arg, (q1 * (q1 + 7)) % 2147483647 AS q2 FROM (
+               SELECT u, v, arg,
+                 ((arg % 2147483647) * ((arg % 2147483647) + 3)) % 2147483647
+                   AS q1 FROM (
+                 SELECT u, v,
+                   (((u % 2147483647) * 2147483648 + (v % 2147483647))
+                      % 2147483647) * 2147483648
+                     + ((u * 31 + v) % 2147483648) AS arg
+                 FROM (SELECT DISTINCT least(src, dst) AS u,
+                              greatest(src, dst) AS v FROM e))))),
+         live0 AS MATERIALIZED (SELECT u, v, k FROM ew)"""
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+         vm$k AS MATERIALIZED (
+           SELECT vid, min(k) AS mn FROM (
+             SELECT u AS vid, k FROM live$p
+             UNION ALL SELECT v, k FROM live$p) GROUP BY vid),
+         w$k AS MATERIALIZED (
+           SELECT l.u, l.v FROM live$p l
+           JOIN vm$k a ON l.u = a.vid AND l.k = a.mn
+           JOIN vm$k b ON l.v = b.vid AND l.k = b.mn),
+         mv$k AS MATERIALIZED (
+           SELECT u AS vid FROM w$k UNION SELECT v FROM w$k),
+         live$k AS MATERIALIZED (
+           SELECT l.u, l.v, l.k FROM live$p l
+           WHERE NOT EXISTS (SELECT 1 FROM mv$k m WHERE m.vid = l.u)
+             AND NOT EXISTS (SELECT 1 FROM mv$k m WHERE m.vid = l.v))"""
+    }.mkString
+    val won = (1 to iters)
+      .map(k => s"SELECT u, v, CAST($k AS BIGINT) AS round FROM w$k")
+      .mkString(" UNION ALL ")
+    val tail =
+      if (cover)
+        s"""SELECT DISTINCT vid AS id FROM (
+           SELECT u AS vid FROM ($won) UNION ALL SELECT v FROM ($won))"""
+      else s"SELECT u, v, round FROM ($won)"
+    s"$head$steps $tail"
+  }
+
   private val kmvDistinctSqlOracle: String =
     s"""WITH $sqlGraphCte
        SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nd
@@ -2996,6 +3060,8 @@ object SparkEntry {
          FROM verts v LEFT JOIN m ON v.id = m.a""",
     "mis_sql_graph" -> misSqlOracle(8, removeNeighbors = true),
     "coloring_sql_graph" -> misSqlOracle(24, removeNeighbors = false),
+    "matching_sql_graph" -> matchingSqlOracle(10, cover = false),
+    "vertex_cover_sql_graph" -> matchingSqlOracle(10, cover = true),
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,

@@ -1,0 +1,128 @@
+package graft.algo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maximal matching by deterministic edge priority (the Israeli–Itai
+  * 1986 shape with fixed keys): a live edge joins the matching when
+  * its key is the strict minimum among ALL live edges at BOTH of its
+  * endpoints; matched vertices retire with every incident edge, and
+  * the next round runs on what is left. The globally-min live edge
+  * always wins, so every round makes progress; expected O(log m)
+  * rounds with scrambled keys. Completes the symmetry-breaking family
+  * next to [[Mis]]: a maximal matching is a conflict-free set of
+  * PAIRS (edge-disjoint work units), and its endpoint set is the
+  * classic 2-approximation of minimum vertex cover — the cheapest
+  * "touch every edge" monitor/seed set a link graph has.
+  *
+  * Determinism contract: the edge key seeds the [[Mis.key]]
+  * double-quadratic scramble with `(u·2³¹ + v) mod (2³¹−1)` (u < v
+  * canonical), every operand < 2⁶² — exact in any 64-bit engine, so
+  * the DuckDB twin replays the rounds bit-for-bit. Two ADJACENT live
+  * edges colliding on the full key would stall; the round-progress
+  * `require` turns that into a loud failure (same contract as Mis).
+  *
+  * Scale shape, per round: ONE map-side-combinable min-aggregation
+  * over both endpoint projections of the live edges (the per-vertex
+  * incident minimum), one join of the live edges against that skinny
+  * (vertex, min) table on each side, and one semi-join to drop the
+  * matched vertices' incident edges. No windows, no key tables — the
+  * key is computed arithmetically from the endpoints.
+  */
+object Matching {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val IdSpan = 2147483648L // 2^31
+
+  /** Exact-BIGINT edge key over the canonical (u < v) pair. */
+  def edgeKey(u: Column, v: Column): Column =
+    Mis.key(pmod(pmod(u, lit(P)) * IdSpan + pmod(v, lit(P)), lit(P)) * IdSpan
+      + pmod(u * lit(31L) + v, lit(IdSpan)))
+
+  /** @param symEdges undirected edges (any direction mix; canonicalized
+    *                 to distinct u<v pairs, self-loops dropped)
+    * @return matched edges (u, v, round): no two rows share a vertex
+    *         (matching), and every input edge touches some matched
+    *         vertex (maximality)
+    */
+  def run(spark: SparkSession,
+          symEdges: DataFrame,
+          numPartitions: Int = 32,
+          maxIter: Int = 200): DataFrame = Superstep.withoutAQE(spark) {
+    var e = Superstep.freshCheckpoint(
+      symEdges.select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .withColumn("k", edgeKey(col("u"), col("v")))
+        .repartition(numPartitions, col("u")), eager = true)
+
+    var liveCount = e.count()
+    var out: DataFrame = null
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+
+    while (liveCount > 0 && round < maxIter) {
+      round += 1
+      // per-vertex minimum incident key — one two-sided projection,
+      // map-side min-combined before the (vertex) exchange
+      val vmin = e.select(col("u").as("vid"), col("k"))
+        .unionAll(e.select(col("v").as("vid"), col("k")))
+        .groupBy(col("vid")).agg(min(col("k")).as("mn"))
+      val winners = Superstep.freshCheckpoint(
+        e.join(vmin.select(col("vid").as("u"), col("mn").as("mu"))
+            .hint("shuffle_hash"), Seq("u"))
+          .join(vmin.select(col("vid").as("v"), col("mn").as("mv"))
+            .hint("shuffle_hash"), Seq("v"))
+          .filter(col("k") === col("mu") && col("k") === col("mv"))
+          .select(col("u"), col("v")), eager = true)
+      pinned += winners
+
+      out = {
+        val won = winners.withColumn("round", lit(round.toLong))
+        if (out == null) won else out.unionAll(won)
+      }
+
+      // matched vertices retire with every incident edge; duplicates
+      // in the retire list are fine (anti-join right side)
+      val matched = winners.select(col("u").as("vid"))
+        .unionAll(winners.select(col("v").as("vid")))
+      val nextE = Superstep.freshCheckpoint(
+        e.join(matched.select(col("vid").as("u")).hint("shuffle_hash"),
+            Seq("u"), "left_anti")
+          .join(matched.select(col("vid").as("v")).hint("shuffle_hash"),
+            Seq("v"), "left_anti"), eager = true)
+      Superstep.freeCheckpoint(e)
+      e = nextE
+      val nextCount = e.count()
+      require(nextCount < liveCount,
+        s"matching round $round made no progress ($liveCount live edges): " +
+          "adjacent edge-key collision — widen the key for this id space")
+      liveCount = nextCount
+    }
+    require(liveCount == 0,
+      s"matching did not settle within $maxIter rounds — raise maxIter")
+    val res = out.localCheckpoint(false)
+    res.count()
+    pinned.foreach(Superstep.freeCheckpoint)
+    Superstep.freeCheckpoint(e)
+    res
+  }
+
+  /** 2-approximation of minimum vertex cover: both endpoints of a
+    * maximal matching (every edge touches a matched vertex by
+    * maximality; any cover needs ≥ one endpoint per matched edge, so
+    * |cover| ≤ 2·OPT). Returns one (id) row per cover vertex.
+    */
+  def vertexCover(spark: SparkSession,
+                  symEdges: DataFrame,
+                  numPartitions: Int = 32): DataFrame = {
+    val m = run(spark, symEdges, numPartitions)
+    val cover = m.select(col("u").as("id"))
+      .unionAll(m.select(col("v").as("id"))).distinct()
+      .localCheckpoint(false)
+    cover.count()
+    Superstep.freeCheckpoint(m)
+    cover
+  }
+}
