@@ -2536,7 +2536,8 @@ object SparkEntry {
                  SELECT u, v,
                    (((u % 2147483647) * 2147483648 + (v % 2147483647))
                       % 2147483647) * 2147483648
-                     + ((u * 31 + v) % 2147483648) AS arg
+                     + (((u % 2147483648) * 31 + (v % 2147483648))
+                        % 2147483648) AS arg
                  FROM (SELECT DISTINCT least(src, dst) AS u,
                               greatest(src, dst) AS v FROM e))))),
          live0 AS MATERIALIZED (SELECT u, v, k FROM ew)"""

@@ -34,10 +34,15 @@ object Matching {
   private val P = 2147483647L // 2^31 - 1
   private val IdSpan = 2147483648L // 2^31
 
-  /** Exact-BIGINT edge key over the canonical (u < v) pair. */
+  /** Exact-BIGINT edge key over the canonical (u < v) pair. Every
+    * multiplication reduces its operands first — raw ids can be
+    * full-range xxhash64 longs, and ANSI mode makes `u * 31` a crash,
+    * not a wrap.
+    */
   def edgeKey(u: Column, v: Column): Column =
     Mis.key(pmod(pmod(u, lit(P)) * IdSpan + pmod(v, lit(P)), lit(P)) * IdSpan
-      + pmod(u * lit(31L) + v, lit(IdSpan)))
+      + pmod(pmod(u, lit(IdSpan)) * lit(31L) + pmod(v, lit(IdSpan)),
+        lit(IdSpan)))
 
   /** @param symEdges undirected edges (any direction mix; canonicalized
     *                 to distinct u<v pairs, self-loops dropped)
