@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.bridge
 
-import graft.functions.{BoundedTopK, IndelRatio, KmvMerge, KmvSketch, MinHashSig, Mix64, SimHash64, SortedIntersectCount}
+import graft.functions.{BoundedTopK, IndelRatio, KmvMerge, KmvSketch, MgCandidates, MinHashSig, Mix64, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL. Use either at build time —
@@ -55,7 +55,10 @@ object GraftExtensions {
     "kmv_merge" -> { args =>
       KmvMerge(args(0), intArg(args(1), "k")).toAggregateExpression()
     },
-    "mix64" -> { args => Mix64(args.head) })
+    "mix64" -> { args => Mix64(args.head) },
+    "mg_candidates" -> { args =>
+      MgCandidates(args(0), intArg(args(1), "capacity")).toAggregateExpression()
+    })
 
   /** Register all functions on an already-built session. */
   def register(spark: SparkSession): Unit =

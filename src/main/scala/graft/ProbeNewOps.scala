@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+/** Scratch diagnostic for the round-3 additions (heavy hitters /
+  * exact quantiles / weighted matching): round counts, result sizes
+  * and spot values before the oracle twins are authored. Not part of
+  * the driver surface.
+  */
+object ProbeNewOps {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Bench.buildSession(cpus)
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // heavy hitters over the widened planted domain
+    val items = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .select(when(pmod(col("doc_id"), lit(13L)) === 0, col("tok"))
+        .otherwise(concat_ws("_", col("tok"), pmod(col("doc_id"), lit(997L))))
+        .as("item"))
+    val hh = graft.text.HeavyHitters.frequentItems(items, "item", denom = 400)
+    println(s"[probe] heavy_hitters rows=${hh.count()}")
+    hh.orderBy(desc("occurrences")).show(12, truncate = false)
+
+    // exact quantiles of length(text)
+    val lv = docs.select(length(col("text")).cast("long").as("len"))
+    val qs = graft.curation.Quantiles.exactQuantiles(
+      lv, "len", Seq((1, 2), (9, 10), (99, 100)))
+    qs.show(false)
+    val gq = graft.curation.Quantiles.groupQuantiles(
+      docs.select(col("lang"), length(col("text")).as("len")),
+      "lang", "len", 1, 2)
+    gq.orderBy("lang").show(false)
+
+    // weighted matching round count on the arithmetic fixture graph
+    val ew = GraphOps.undirectedPairs(SparkEntry.sqlGraphEdges(spark))
+      .withColumn("weight", lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+    val m = graft.algo.Matching.runWeighted(spark, ew, numPartitions = 8)
+    println(s"[probe] weighted matching edges=${m.count()} " +
+      s"rounds=${m.agg(max(col("round"))).head().getLong(0)} " +
+      s"totalW=${m.agg(sum(col("w"))).head().getLong(0)}")
+    spark.stop()
+  }
+}

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
 import graft.corpus.CorpusGen
-import graft.curation.Curation
+import graft.curation.{Curation, Quantiles}
 import graft.dedup.Dedup
 import graft.extract.Extractor
 import graft.functions.indel_ratio
@@ -855,6 +855,16 @@ object SparkEntry {
       algo.Matching.vertexCover(s, sqlGraphEdges(s),
         numPartitions = parts(s, d))),
 
+    "matching_weighted_sql_graph" -> ((s, d) =>
+      // locally-heaviest maximal matching (weight DESC, key ASC at
+      // both endpoints): ½-approx of MAXIMUM weight matching; settles
+      // in 4 rounds on the fixture (the DuckDB twin unrolls 6)
+      algo.Matching.runWeighted(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s))
+          .withColumn("weight",
+            lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
+        numPartitions = parts(s, d))),
+
     "coloring_sql_graph" -> ((s, d) =>
       // greedy coloring on the same priority schedule: winners take the
       // round index as color, neighbors stay live — 20 colors on the
@@ -1046,6 +1056,38 @@ object SparkEntry {
 
     "stats_length_histogram" -> ((s, d) =>
       text.CorpusStats.lengthHistogram(s.read.parquet(t(d, "documents")))),
+
+    "stats_heavy_hitters" -> ((s, d) => {
+      // two-pass EXACT heavy hitters over a planted corpus-scale
+      // domain: every 13th doc contributes bare tokens (the heavy
+      // head, share > 1/400), the rest fan out over ~11k suffixed
+      // variants so the Misra–Gries candidate pass genuinely sketches
+      // (capacity 1600 << domain) while the output stays exact
+      val docs = s.read.parquet(t(d, "documents"))
+      val items = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(when(pmod(col("doc_id"), lit(13L)) === 0, col("tok"))
+          .otherwise(concat_ws("_", col("tok"), pmod(col("doc_id"), lit(997L))))
+          .as("item"))
+      text.HeavyHitters.frequentItems(items, "item", denom = 400)
+    }),
+
+    "cur_exact_quantile" -> ((s, d) =>
+      // exact median / p90 / p99 of the document length column via
+      // sketch-narrow-finish (rational fractions: ⌈n·num/denom⌉ is
+      // exact integer arithmetic in both engines)
+      Quantiles.exactQuantiles(
+        s.read.parquet(t(d, "documents"))
+          .select(length(col("text")).cast("long").as("len")),
+        "len", Seq((1, 2), (9, 10), (99, 100)))),
+
+    "cur_group_quantiles" -> ((s, d) =>
+      // exact per-language median length: one grouped count + one
+      // per-group cumulative window over distinct (lang, len) pairs
+      Quantiles.groupQuantiles(
+        s.read.parquet(t(d, "documents"))
+          .select(col("lang"), length(col("text")).as("len")),
+        "lang", "len", 1, 2)),
 
     "cur_resample_mixture" -> ((s, d) =>
       // half-integer weights: frac·2³¹ is exact in both engines
@@ -1437,7 +1479,7 @@ object SparkEntry {
   private val SqlGraphV = 1500L
 
   /** Directed edges of the shared oracle graph — see pr_sql_graph. */
-  private def sqlGraphEdges(s: SparkSession): DataFrame = {
+  private[graft] def sqlGraphEdges(s: SparkSession): DataFrame = {
     val r = s.range(SqlGraphV).select(col("id").as("a"))
       .filter(pmod(col("a"), lit(10L)) =!= 0)
     def rule(m: Long, c: Long): DataFrame =
@@ -2570,6 +2612,64 @@ object SparkEntry {
     s"$head$steps $tail"
   }
 
+  /** Unrolled locally-heaviest matching rounds mirroring
+    * [[graft.algo.Matching.runWeighted]]: per round a per-vertex MAX
+    * weight over the live edges, the weight-locally-heaviest candidate
+    * set, then a per-vertex MIN key over the candidates only; winners
+    * hit both maxima and both minima, matched endpoints retire. Weight
+    * = 1 + (u+v) mod 7 on the canonical pair, replayed identically.
+    */
+  private def weightedMatchingSqlOracle(iters: Int): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         ew AS MATERIALIZED (
+           SELECT u, v, 1 + (u + v) % 7 AS w,
+             q2 * 2147483648 + (arg % 2147483648) AS k FROM (
+             SELECT u, v, arg, (q1 * (q1 + 7)) % 2147483647 AS q2 FROM (
+               SELECT u, v, arg,
+                 ((arg % 2147483647) * ((arg % 2147483647) + 3)) % 2147483647
+                   AS q1 FROM (
+                 SELECT u, v,
+                   (((u % 2147483647) * 2147483648 + (v % 2147483647))
+                      % 2147483647) * 2147483648
+                     + (((u % 2147483648) * 31 + (v % 2147483648))
+                        % 2147483648) AS arg
+                 FROM (SELECT DISTINCT least(src, dst) AS u,
+                              greatest(src, dst) AS v FROM e))))),
+         live0 AS MATERIALIZED (SELECT u, v, w, k FROM ew)"""
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+         vx$k AS MATERIALIZED (
+           SELECT vid, max(w) AS mw FROM (
+             SELECT u AS vid, w FROM live$p
+             UNION ALL SELECT v, w FROM live$p) GROUP BY vid),
+         cd$k AS MATERIALIZED (
+           SELECT l.u, l.v, l.w, l.k FROM live$p l
+           JOIN vx$k a ON l.u = a.vid AND l.w = a.mw
+           JOIN vx$k b ON l.v = b.vid AND l.w = b.mw),
+         km$k AS MATERIALIZED (
+           SELECT vid, min(k) AS mn FROM (
+             SELECT u AS vid, k FROM cd$k
+             UNION ALL SELECT v, k FROM cd$k) GROUP BY vid),
+         w$k AS MATERIALIZED (
+           SELECT c.u, c.v, c.w FROM cd$k c
+           JOIN km$k a ON c.u = a.vid AND c.k = a.mn
+           JOIN km$k b ON c.v = b.vid AND c.k = b.mn),
+         mv$k AS MATERIALIZED (
+           SELECT u AS vid FROM w$k UNION SELECT v FROM w$k),
+         live$k AS MATERIALIZED (
+           SELECT l.u, l.v, l.w, l.k FROM live$p l
+           WHERE NOT EXISTS (SELECT 1 FROM mv$k m WHERE m.vid = l.u)
+             AND NOT EXISTS (SELECT 1 FROM mv$k m WHERE m.vid = l.v))"""
+    }.mkString
+    val won = (1 to iters)
+      .map(k => s"""SELECT u, v, CAST(w AS BIGINT) AS w,
+                    CAST($k AS BIGINT) AS round FROM w$k""")
+      .mkString(" UNION ALL ")
+    s"$head$steps SELECT u, v, w, round FROM ($won)"
+  }
+
   private val kmvDistinctSqlOracle: String =
     s"""WITH $sqlGraphCte
        SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nd
@@ -3063,6 +3163,7 @@ object SparkEntry {
     "coloring_sql_graph" -> misSqlOracle(24, removeNeighbors = false),
     "matching_sql_graph" -> matchingSqlOracle(10, cover = false),
     "vertex_cover_sql_graph" -> matchingSqlOracle(10, cover = true),
+    "matching_weighted_sql_graph" -> weightedMatchingSqlOracle(6),
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,
@@ -3399,6 +3500,41 @@ object SparkEntry {
       """SELECT CAST(length(text) // 100 * 100 AS BIGINT) AS bucket_lo,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM documents GROUP BY 1""",
+
+    // exact heavy hitters: the twin is the full groupBy the sketch
+    // path avoids — identical output is the two-pass exactness claim
+    "stats_heavy_hitters" ->
+      """WITH p0 AS (
+           SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t <> '')) AS tok
+           FROM documents),
+         p AS (SELECT CASE WHEN doc_id % 13 = 0 THEN tok
+                 ELSE tok || '_' || CAST(doc_id % 997 AS VARCHAR) END AS item
+               FROM p0),
+         n AS (SELECT count(*) AS c FROM p)
+         SELECT item, CAST(count(*) AS BIGINT) AS occurrences
+         FROM p GROUP BY item HAVING count(*) * 400 > (SELECT c FROM n)""",
+
+    "cur_exact_quantile" ->
+      """WITH v AS (SELECT CAST(length(text) AS BIGINT) AS val FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM v),
+         ks AS (SELECT 1 AS q_num, 2 AS q_denom, (c*1 + 2 - 1)//2 AS k FROM n
+           UNION ALL SELECT 9, 10, (c*9 + 10 - 1)//10 FROM n
+           UNION ALL SELECT 99, 100, (c*99 + 100 - 1)//100 FROM n),
+         r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v)
+         SELECT ks.q_num, ks.q_denom, ks.k, r.val AS value
+         FROM ks JOIN r ON r.rn = ks.k""",
+
+    "cur_group_quantiles" ->
+      """WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS val
+               FROM documents),
+         r AS (SELECT lang, val,
+             row_number() OVER (PARTITION BY lang ORDER BY val) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS c
+           FROM v)
+         SELECT lang, c AS n_rows, (c*1 + 2 - 1)//2 AS k, val AS value
+         FROM r WHERE rn = (c*1 + 2 - 1)//2""",
 
     "cur_resample_mixture" ->
       """WITH w AS (

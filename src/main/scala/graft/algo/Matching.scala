@@ -114,6 +114,110 @@ object Matching {
     res
   }
 
+  /** Locally-heaviest maximal matching (Preis 1999; Manne–Bisseling
+    * 2007 parallel local-max): an edge joins the matching when it is
+    * the top incident edge at BOTH endpoints under the total order
+    * (weight DESC, scrambled key ASC). Greedy-by-weight analysis gives
+    * the classic ½-approximation of MAXIMUM weight matching: when an
+    * edge e retires, its matched neighbor e' was locally heaviest
+    * while e was live, so w(e') ≥ w(e), and each matched edge absorbs
+    * at most two OPT edges.
+    *
+    * Progress: among the max-weight live edges, the one with the
+    * globally minimal key is locally-heaviest and key-minimal at both
+    * endpoints, so every round matches ≥ 1 edge. Unlike the unweighted
+    * peel, adversarial weight gradients (a monotone-weight path) can
+    * serialize rounds — the expected O(log m) regime needs weights
+    * without long monotone chains, which the `require` surfaces.
+    *
+    * Scale shape, per round: TWO map-side-combinable per-vertex aggs
+    * instead of one — the incident max-WEIGHT over the live edges,
+    * then the incident min-KEY over only the weight-locally-heaviest
+    * candidates (a much smaller set). Both stay skinny (vertex, long);
+    * no struct comparators cross the exchange, so the rounds replay in
+    * integer SQL cross-engine.
+    *
+    * @param weightedEdges (src, dst, weight) — canonicalized to
+    *                      distinct u<v pairs (max weight on conflict),
+    *                      integer weights, self-loops dropped
+    * @return (u, v, w, round), vertex-disjoint and maximal
+    */
+  def runWeighted(spark: SparkSession,
+                  weightedEdges: DataFrame,
+                  numPartitions: Int = 32,
+                  maxIter: Int = 200): DataFrame = Superstep.withoutAQE(spark) {
+    var e = Superstep.freshCheckpoint(
+      weightedEdges.select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"),
+          col("weight").cast("long").as("w"))
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(max(col("w")).as("w"))
+        .withColumn("k", edgeKey(col("u"), col("v")))
+        .repartition(numPartitions, col("u")), eager = true)
+
+    var liveCount = e.count()
+    var out: DataFrame = null
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+
+    while (liveCount > 0 && round < maxIter) {
+      round += 1
+      // stage 1: per-vertex max incident weight over the live edges
+      val vmax = e.select(col("u").as("vid"), col("w"))
+        .unionAll(e.select(col("v").as("vid"), col("w")))
+        .groupBy(col("vid")).agg(max(col("w")).as("mw"))
+      val cand = e
+        .join(vmax.select(col("vid").as("u"), col("mw").as("mu"))
+          .hint("shuffle_hash"), Seq("u"))
+        .join(vmax.select(col("vid").as("v"), col("mw").as("mv"))
+          .hint("shuffle_hash"), Seq("v"))
+        .filter(col("w") === col("mu") && col("w") === col("mv"))
+        .select(col("u"), col("v"), col("w"), col("k"))
+      // stage 2: key tie-break among the weight-candidates only
+      val kmin = cand.select(col("u").as("vid"), col("k"))
+        .unionAll(cand.select(col("v").as("vid"), col("k")))
+        .groupBy(col("vid")).agg(min(col("k")).as("mn"))
+      val winners = Superstep.freshCheckpoint(
+        cand
+          .join(kmin.select(col("vid").as("u"), col("mn").as("ku"))
+            .hint("shuffle_hash"), Seq("u"))
+          .join(kmin.select(col("vid").as("v"), col("mn").as("kv"))
+            .hint("shuffle_hash"), Seq("v"))
+          .filter(col("k") === col("ku") && col("k") === col("kv"))
+          .select(col("u"), col("v"), col("w")), eager = true)
+      pinned += winners
+
+      out = {
+        val won = winners.withColumn("round", lit(round.toLong))
+        if (out == null) won else out.unionAll(won)
+      }
+
+      val matched = winners.select(col("u").as("vid"))
+        .unionAll(winners.select(col("v").as("vid")))
+      val nextE = Superstep.freshCheckpoint(
+        e.join(matched.select(col("vid").as("u")).hint("shuffle_hash"),
+            Seq("u"), "left_anti")
+          .join(matched.select(col("vid").as("v")).hint("shuffle_hash"),
+            Seq("v"), "left_anti"), eager = true)
+      Superstep.freeCheckpoint(e)
+      e = nextE
+      val nextCount = e.count()
+      require(nextCount < liveCount,
+        s"weighted matching round $round made no progress " +
+          s"($liveCount live edges): adjacent edge-key collision")
+      liveCount = nextCount
+    }
+    require(liveCount == 0,
+      s"weighted matching did not settle within $maxIter rounds — " +
+        "monotone weight chains serialize the peel; raise maxIter")
+    val res = out.localCheckpoint(false)
+    res.count()
+    pinned.foreach(Superstep.freeCheckpoint)
+    Superstep.freeCheckpoint(e)
+    res
+  }
+
   /** 2-approximation of minimum vertex cover: both endpoints of a
     * maximal matching (every edge touches a matched vertex by
     * maximality; any cover needs ≥ one endpoint per matched edge, so

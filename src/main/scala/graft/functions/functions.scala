@@ -49,4 +49,12 @@ package object functions {
   /** Bijective 64-bit avalanche hash (distinct-count preserving). */
   def mix64(x: Column): Column =
     bridge.column(Mix64(bridge.expression(x)))
+
+  /** Misra–Gries frequent-item candidates (ascending array<string>):
+    * a guaranteed superset of the items with frequency > N/(capacity+1),
+    * map-side bounded to ≤ capacity entries per partition buffer.
+    */
+  def mg_candidates(item: Column, capacity: Int): Column =
+    bridge.column(
+      MgCandidates(bridge.expression(item), capacity).toAggregateExpression())
 }

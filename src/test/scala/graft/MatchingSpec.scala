@@ -62,4 +62,76 @@ class MatchingSpec extends AnyFunSuite {
       .sortBy(e => (e._1, e._2)).toSeq
     assert(m(2) == m(5))
   }
+
+  // ── weighted (locally-heaviest) variant ──
+
+  def weightedFixture(n: Long) = fixtureEdges(n)
+    .withColumn("weight", lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+
+  test("weighted matching: disjoint, maximal, and picks the heavy edge") {
+    import spark.implicits._
+    // path 1-2-3-4 with weights 2,3,2: the locally-heaviest edge (2,3)
+    // must match alone (its neighbors retire), exactly — deterministic
+    val path = Seq((1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 2L))
+      .toDF("src", "dst", "weight")
+    val m = Matching.runWeighted(spark, path, numPartitions = 2)
+    assert(m.select("u", "v", "w").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 3L, 3L)))
+
+    val edges = weightedFixture(500L)
+    val mm = Matching.runWeighted(spark, edges, numPartitions = 4).cache()
+    val touched = mm.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(touched.distinct.length == touched.length,
+      "two matched edges share a vertex")
+    val matchedV = mm.select(col("u").as("id"))
+      .unionAll(mm.select(col("v").as("id"))).distinct()
+    val untouched = edges
+      .join(matchedV.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(matchedV.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .count()
+    assert(untouched == 0, s"$untouched edges with no matched endpoint")
+    mm.unpersist()
+  }
+
+  test("weighted matching achieves >= 1/2 the optimum on a small graph") {
+    import spark.implicits._
+    // 8-vertex random-ish weighted graph, small enough to brute-force
+    val es = Seq((0L, 1L, 9L), (1L, 2L, 8L), (2L, 3L, 7L), (3L, 4L, 9L),
+      (4L, 5L, 3L), (5L, 6L, 8L), (6L, 7L, 5L), (7L, 0L, 4L),
+      (0L, 4L, 6L), (1L, 5L, 2L), (2L, 6L, 9L), (3L, 7L, 1L))
+    val got = Matching.runWeighted(spark,
+      es.toDF("src", "dst", "weight"), numPartitions = 2)
+      .agg(sum(col("w"))).head().getLong(0)
+    // exact max-weight matching by exhaustive search
+    def best(rem: List[(Long, Long, Long)], used: Set[Long]): Long = rem match {
+      case Nil => 0L
+      case (u, v, w) :: t =>
+        val skip = best(t, used)
+        if (used(u) || used(v)) skip
+        else math.max(skip, w + best(t, used + u + v))
+    }
+    val opt = best(es.toList, Set.empty)
+    assert(2 * got >= opt, s"matched weight $got < half of optimum $opt")
+    info(s"matched weight $got vs optimum $opt")
+  }
+
+  test("weighted matching with constant weights equals the unweighted peel") {
+    val edges = fixtureEdges(300L)
+    val unw = Matching.run(spark, edges, numPartitions = 4)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    val w = Matching.runWeighted(spark,
+      edges.withColumn("weight", lit(5L)), numPartitions = 4)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    assert(w == unw, "constant-weight peel diverged from the unweighted one")
+  }
+
+  test("weighted matching is deterministic across partition counts") {
+    val edges = weightedFixture(300L)
+    def m(p: Int) = Matching.runWeighted(spark, edges, numPartitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(m(2) == m(5))
+  }
 }
