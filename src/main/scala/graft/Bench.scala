@@ -252,6 +252,20 @@ object Bench {
       bench("node_embed")(
         graph.NodeEmbeddings.randomIndexing(pairs, dims = 16).count())
       Superstep.freeCheckpoint(pairs)
+      bench("matching_weighted")(
+        algo.Matching.runWeighted(spark,
+          GraphOps.undirectedPairs(g.edges).withColumn("weight",
+            lit(1L) + pmod(pmod(col("src"), lit(1000003L))
+              + pmod(col("dst"), lit(1000003L)), lit(7L))),
+          numPartitions = P).count())
+    }
+
+    // round-3 late additions #3: corpus-scale exact sketch-finishers
+    if (sys.env.get("GRAFT_BENCH_CORPUS3").contains("1")) {
+      Seq("stats_heavy_hitters", "cur_exact_quantile", "cur_group_quantiles")
+        .foreach { name =>
+          bench(name)(SparkEntry.queries(name)(spark, sfDir).count())
+        }
     }
 
     // ── headline: PageRank on a large synthesized skewed edge table ──

@@ -54,6 +54,44 @@ object PlanDump {
       Curation.packSequences(docs, budget = 64, bucketSize = 16)
         .queryExecution.executedPlan.toString
     }
+
+    // ── round-3 additions: heavy hitters / quantiles / weighted matching ──
+
+    dump("HeavyHitters pass 1 (MG candidate aggregation to one row)") {
+      val items = docs.select(explode(split(col("text"), " ")).as("item"))
+      items.agg(graft.functions.mg_candidates(col("item"), 64),
+          count(lit(1)))
+        .queryExecution.executedPlan.toString
+    }
+    dump("HeavyHitters pass 2 (broadcast candidate confirm)") {
+      val items = docs.select(explode(split(col("text"), " ")).as("item"))
+      graft.text.HeavyHitters.frequentItems(items, "item", denom = 16)
+        .queryExecution.executedPlan.toString
+    }
+    dump("Quantiles.groupQuantiles (grouped count + per-group cumsum)") {
+      graft.curation.Quantiles.groupQuantiles(
+          docs.withColumn("grp", pmod(col("doc_id"), lit(3L)))
+            .withColumn("len", length(col("text"))),
+          "grp", "len", 1, 2)
+        .queryExecution.executedPlan.toString
+    }
+    Superstep.withoutAQE(spark) {
+      val ew = (0L until 60L).map(i => (i, (i + 1) % 60, 1L + (i % 7)))
+        .toDF("u", "v", "w")
+        .withColumn("k", graft.algo.Matching.edgeKey(col("u"), col("v")))
+        .repartition(4, col("u"))
+      dump("Matching.runWeighted round (vmax agg + candidate join)") {
+        val vmax = ew.select(col("u").as("vid"), col("w"))
+          .unionAll(ew.select(col("v").as("vid"), col("w")))
+          .groupBy(col("vid")).agg(max(col("w")).as("mw"))
+        ew.join(vmax.select(col("vid").as("u"), col("mw").as("mu"))
+            .hint("shuffle_hash"), Seq("u"))
+          .join(vmax.select(col("vid").as("v"), col("mw").as("mv"))
+            .hint("shuffle_hash"), Seq("v"))
+          .filter(col("w") >= col("mu") && col("w") >= col("mv"))
+          .queryExecution.executedPlan.toString
+      }
+    }
     spark.stop()
   }
   // scalastyle:on println

@@ -45,6 +45,31 @@ object ProbeNewOps {
     println(s"[probe] weighted matching edges=${m.count()} " +
       s"rounds=${m.agg(max(col("round"))).head().getLong(0)} " +
       s"totalW=${m.agg(sum(col("w"))).head().getLong(0)}")
+
+    // entity-graph round counts (matches the GRAPH3 bench input)
+    if (sys.env.get("GRAFT_PROBE_ENTITY").contains("1")) {
+      val docN = docs.count()
+      val c = graft.corpus.CorpusGen.corpus(spark, 20L * docN, seed = 42L,
+        vertexScale = 40).localCheckpoint(true)
+      c.count()
+      val snap = graft.normalize.Normalize.fullChain(
+        graft.normalize.Normalize.Snapshot(
+          graft.extract.Extractor.entities(c),
+          graft.extract.Extractor.relationships(c)))
+      val g = GraphOps.semanticGraph(snap)
+      val e = g.edges.localCheckpoint(true)
+      e.count()
+      val ewE = GraphOps.undirectedPairs(e).withColumn("weight",
+        lit(1L) + pmod(pmod(col("src"), lit(1000003L))
+          + pmod(col("dst"), lit(1000003L)), lit(7L)))
+      val mw = graft.algo.Matching.runWeighted(spark, ewE,
+        numPartitions = cpus.toInt)
+      println(s"[probe] entity weighted matching edges=${mw.count()} " +
+        s"rounds=${mw.agg(max(col("round"))).head().getLong(0)}")
+      val mu = graft.algo.Matching.run(spark, e, numPartitions = cpus.toInt)
+      println(s"[probe] entity unweighted matching edges=${mu.count()} " +
+        s"rounds=${mu.agg(max(col("round"))).head().getLong(0)}")
+    }
     spark.stop()
   }
 }

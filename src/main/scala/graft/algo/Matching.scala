@@ -74,12 +74,16 @@ object Matching {
       val vmin = e.select(col("u").as("vid"), col("k"))
         .unionAll(e.select(col("v").as("vid"), col("k")))
         .groupBy(col("vid")).agg(min(col("k")).as("mn"))
+      // `k <= mu` ⟺ `k = mu` (mu is a min over a set containing k) —
+      // the inequality keeps the join keys at the vertex id alone;
+      // the equality form is folded into a composite (k, u) join key
+      // by Catalyst, re-exchanging the EDGE side every round
       val winners = Superstep.freshCheckpoint(
         e.join(vmin.select(col("vid").as("u"), col("mn").as("mu"))
             .hint("shuffle_hash"), Seq("u"))
           .join(vmin.select(col("vid").as("v"), col("mn").as("mv"))
             .hint("shuffle_hash"), Seq("v"))
-          .filter(col("k") === col("mu") && col("k") === col("mv"))
+          .filter(col("k") <= col("mu") && col("k") <= col("mv"))
           .select(col("u"), col("v")), eager = true)
       pinned += winners
 
@@ -167,13 +171,18 @@ object Matching {
       val vmax = e.select(col("u").as("vid"), col("w"))
         .unionAll(e.select(col("v").as("vid"), col("w")))
         .groupBy(col("vid")).agg(max(col("w")).as("mw"))
-      val cand = e
+      // the candidate set feeds BOTH the key tie-break agg and the
+      // winner join — materialize it once per round or the two
+      // edge-scale joins above it run twice
+      val cand = Superstep.freshCheckpoint(e
         .join(vmax.select(col("vid").as("u"), col("mw").as("mu"))
           .hint("shuffle_hash"), Seq("u"))
         .join(vmax.select(col("vid").as("v"), col("mw").as("mv"))
           .hint("shuffle_hash"), Seq("v"))
-        .filter(col("w") === col("mu") && col("w") === col("mv"))
-        .select(col("u"), col("v"), col("w"), col("k"))
+        // `w >= mu` ⟺ `w = mu` (mu is a max over a set containing w);
+        // see the inequality note in [[run]] — keeps vertex-id join keys
+        .filter(col("w") >= col("mu") && col("w") >= col("mv"))
+        .select(col("u"), col("v"), col("w"), col("k")), eager = true)
       // stage 2: key tie-break among the weight-candidates only
       val kmin = cand.select(col("u").as("vid"), col("k"))
         .unionAll(cand.select(col("v").as("vid"), col("k")))
@@ -184,8 +193,9 @@ object Matching {
             .hint("shuffle_hash"), Seq("u"))
           .join(kmin.select(col("vid").as("v"), col("mn").as("kv"))
             .hint("shuffle_hash"), Seq("v"))
-          .filter(col("k") === col("ku") && col("k") === col("kv"))
+          .filter(col("k") <= col("ku") && col("k") <= col("kv"))
           .select(col("u"), col("v"), col("w")), eager = true)
+      Superstep.freeCheckpoint(cand)
       pinned += winners
 
       out = {

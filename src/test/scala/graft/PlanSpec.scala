@@ -153,6 +153,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!phys.contains("Window"), s"no window rank in the pick:\n$phys")
   }
 
+  test("matching winner join keys stay the bare vertex id (inequality residual)") {
+    // the `k <= mn` ⟺ `k = mn` rewrite in Matching: an equality filter
+    // is folded into a composite (k, u) join key by Catalyst, which
+    // re-exchanges the EDGE side of the winner join every round; the
+    // inequality keeps the join keyed on u/v alone so the live-edge
+    // frame reuses its vertex partitioning
+    val e = (0L until 100L).map(i => (i, (i * 7 + 3) % 100))
+      .toDF("u", "v")
+      .withColumn("k", graft.algo.Matching.edgeKey(col("u"), col("v")))
+      .repartition(8, col("u"))
+    val vmin = e.select(col("u").as("vid"), col("k"))
+      .unionAll(e.select(col("v").as("vid"), col("k")))
+      .groupBy(col("vid")).agg(min(col("k")).as("mn"))
+    val winners = e
+      .join(vmin.select(col("vid").as("u"), col("mn").as("mu"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(vmin.select(col("vid").as("v"), col("mn").as("mv"))
+        .hint("shuffle_hash"), Seq("v"))
+      .filter(col("k") <= col("mu") && col("k") <= col("mv"))
+    val phys = winners.queryExecution.executedPlan.toString
+    val joinKeys = "ShuffledHashJoin \\[(\\w+)#".r
+      .findAllMatchIn(phys).map(_.group(1)).toSeq
+    assert(joinKeys.nonEmpty && joinKeys.forall(k => k == "u" || k == "v"),
+      s"winner joins must key on the vertex id alone, got $joinKeys:\n$phys")
+  }
+
   test("randomIndexing: no join, no window, one exchange, partial-summed") {
     val pairs = Seq((1L, 2L, 3L)).toDF("center", "context", "cnt")
     val emb = graft.graph.NodeEmbeddings.randomIndexing(pairs, dims = 4)
