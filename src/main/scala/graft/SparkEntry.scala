@@ -448,6 +448,16 @@ object SparkEntry {
         s"dedup_${dirTag(d)}")
     }),
 
+    "stream_window_distinct" -> ((s, d) => {
+      // per-window distinct users with KMV-sketch streaming state
+      // (≤ k longs per window; exact below k — here k=4096 over ≤150
+      // users, so the snapshot equals batch count(DISTINCT))
+      val streamDir = stageStreamDir(d, "kmv",
+        Seq("events.parquet" -> t(d, "events")))
+      streaming.StreamingOps.streamingWindowDistinct(s, streamDir.toString,
+        s"kmvwin_${dirTag(d)}")
+    }),
+
     "stream_degrees_sql_graph" -> ((s, d) => {
       // streaming graph ingestion: running in+out degree over the
       // arithmetic edge table replayed as a file stream
@@ -748,6 +758,22 @@ object SparkEntry {
         graph.RandomWalks.run(s, sym, starts, walksPerVertex = 2,
           walkLength = 8, numPartitions = parts(s, d)),
         window = 2)
+    }),
+
+    "pmi_sql_graph" -> ((s, d) => {
+      // PMI association over the skip-gram corpus — the oracle
+      // compares the exact-rational pmi_ratio column (one IEEE
+      // division of exact integer products); ln stays out of the
+      // cross-engine hash (libm last-ulp drift), pinned by spec instead
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val starts = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(10L)) === 1)
+      val pairs = graph.RandomWalks.skipGramPairs(
+        graph.RandomWalks.run(s, sym, starts, walksPerVertex = 2,
+          walkLength = 8, numPartitions = parts(s, d)), window = 2)
+      graph.NodeEmbeddings.pmiScores(pairs)
+        .select(col("center"), col("context"), col("cnt"),
+          round(col("pmi_ratio"), 6).as("pmi_ratio"))
     }),
 
     "node_embed_sql_graph" -> ((s, d) => {
@@ -3096,6 +3122,13 @@ object SparkEntry {
     "stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
 
+    // KMV streaming state with k above the true cardinality is exact,
+    // so the batch distinct count IS the oracle
+    "stream_window_distinct" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+         FROM events GROUP BY 1""",
+
     "sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id,
@@ -3170,6 +3203,23 @@ object SparkEntry {
     "kmv_distinct_sql_graph" -> kmvDistinctSqlOracle,
     "walks_sql_graph" -> walksSqlOracle,
     "skipgram_sql_graph" -> skipgramSqlOracle,
+    // PMI over the skip-gram corpus: marginals + total are exact
+    // BIGINT sums; pmi_ratio is ONE double division of exact integer
+    // products, identical in any IEEE engine
+    "pmi_sql_graph" ->
+      s"""WITH sg AS MATERIALIZED ($skipgramSqlOracle),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sg),
+         ca AS (SELECT center, CAST(sum(cnt) AS BIGINT) AS cc
+                FROM sg GROUP BY center),
+         cb AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS cx
+                FROM sg GROUP BY context)
+         SELECT s.center, s.context, s.cnt,
+           round(CAST(s.cnt * t.n AS DOUBLE) /
+                 CAST(ca.cc * cb.cx AS DOUBLE), 6) AS pmi_ratio
+         FROM sg s
+         JOIN ca ON ca.center = s.center
+         JOIN cb ON cb.context = s.context
+         CROSS JOIN t""",
     // random-indexing projection of the skip-gram counts: the ±1
     // signature is the same double-quadratic scramble as NodeEmbeddings
     // .sign (seed = (context mod P)·2048 + dim), staged through named

@@ -68,4 +68,38 @@ object NodeEmbeddings {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("value")))),
         x => x.getField("value").cast("float")).as("vector"))
+
+  /** Pointwise mutual information over a co-occurrence count table —
+    * the association score SGNS embeddings implicitly factorize (Levy
+    * & Goldberg 2014: SGNS ≈ PMI − log k), and the classic "related
+    * entities" ranking on the walk corpus.
+    *
+    * Emits BOTH forms per (center, context) pair:
+    *  - `pmi_ratio` = cnt·N / (c_center·c_context): one division of
+    *    two EXACT integer products (every operand < 2⁶³; doubles are
+    *    exact below 2⁵³) — bit-reproducible in any IEEE engine, which
+    *    is why the driver oracle compares this column;
+    *  - `pmi` = ln(pmi_ratio): the standard log form. Kept out of the
+    *    cross-engine oracle because libm `ln` is not guaranteed
+    *    identical to the last ulp across engines; the spec pins
+    *    pmi = ln(pmi_ratio) instead.
+    *
+    * Scale shape: two map-side-combinable marginal aggregations
+    * (vertex-sized), two vertex-keyed joins of the pair table, one
+    * driver scalar for N. No windows; the pair table is the only
+    * edge-scale frame and it crosses the wire once per join key.
+    */
+  def pmiScores(pairs: DataFrame): DataFrame = {
+    val n = pairs.agg(sum(col("cnt"))).head().getLong(0)
+    val ca = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("c_center"))
+    val cb = pairs.groupBy(col("context")).agg(sum(col("cnt")).as("c_context"))
+    pairs
+      .join(ca.hint("shuffle_hash"), Seq("center"))
+      .join(cb.hint("shuffle_hash"), Seq("context"))
+      .withColumn("pmi_ratio",
+        (col("cnt") * lit(n)).cast("double") /
+          (col("c_center") * col("c_context")).cast("double"))
+      .select(col("center"), col("context"), col("cnt"),
+        col("pmi_ratio"), log(col("pmi_ratio")).as("pmi"))
+  }
 }

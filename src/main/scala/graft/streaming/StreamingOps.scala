@@ -63,6 +63,35 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming per-window distinct counts at SKETCH cost: the KMV
+    * aggregate ([[graft.functions.KmvSketch]]) as streaming state — at
+    * most k longs per window, instead of the one-entry-per-distinct-key
+    * state a streaming `count_distinct` would pin (unbounded at 100 TB
+    * stream scale when keys are urls/ids). Exact while a window's true
+    * cardinality stays below k; past k the KMV estimator (k−1)/u₍k₎
+    * takes over (the property [[graft.algo.Hyperball]] rides). The
+    * driver query pins k = 4096 over ≤ 150 users, so the Complete-mode
+    * snapshot equals batch `count(DISTINCT)` — exactly what the DuckDB
+    * oracle computes.
+    */
+  def streamingWindowDistinct(spark: SparkSession, eventsDir: String,
+                              queryName: String, k: Int = 4096): DataFrame = {
+    import graft.functions.{kmv_min, mix64}
+    val schema = spark.read.parquet(eventsDir).schema
+    val q = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "6 hours"))
+      .agg(kmv_min(mix64(col("user_id")), k).as("sk"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        size(col("sk")).cast("long").as("n_distinct"))
+  }
+
   /** Per-user running aggregate with explicit keyed state: count, exact
     * running total (scaled-long cents to stay engine-reproducible) and
     * last-seen event time. Update-mode memory sink; with a single input

@@ -60,4 +60,28 @@ class NodeEmbeddingsSpec extends AnyFunSuite {
     assert(vecs(1L) == (0L to 3L).map(d => (3L * signRef(5L, d)).toFloat))
     assert(vecs(2L) == (0L to 3L).map(d => signRef(7L, d).toFloat))
   }
+
+  test("pmiScores: hand-computed ratios, and pmi = ln(pmi_ratio)") {
+    val pairs = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 1L, 2L),
+      (3L, 1L, 1L), (2L, 3L, 3L)).toDF("center", "context", "cnt")
+    // N = 9; c_center: 1→3, 2→5, 3→1; c_context: 2→2, 3→4, 1→3
+    val rows = NodeEmbeddings.pmiScores(pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val expected = Map(
+      (1L, 2L) -> (2L, 2.0 * 9 / (3 * 2)),
+      (1L, 3L) -> (1L, 1.0 * 9 / (3 * 4)),
+      (2L, 1L) -> (2L, 2.0 * 9 / (5 * 3)),
+      (3L, 1L) -> (1L, 1.0 * 9 / (1 * 3)),
+      (2L, 3L) -> (3L, 3.0 * 9 / (5 * 4)))
+    assert(rows.keySet == expected.keySet)
+    for ((k, (cnt, ratio)) <- expected) {
+      val (gc, gr, gp) = rows(k)
+      assert(gc == cnt && gr == ratio, s"pair $k")
+      // Spark's Log and scala.math.log can differ in the last ulp —
+      // the exact reason pmi stays OUT of the cross-engine oracle
+      assert(math.abs(gp - math.log(ratio)) <= math.ulp(gp),
+        s"pmi of $k must be ln(ratio) within 1 ulp")
+    }
+  }
 }
