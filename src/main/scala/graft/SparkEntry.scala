@@ -891,6 +891,16 @@ object SparkEntry {
             lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
         numPartitions = parts(s, d))),
 
+    "coarsen_sql_graph" -> ((s, d) =>
+      // one multilevel coarsening step: contract the locally-heaviest
+      // matching — matched pairs fuse into the smaller endpoint id,
+      // coarse edges sum the fine weights, intra-pair edges drop
+      algo.Matching.coarsen(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s))
+          .withColumn("weight",
+            lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
+        numPartitions = parts(s, d))._2),
+
     "coloring_sql_graph" -> ((s, d) =>
       // greedy coloring on the same priority schedule: winners take the
       // round index as color, neighbors stay live — 20 colors on the
@@ -2645,7 +2655,8 @@ object SparkEntry {
     * hit both maxima and both minima, matched endpoints retire. Weight
     * = 1 + (u+v) mod 7 on the canonical pair, replayed identically.
     */
-  private def weightedMatchingSqlOracle(iters: Int): String = {
+  private def weightedMatchingSqlOracle(iters: Int,
+                                        coarse: Boolean = false): String = {
     val head =
       s"""WITH $sqlGraphCte,
          ew AS MATERIALIZED (
@@ -2693,7 +2704,25 @@ object SparkEntry {
       .map(k => s"""SELECT u, v, CAST(w AS BIGINT) AS w,
                     CAST($k AS BIGINT) AS round FROM w$k""")
       .mkString(" UNION ALL ")
-    s"$head$steps SELECT u, v, w, round FROM ($won)"
+    if (!coarse) s"$head$steps SELECT u, v, w, round FROM ($won)"
+    else
+      // matching-contraction coarsening: matched pairs fuse into the
+      // smaller endpoint, coarse edges sum fine weights, intra-pair
+      // edges drop (mirrors Matching.coarsen)
+      s"""$head$steps,
+         won AS MATERIALIZED (SELECT u, v FROM ($won)),
+         pm AS (SELECT u AS id, u AS c FROM won
+                UNION ALL SELECT v, u FROM won),
+         verts AS (SELECT DISTINCT id FROM (
+                     SELECT u AS id FROM ew UNION ALL SELECT v FROM ew)),
+         vm AS MATERIALIZED (
+           SELECT t.id, coalesce(pm.c, t.id) AS cid
+           FROM verts t LEFT JOIN pm ON pm.id = t.id)
+         SELECT least(a.cid, b.cid) AS src,
+           greatest(a.cid, b.cid) AS dst,
+           CAST(sum(e.w) AS BIGINT) AS weight
+         FROM ew e JOIN vm a ON a.id = e.u JOIN vm b ON b.id = e.v
+         WHERE a.cid <> b.cid GROUP BY 1, 2"""
   }
 
   private val kmvDistinctSqlOracle: String =
@@ -3197,6 +3226,7 @@ object SparkEntry {
     "matching_sql_graph" -> matchingSqlOracle(10, cover = false),
     "vertex_cover_sql_graph" -> matchingSqlOracle(10, cover = true),
     "matching_weighted_sql_graph" -> weightedMatchingSqlOracle(6),
+    "coarsen_sql_graph" -> weightedMatchingSqlOracle(6, coarse = true),
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,

@@ -228,6 +228,56 @@ object Matching {
     res
   }
 
+  /** One multilevel COARSENING step (Hendrickson–Leland 1995; the
+    * METIS matching-contraction shape): contract a locally-heaviest
+    * matching — each matched pair fuses into one coarse vertex (the
+    * smaller endpoint id), unmatched vertices carry over, and coarse
+    * edges sum the fine weights with intra-pair edges dropped.
+    * Matching maximality bounds the shrink: every edge touches a
+    * matched vertex, so on graphs without isolated vertices at least
+    * |M| of the vertices disappear per level. Contracting the
+    * HEAVIEST local edges first keeps heavy weight off the coarse cut
+    * — the invariant multilevel partitioners rely on. Iterate for a
+    * coarsening hierarchy; compose the mappings like Louvain's levels.
+    *
+    * Scale shape: the matching (above) + two vertex-keyed mapping
+    * joins of the edge table + one canonical-pair groupBy — the same
+    * budget as one Borůvka contraction round.
+    *
+    * @return (mapping (id, coarse_id) for every endpoint,
+    *         coarse (src, dst, weight) canonical src<dst, self-loops
+    *         dropped, weights summed)
+    */
+  def coarsen(spark: SparkSession,
+              weightedEdges: DataFrame,
+              numPartitions: Int = 32): (DataFrame, DataFrame) = {
+    val m = runWeighted(spark, weightedEdges, numPartitions)
+    // matched pairs map to the canonical (smaller) endpoint: u < v by
+    // construction, so u → u and v → u
+    val pairMap = m.select(col("u").as("id"), col("u").as("c"))
+      .unionAll(m.select(col("v").as("id"), col("u").as("c")))
+    val vertices = weightedEdges
+      .select(col("src").as("id")).unionAll(weightedEdges.select(col("dst").as("id")))
+      .distinct()
+    // eager: the matching checkpoint is freed below, so the mapping
+    // must be materialized while m is still live
+    val mapping = Superstep.freshCheckpoint(vertices
+      .join(pairMap.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("coarse_id")),
+      eager = true)
+    val coarse = weightedEdges
+      .join(mapping.select(col("id").as("src"), col("coarse_id").as("cs"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(mapping.select(col("id").as("dst"), col("coarse_id").as("cd"))
+        .hint("shuffle_hash"), Seq("dst"))
+      .filter(col("cs") =!= col("cd"))
+      .groupBy(least(col("cs"), col("cd")).as("src"),
+        greatest(col("cs"), col("cd")).as("dst"))
+      .agg(sum(col("weight").cast("long")).as("weight"))
+    Superstep.freeCheckpoint(m)
+    (mapping, coarse)
+  }
+
   /** 2-approximation of minimum vertex cover: both endpoints of a
     * maximal matching (every edge touches a matched vertex by
     * maximality; any cover needs ≥ one endpoint per matched edge, so

@@ -134,4 +134,42 @@ class MatchingSpec extends AnyFunSuite {
       .sortBy(identity).toSeq
     assert(m(2) == m(5))
   }
+
+  // ── matching-contraction coarsening ──
+
+  test("coarsen: valid mapping, weight conservation, matched shrink") {
+    val edges = weightedFixture(400L).cache()
+    val nV = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct().count()
+    val mSize = Matching.runWeighted(spark, edges, numPartitions = 4).count()
+    val totalW = edges.agg(sum(col("weight"))).head().getLong(0)
+
+    val (mapping, coarse) = Matching.coarsen(spark, edges, numPartitions = 4)
+    val mapped = mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint mapped; coarse ids are fixed points of the mapping
+    assert(mapped.size == nV)
+    assert(mapped.values.forall(c => mapped(c) == c),
+      "coarse ids must map to themselves")
+    // matched pairs fuse: exactly |M| vertices disappear
+    assert(mapped.values.toSet.size == nV - mSize)
+
+    val coarseRows = coarse.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(coarseRows.forall { case (s, d, _) => s < d },
+      "coarse edges must be canonical src<dst")
+    // weight conservation: coarse total + contracted intra-pair total
+    // = fine total (recompute the drop directly from the mapping)
+    val dropped = edges.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (s, d, _) => mapped(s) == mapped(d) }
+      .map(_._3).sum
+    assert(coarseRows.map(_._3).sum + dropped == totalW)
+    // a second level keeps shrinking (the multilevel hierarchy)
+    val (_, coarse2) = Matching.coarsen(spark, coarse, numPartitions = 4)
+    val nV2 = coarseRows.flatMap(e => Seq(e._1, e._2)).distinct.length
+    val nV3 = coarse2.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .distinct.length
+    assert(nV3 < nV2, "second coarsening level must shrink the graph")
+    edges.unpersist()
+  }
 }
