@@ -46,6 +46,42 @@ object ProbeNewOps {
       s"rounds=${m.agg(max(col("round"))).head().getLong(0)} " +
       s"totalW=${m.agg(sum(col("w"))).head().getLong(0)}")
 
+    // multilevel bisection quality on the locality fixture graph
+    if (sys.env.get("GRAFT_PROBE_PART").contains("1")) {
+      val ring = spark.range(1500L).select(col("id").as("a"))
+      val pfix = ring.select(col("a").as("src"),
+          pmod(col("a") + 1L, lit(1500L)).as("dst"))
+        .unionAll(ring.select(col("a").as("src"),
+          pmod(col("a") + lit(5L) + pmod(col("a"), lit(4L)), lit(1500L)).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val pew = GraphOps.undirectedPairs(pfix)
+        .withColumn("weight", lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+      // level round counts for the oracle unroll
+      val m1 = graft.algo.Matching.runWeighted(spark, pew, numPartitions = 8)
+      println(s"[probe] part level1 matching rounds=" +
+        m1.agg(max(col("round"))).head().getLong(0))
+      val (_, c1) = graft.algo.Matching.coarsen(spark, pew, numPartitions = 8,
+        strongOnly = true)
+      val m2 = graft.algo.Matching.runWeighted(spark, c1, numPartitions = 8)
+      println(s"[probe] part level2 matching rounds=" +
+        m2.agg(max(col("round"))).head().getLong(0))
+      for (lv <- Seq(1, 2, 3, 4)) {
+        val parts = graft.graph.Partitioner.bisect(spark, pew, levels = lv,
+          numPartitions = 8).cache()
+        val sizes = parts.groupBy("part").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cut = graft.graph.Partitioner.edgeCut(pew, parts)
+        val totalW = pew.agg(sum(col("weight"))).head().getLong(0)
+        // baseline: id-parity split of the same graph
+        val naive = graft.graph.Partitioner.edgeCut(pew,
+          pew.select(col("src").as("id")).unionAll(pew.select(col("dst").as("id")))
+            .distinct().withColumn("part", pmod(col("id"), lit(2L))))
+        println(s"[probe] bisect levels=$lv sizes=$sizes cut=$cut " +
+          s"naive=$naive totalW=$totalW")
+        parts.unpersist()
+      }
+    }
+
     // entity-graph round counts (matches the GRAPH3 bench input)
     if (sys.env.get("GRAFT_PROBE_ENTITY").contains("1")) {
       val docN = docs.count()

@@ -901,6 +901,16 @@ object SparkEntry {
             lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
         numPartitions = parts(s, d))._2),
 
+    "partition_sql_graph" -> ((s, d) =>
+      // multilevel balanced bisection on the connected locality
+      // fixture: 2 coarsening levels + BFS region-growing split,
+      // projected back through the composed mappings
+      graph.Partitioner.bisect(s,
+        GraphOps.undirectedPairs(partitionGraphEdges(s))
+          .withColumn("weight",
+            lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
+        levels = 2, numPartitions = parts(s, d))),
+
     "coloring_sql_graph" -> ((s, d) =>
       // greedy coloring on the same priority schedule: winners take the
       // round index as color, neighbors stay live — 20 colors on the
@@ -1523,6 +1533,21 @@ object SparkEntry {
         pmod(col("a") + lit(4L) * (pmod(col("a"), lit(m)) + c), lit(SqlGraphV)).as("dst"))
     rule(7, 1).unionAll(rule(11, 3)).unionAll(rule(13, 5))
       .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Deterministic locality fixture for the partitioning oracle: a
+    * ring plus short mixed-parity chords (jumps 5..8), so the graph is
+    * CONNECTED with a natural low-cut contiguous-arc bisection — the
+    * arithmetic graph's all-even jumps make it parity-disconnected,
+    * a degenerate bisection input.
+    */
+  private def partitionGraphEdges(s: SparkSession): DataFrame = {
+    val r = s.range(SqlGraphV).select(col("id").as("a"))
+    val ring = r.select(col("a").as("src"),
+      pmod(col("a") + 1L, lit(SqlGraphV)).as("dst"))
+    val chords = r.select(col("a").as("src"),
+      pmod(col("a") + lit(5L) + pmod(col("a"), lit(4L)), lit(SqlGraphV)).as("dst"))
+    ring.unionAll(chords).filter(col("src") =!= col("dst")).distinct()
   }
 
   /** Deterministic DAG fixture for the layering oracle: strictly
@@ -2649,80 +2674,168 @@ object SparkEntry {
   }
 
   /** Unrolled locally-heaviest matching rounds mirroring
-    * [[graft.algo.Matching.runWeighted]]: per round a per-vertex MAX
-    * weight over the live edges, the weight-locally-heaviest candidate
-    * set, then a per-vertex MIN key over the candidates only; winners
-    * hit both maxima and both minima, matched endpoints retire. Weight
-    * = 1 + (u+v) mod 7 on the canonical pair, replayed identically.
+    * [[graft.algo.Matching.runWeighted]] over a canonical weighted
+    * pair CTE `in` (u, v, w): per round a per-vertex MAX weight over
+    * the live edges, the weight-locally-heaviest candidate set, then a
+    * per-vertex MIN key over the candidates only; winners hit both
+    * maxima and both minima, matched endpoints retire. Composable —
+    * all CTEs carry the `sfx` suffix, winners accumulate in
+    * `won$sfx` (u, v, w, round) — so multilevel twins (coarsen →
+    * re-match) can nest it.
     */
-  private def weightedMatchingSqlOracle(iters: Int,
-                                        coarse: Boolean = false): String = {
+  private def wmRoundsSql(in: String, sfx: String, iters: Int): String = {
     val head =
-      s"""WITH $sqlGraphCte,
-         ew AS MATERIALIZED (
-           SELECT u, v, 1 + (u + v) % 7 AS w,
+      s""",
+         ew$sfx AS MATERIALIZED (
+           SELECT u, v, w,
              q2 * 2147483648 + (arg % 2147483648) AS k FROM (
-             SELECT u, v, arg, (q1 * (q1 + 7)) % 2147483647 AS q2 FROM (
-               SELECT u, v, arg,
+             SELECT u, v, w, arg, (q1 * (q1 + 7)) % 2147483647 AS q2 FROM (
+               SELECT u, v, w, arg,
                  ((arg % 2147483647) * ((arg % 2147483647) + 3)) % 2147483647
                    AS q1 FROM (
-                 SELECT u, v,
+                 SELECT u, v, w,
                    (((u % 2147483647) * 2147483648 + (v % 2147483647))
                       % 2147483647) * 2147483648
                      + (((u % 2147483648) * 31 + (v % 2147483648))
                         % 2147483648) AS arg
-                 FROM (SELECT DISTINCT least(src, dst) AS u,
-                              greatest(src, dst) AS v FROM e))))),
-         live0 AS MATERIALIZED (SELECT u, v, w, k FROM ew)"""
+                 FROM $in)))),
+         live${sfx}0 AS MATERIALIZED (SELECT u, v, w, k FROM ew$sfx)"""
     val steps = (1 to iters).map { k =>
       val p = k - 1
       s""",
-         vx$k AS MATERIALIZED (
+         vx$sfx$k AS MATERIALIZED (
            SELECT vid, max(w) AS mw FROM (
-             SELECT u AS vid, w FROM live$p
-             UNION ALL SELECT v, w FROM live$p) GROUP BY vid),
-         cd$k AS MATERIALIZED (
-           SELECT l.u, l.v, l.w, l.k FROM live$p l
-           JOIN vx$k a ON l.u = a.vid AND l.w = a.mw
-           JOIN vx$k b ON l.v = b.vid AND l.w = b.mw),
-         km$k AS MATERIALIZED (
+             SELECT u AS vid, w FROM live$sfx$p
+             UNION ALL SELECT v, w FROM live$sfx$p) GROUP BY vid),
+         cd$sfx$k AS MATERIALIZED (
+           SELECT l.u, l.v, l.w, l.k FROM live$sfx$p l
+           JOIN vx$sfx$k a ON l.u = a.vid AND l.w = a.mw
+           JOIN vx$sfx$k b ON l.v = b.vid AND l.w = b.mw),
+         km$sfx$k AS MATERIALIZED (
            SELECT vid, min(k) AS mn FROM (
-             SELECT u AS vid, k FROM cd$k
-             UNION ALL SELECT v, k FROM cd$k) GROUP BY vid),
-         w$k AS MATERIALIZED (
-           SELECT c.u, c.v, c.w FROM cd$k c
-           JOIN km$k a ON c.u = a.vid AND c.k = a.mn
-           JOIN km$k b ON c.v = b.vid AND c.k = b.mn),
-         mv$k AS MATERIALIZED (
-           SELECT u AS vid FROM w$k UNION SELECT v FROM w$k),
-         live$k AS MATERIALIZED (
-           SELECT l.u, l.v, l.w, l.k FROM live$p l
-           WHERE NOT EXISTS (SELECT 1 FROM mv$k m WHERE m.vid = l.u)
-             AND NOT EXISTS (SELECT 1 FROM mv$k m WHERE m.vid = l.v))"""
+             SELECT u AS vid, k FROM cd$sfx$k
+             UNION ALL SELECT v, k FROM cd$sfx$k) GROUP BY vid),
+         w$sfx$k AS MATERIALIZED (
+           SELECT c.u, c.v, c.w FROM cd$sfx$k c
+           JOIN km$sfx$k a ON c.u = a.vid AND c.k = a.mn
+           JOIN km$sfx$k b ON c.v = b.vid AND c.k = b.mn),
+         mv$sfx$k AS MATERIALIZED (
+           SELECT u AS vid FROM w$sfx$k UNION SELECT v FROM w$sfx$k),
+         live$sfx$k AS MATERIALIZED (
+           SELECT l.u, l.v, l.w, l.k FROM live$sfx$p l
+           WHERE NOT EXISTS (SELECT 1 FROM mv$sfx$k m WHERE m.vid = l.u)
+             AND NOT EXISTS (SELECT 1 FROM mv$sfx$k m WHERE m.vid = l.v))"""
     }.mkString
     val won = (1 to iters)
       .map(k => s"""SELECT u, v, CAST(w AS BIGINT) AS w,
-                    CAST($k AS BIGINT) AS round FROM w$k""")
+                    CAST($k AS BIGINT) AS round FROM w$sfx$k""")
       .mkString(" UNION ALL ")
-    if (!coarse) s"$head$steps SELECT u, v, w, round FROM ($won)"
+    s"$head$steps, won$sfx AS MATERIALIZED (SELECT u, v, w, round FROM ($won))"
+  }
+
+  /** Matching-contraction coarsening of `in` (u, v, w) by the winners
+    * in `wonCte` (mirrors [[graft.algo.Matching.coarsen]]): mapping
+    * `vm$sfx` (id, cid), coarse graph `cg$sfx` (u, v, w).
+    */
+  private def contractionSql(in: String, sfx: String,
+                             wonCte: String = ""): String = {
+    val won = if (wonCte.nonEmpty) wonCte else s"won$sfx"
+    s""",
+       pm$sfx AS (SELECT u AS id, u AS c FROM $won
+                  UNION ALL SELECT v, u FROM $won),
+       vt$sfx AS (SELECT DISTINCT id FROM (
+                    SELECT u AS id FROM $in UNION ALL SELECT v FROM $in)),
+       vm$sfx AS MATERIALIZED (
+         SELECT t.id, coalesce(p.c, t.id) AS cid
+         FROM vt$sfx t LEFT JOIN pm$sfx p ON p.id = t.id),
+       cg$sfx AS MATERIALIZED (
+         SELECT least(a.cid, b.cid) AS u, greatest(a.cid, b.cid) AS v,
+           CAST(sum(e.w) AS BIGINT) AS w
+         FROM $in e JOIN vm$sfx a ON a.id = e.u JOIN vm$sfx b ON b.id = e.v
+         WHERE a.cid <> b.cid GROUP BY 1, 2)"""
+  }
+
+  /** The AMG strong-connection gate on matched pairs (mirrors
+    * `Matching.coarsen(strongOnly = true)`): keep winners whose weight
+    * reaches the weaker endpoint's max incident weight in `in`.
+    * Emits `wf$sfx`.
+    */
+  private def strongGateSql(in: String, sfx: String): String =
+    s""",
+       vg$sfx AS (SELECT vid, max(w) AS mw FROM (
+           SELECT u AS vid, w FROM $in
+           UNION ALL SELECT v, w FROM $in) GROUP BY vid),
+       wf$sfx AS MATERIALIZED (
+         SELECT n.u, n.v, n.w, n.round FROM won$sfx n
+         JOIN vg$sfx a ON a.vid = n.u
+         JOIN vg$sfx b ON b.vid = n.v
+         WHERE n.w >= least(a.mw, b.mw))"""
+
+  /** The arithmetic-graph weighted pairs (weight = 1 + (u+v) mod 7). */
+  private val mwBaseSql: String =
+    s"""WITH $sqlGraphCte,
+       mwin AS (SELECT u, v, 1 + (u + v) % 7 AS w FROM (
+         SELECT DISTINCT least(src, dst) AS u,
+                greatest(src, dst) AS v FROM e))"""
+
+  private def weightedMatchingSqlOracle(iters: Int,
+                                        coarse: Boolean = false): String =
+    if (!coarse)
+      s"$mwBaseSql${wmRoundsSql("mwin", "a", iters)} " +
+        "SELECT u, v, w, round FROM wona"
     else
-      // matching-contraction coarsening: matched pairs fuse into the
-      // smaller endpoint, coarse edges sum fine weights, intra-pair
-      // edges drop (mirrors Matching.coarsen)
-      s"""$head$steps,
-         won AS MATERIALIZED (SELECT u, v FROM ($won)),
-         pm AS (SELECT u AS id, u AS c FROM won
-                UNION ALL SELECT v, u FROM won),
-         verts AS (SELECT DISTINCT id FROM (
-                     SELECT u AS id FROM ew UNION ALL SELECT v FROM ew)),
-         vm AS MATERIALIZED (
-           SELECT t.id, coalesce(pm.c, t.id) AS cid
-           FROM verts t LEFT JOIN pm ON pm.id = t.id)
-         SELECT least(a.cid, b.cid) AS src,
-           greatest(a.cid, b.cid) AS dst,
-           CAST(sum(e.w) AS BIGINT) AS weight
-         FROM ew e JOIN vm a ON a.id = e.u JOIN vm b ON b.id = e.v
-         WHERE a.cid <> b.cid GROUP BY 1, 2"""
+      s"$mwBaseSql${wmRoundsSql("mwin", "a", iters)}" +
+        s"${contractionSql("mwin", "a")} " +
+        "SELECT u AS src, v AS dst, w AS weight FROM cga"
+
+  /** Two-level multilevel-bisection twin mirroring
+    * [[graft.graph.Partitioner.bisect]] on the locality fixture:
+    * two nested matching+contraction levels, fine-mass rollup, BFS
+    * hop distances from the min-id coarse seed (UNION-dedup recursive
+    * closure), the cumulative-mass prefix split, and the projection
+    * back through both mappings.
+    */
+  private val partitionSqlOracle: String = {
+    val base =
+      """WITH RECURSIVE
+         pe AS (SELECT DISTINCT src, dst FROM (
+           SELECT i AS src, (i + 1) % 1500 AS dst FROM range(1500) t(i)
+           UNION ALL SELECT i, (i + 5 + i % 4) % 1500 FROM range(1500) t(i))
+           WHERE src <> dst),
+         pw AS (SELECT u, v, 1 + (u + v) % 7 AS w FROM (
+           SELECT DISTINCT least(src, dst) AS u,
+                  greatest(src, dst) AS v FROM pe))"""
+    base + wmRoundsSql("pw", "a", 6) + strongGateSql("pw", "a") +
+      contractionSql("pw", "a", "wfa") +
+      wmRoundsSql("cga", "b", 6) + strongGateSql("cga", "b") +
+      contractionSql("cga", "b", "wfb") +
+      s""",
+         m1 AS (SELECT cid AS id, CAST(count(*) AS BIGINT) AS mass
+                FROM vma GROUP BY cid),
+         m2 AS (SELECT b.cid AS id, CAST(sum(m1.mass) AS BIGINT) AS mass
+                FROM vmb b JOIN m1 ON m1.id = b.id GROUP BY b.cid),
+         sym2 AS (SELECT u AS src, v AS dst FROM cgb
+                  UNION ALL SELECT v, u FROM cgb),
+         seedv AS (SELECT min(id) AS s FROM m2),
+         bfs(id, d) AS (SELECT s, 0 FROM seedv
+           UNION SELECT e.dst, b.d + 1 FROM bfs b
+                 JOIN sym2 e ON e.src = b.id WHERE b.d < 60),
+         dist2 AS (SELECT id, CAST(min(d) AS BIGINT) AS d
+                   FROM bfs GROUP BY id),
+         ordv AS (SELECT m.id, m.mass, coalesce(d2.d, 1000000000) AS d
+                  FROM m2 m LEFT JOIN dist2 d2 ON d2.id = m.id),
+         tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM ordv),
+         cm AS (SELECT id, sum(mass) OVER (
+                  ORDER BY d, mass DESC, id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM ordv),
+         deal AS (SELECT id AS cid,
+                    CASE WHEN cum * 2 <= (SELECT t FROM tot)
+                         THEN 0 ELSE 1 END AS part
+                  FROM cm)
+         SELECT a.id, CAST(deal.part AS BIGINT) AS part
+         FROM vma a
+         JOIN vmb b ON b.id = a.cid
+         JOIN deal ON deal.cid = b.cid"""
   }
 
   private val kmvDistinctSqlOracle: String =
@@ -3227,6 +3340,7 @@ object SparkEntry {
     "vertex_cover_sql_graph" -> matchingSqlOracle(10, cover = true),
     "matching_weighted_sql_graph" -> weightedMatchingSqlOracle(6),
     "coarsen_sql_graph" -> weightedMatchingSqlOracle(6, coarse = true),
+    "partition_sql_graph" -> partitionSqlOracle,
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,

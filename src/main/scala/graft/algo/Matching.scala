@@ -248,10 +248,37 @@ object Matching {
     *         coarse (src, dst, weight) canonical src<dst, self-loops
     *         dropped, weights summed)
     */
+  /** @param strongOnly contract a matched pair ONLY when its weight
+    *        reaches the weaker endpoint's maximum incident weight in
+    *        the INPUT graph (`w ≥ least(vmax(u), vmax(v))`) — the AMG
+    *        "strong connection" gate. Late matching rounds pair up
+    *        LEFTOVER vertices along whatever edge is still live, which
+    *        can be a light bridge between heavy regions; ungated
+    *        contraction then fuses across the very cut a partitioner
+    *        needs to find (multilevel partitioners tolerate this
+    *        because refinement undoes it — a refinement-free pipeline
+    *        like [[graft.graph.Partitioner.bisect]] must gate instead).
+    *        Gated pairs stay uncontracted, so the shrink guarantee
+    *        weakens from |M| to the gated-pair count.
+    */
   def coarsen(spark: SparkSession,
               weightedEdges: DataFrame,
-              numPartitions: Int = 32): (DataFrame, DataFrame) = {
-    val m = runWeighted(spark, weightedEdges, numPartitions)
+              numPartitions: Int = 32,
+              strongOnly: Boolean = false): (DataFrame, DataFrame) = {
+    val m0 = runWeighted(spark, weightedEdges, numPartitions)
+    val m = if (!strongOnly) m0 else {
+      val vmax = weightedEdges
+        .select(col("src").as("vid"), col("weight").cast("long").as("w0"))
+        .unionAll(weightedEdges
+          .select(col("dst").as("vid"), col("weight").cast("long").as("w0")))
+        .groupBy(col("vid")).agg(max(col("w0")).as("mw"))
+      m0.join(vmax.select(col("vid").as("u"), col("mw").as("mu"))
+          .hint("shuffle_hash"), Seq("u"))
+        .join(vmax.select(col("vid").as("v"), col("mw").as("mv"))
+          .hint("shuffle_hash"), Seq("v"))
+        .filter(col("w") >= least(col("mu"), col("mv")))
+        .select(col("u"), col("v"), col("w"), col("round"))
+    }
     // matched pairs map to the canonical (smaller) endpoint: u < v by
     // construction, so u → u and v → u
     val pairMap = m.select(col("u").as("id"), col("u").as("c"))
@@ -274,7 +301,7 @@ object Matching {
       .groupBy(least(col("cs"), col("cd")).as("src"),
         greatest(col("cs"), col("cd")).as("dst"))
       .agg(sum(col("weight").cast("long")).as("weight"))
-    Superstep.freeCheckpoint(m)
+    Superstep.freeCheckpoint(m0)
     (mapping, coarse)
   }
 

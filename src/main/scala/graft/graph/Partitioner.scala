@@ -1,0 +1,104 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algo.{Matching, Superstep}
+
+/** Multilevel balanced graph bisection (Hendrickson–Leland 1995 /
+  * Karypis–Kumar METIS shape) — partitioning IS the 100 TB story: a
+  * good edge-cut split of the entity graph is what makes every
+  * downstream superstep's exchange local. Three phases:
+  *
+  *  1. COARSEN: `levels` rounds of [[Matching.coarsen]] — contract the
+  *     locally-heaviest matching, each level fusing ≥ |M| vertices, so
+  *     the graph shrinks geometrically while heavy edges leave the
+  *     future cut first;
+  *  2. SPLIT at the coarsest level by REGION GROWING (the Chaco/METIS
+  *     graph-growing initial partition): BFS hop distances from the
+  *     min-id coarse seed order the vertices (dist, mass DESC, id),
+  *     and part 0 is the maximal prefix whose cumulative fine mass
+  *     stays ≤ half — a connected-ish region, so coarse edges mostly
+  *     fall inside a side instead of across; imbalance is bounded by
+  *     the largest coarse vertex mass (unreached vertices order last
+  *     and land in part 1);
+  *  3. PROJECT the part labels back down through the composed
+  *     mappings (no refinement pass here — [[edgeCut]] measures, and a
+  *     boundary-refine can ride [[graft.algo.ModularityRefine]]'s
+  *     schedule if needed).
+  *
+  * Everything is deterministic integer arithmetic over the same
+  * matching rounds the oracle replays, so the full hierarchy is
+  * cross-engine replayable; the split window runs over the COARSEST
+  * frame only (≤ |V|·shrink^levels rows).
+  *
+  * @param weightedEdges canonical (src < dst) undirected weighted
+  *                      edges, integer weights
+  * @return (id, part) for every endpoint vertex, part ∈ {0, 1}
+  */
+object Partitioner {
+
+  def bisect(spark: SparkSession,
+             weightedEdges: DataFrame,
+             levels: Int = 2,
+             numPartitions: Int = 32): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    var edges = weightedEdges
+    // mass(id) = number of FINE vertices fused into the coarse vertex
+    var mass = weightedEdges.select(col("src").as("id"))
+      .unionAll(weightedEdges.select(col("dst").as("id")))
+      .distinct().withColumn("mass", lit(1L))
+    val mappings = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    for (_ <- 1 to levels) {
+      val (mapping, coarse) = Matching.coarsen(spark, edges, numPartitions,
+        strongOnly = true)
+      mappings += mapping
+      edges = Superstep.freshCheckpoint(coarse, eager = true)
+      mass = Superstep.freshCheckpoint(
+        mass.join(mapping.hint("shuffle_hash"), Seq("id"))
+          .groupBy(col("coarse_id").as("id"))
+          .agg(sum(col("mass")).as("mass")), eager = true)
+    }
+
+    // region-growing split over the coarsest frame (small by
+    // construction — the only global-order window in the operator):
+    // BFS hops from the min-id seed, prefix of cumulative mass ≤ half
+    val seed = mass.agg(min(col("id"))).head().getLong(0)
+    val total = mass.agg(sum(col("mass"))).head().getLong(0)
+    val dist = graft.algo.ShortestPaths.run(spark,
+        GraphOps.symmetrize(edges), Seq(seed), numPartitions)
+      .select(col("id"), col("dist"))
+    val far = 1000000000L // unreached coarse vertices order last
+    val dealt = mass
+      .join(dist.hint("shuffle_hash"), Seq("id"), "left")
+      .withColumn("d", coalesce(col("dist"), lit(far)))
+      .withColumn("cum", sum(col("mass")).over(
+        Window.orderBy(col("d"), col("mass").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("part", when(col("cum") * 2 <= total, 0L).otherwise(1L))
+      .select(col("id").as("coarse_id"), col("part"))
+
+    // project back: compose the mappings fine→coarse, then join the deal
+    val composed = mappings.reduceRight { (m, acc) =>
+      m.select(col("id"), col("coarse_id").as("mid"))
+        .join(acc.select(col("id").as("mid"), col("coarse_id")).hint("shuffle_hash"),
+          Seq("mid"))
+        .select(col("id"), col("coarse_id"))
+    }
+    composed
+      .join(dealt.hint("shuffle_hash"), Seq("coarse_id"))
+      .select(col("id"), col("part"))
+  }
+
+  /** Total weight of edges crossing the partition (the objective). */
+  def edgeCut(weightedEdges: DataFrame, parts: DataFrame): Long = {
+    val cut = weightedEdges
+      .join(parts.select(col("id").as("src"), col("part").as("ps")), Seq("src"))
+      .join(parts.select(col("id").as("dst"), col("part").as("pd")), Seq("dst"))
+      .filter(col("ps") =!= col("pd"))
+      .agg(coalesce(sum(col("weight")), lit(0L))).head().getLong(0)
+    cut
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{GraphOps, Partitioner}
+
+/** Multilevel bisection invariants: balance, cut quality on a
+  * locality graph, the obvious barbell split, and partitioning
+  * determinism.
+  */
+class PartitionerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Ring + short mixed-parity chords — connected, natural arc cuts. */
+  def localityGraph(n: Long) = {
+    val r = spark.range(n).select(col("id").as("a"))
+    val ring = r.select(col("a").as("src"), pmod(col("a") + 1L, lit(n)).as("dst"))
+    val chords = r.select(col("a").as("src"),
+      pmod(col("a") + lit(5L) + pmod(col("a"), lit(4L)), lit(n)).as("dst"))
+    GraphOps.undirectedPairs(
+        ring.unionAll(chords).filter(col("src") =!= col("dst")).distinct())
+      .withColumn("weight", lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+  }
+
+  test("bisect: balanced, and the cut is a sliver of the total weight") {
+    val ew = localityGraph(600L).cache()
+    val totalW = ew.agg(sum(col("weight"))).head().getLong(0)
+    for (levels <- Seq(1, 3)) {
+      val parts = Partitioner.bisect(spark, ew, levels, numPartitions = 4).cache()
+      val sizes = parts.groupBy("part").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == Set(0L, 1L))
+      val n = sizes.values.sum
+      assert(sizes.values.forall(_ >= n * 45 / 100),
+        s"levels=$levels imbalance: $sizes")
+      val cut = Partitioner.edgeCut(ew, parts)
+      assert(cut * 20 <= totalW,
+        s"levels=$levels cut $cut is not a sliver of $totalW")
+      parts.unpersist()
+    }
+    ew.unpersist()
+  }
+
+  test("bisect finds the barbell bridge") {
+    // two K6 cliques joined by one light bridge: the only balanced
+    // low-cut split severs the bridge
+    val clique = for {
+      b <- Seq(0L, 100L); i <- 0L until 6L; j <- (i + 1) until 6L
+    } yield (b + i, b + j, 10L)
+    val ew = (clique :+ ((5L, 100L, 1L))).toDF("src", "dst", "weight")
+    val parts = Partitioner.bisect(spark, ew, levels = 2, numPartitions = 2)
+    val byPart = parts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sideOf0 = byPart.filter(_._1 < 100L).values.toSet
+    val sideOf100 = byPart.filter(_._1 >= 100L).values.toSet
+    assert(sideOf0.size == 1 && sideOf100.size == 1 && sideOf0 != sideOf100,
+      s"cliques must land whole on opposite sides: $byPart")
+    assert(Partitioner.edgeCut(ew, parts) == 1L)
+  }
+
+  test("bisect is deterministic across partition counts") {
+    val ew = localityGraph(400L)
+    def p(np: Int) = Partitioner.bisect(spark, ew, levels = 2, numPartitions = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(p(2) == p(5))
+  }
+}
