@@ -76,8 +76,14 @@ object ProbeNewOps {
         val naive = graft.graph.Partitioner.edgeCut(pew,
           pew.select(col("src").as("id")).unionAll(pew.select(col("dst").as("id")))
             .distinct().withColumn("part", pmod(col("id"), lit(2L))))
+        val refined = graft.graph.Partitioner.refine(spark, pew, parts,
+          numPartitions = 8).cache()
+        val rcut = graft.graph.Partitioner.edgeCut(pew, refined)
+        val rsz = refined.groupBy("part").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         println(s"[probe] bisect levels=$lv sizes=$sizes cut=$cut " +
-          s"naive=$naive totalW=$totalW")
+          s"naive=$naive totalW=$totalW refined_cut=$rcut refined_sizes=$rsz")
+        refined.unpersist()
         parts.unpersist()
       }
     }

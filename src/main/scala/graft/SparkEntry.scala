@@ -911,6 +911,19 @@ object SparkEntry {
             lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
         levels = 2, numPartitions = parts(s, d))),
 
+    "partition_refined_sql_graph" -> ((s, d) => {
+      // the complete multilevel pipeline: coarsen → split → project →
+      // deterministic parallel-FM refinement (independent local-best
+      // movers, monotone cut decrease)
+      val ew = GraphOps.undirectedPairs(partitionGraphEdges(s))
+        .withColumn("weight",
+          lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+      graph.Partitioner.refine(s, ew,
+        graph.Partitioner.bisect(s, ew, levels = 2,
+          numPartitions = parts(s, d)),
+        numPartitions = parts(s, d))
+    }),
+
     "coloring_sql_graph" -> ((s, d) =>
       // greedy coloring on the same priority schedule: winners take the
       // round index as color, neighbors stay live — 20 colors on the
@@ -2795,7 +2808,7 @@ object SparkEntry {
     * closure), the cumulative-mass prefix split, and the projection
     * back through both mappings.
     */
-  private val partitionSqlOracle: String = {
+  private val partitionSqlBase: String = {
     val base =
       """WITH RECURSIVE
          pe AS (SELECT DISTINCT src, dst FROM (
@@ -2831,12 +2844,64 @@ object SparkEntry {
          deal AS (SELECT id AS cid,
                     CASE WHEN cum * 2 <= (SELECT t FROM tot)
                          THEN 0 ELSE 1 END AS part
-                  FROM cm)
-         SELECT a.id, CAST(deal.part AS BIGINT) AS part
-         FROM vma a
-         JOIN vmb b ON b.id = a.cid
-         JOIN deal ON deal.cid = b.cid"""
+                  FROM cm),
+         pr0 AS MATERIALIZED (
+           SELECT a.id, CAST(deal.part AS BIGINT) AS part
+           FROM vma a
+           JOIN vmb b ON b.id = a.cid
+           JOIN deal ON deal.cid = b.cid)"""
   }
+
+  private val partitionSqlOracle: String =
+    s"$partitionSqlBase SELECT id, part FROM pr0"
+
+  /** Refinement rounds mirroring [[graft.graph.Partitioner.refine]]:
+    * per round the per-vertex gain (external − internal incident
+    * weight), heavy-side positive-gain candidates, the local-best
+    * independent mover set (NOT EXISTS a strictly better adjacent
+    * candidate under gain DESC, id ASC), and the flip. Rounds beyond
+    * the fixed point are no-ops (empty candidate sets), so the unroll
+    * count only needs to be ≥ the dry round.
+    */
+  private def refineRoundsSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+         gn$r AS MATERIALIZED (
+           SELECT e.src AS id,
+             CAST(sum(CASE WHEN a.part <> b.part THEN e.w ELSE -e.w END)
+               AS BIGINT) AS gain
+           FROM symw e
+           JOIN pr$p a ON a.id = e.src
+           JOIN pr$p b ON b.id = e.dst
+           GROUP BY e.src),
+         hv$r AS (SELECT CASE WHEN 2 * sum(CASE WHEN part = 1 THEN 1
+                    ELSE 0 END) >= count(*) THEN 1 ELSE 0 END AS h
+                  FROM pr$p),
+         cd$r AS MATERIALIZED (
+           SELECT g.id, g.gain FROM gn$r g JOIN pr$p p ON p.id = g.id
+           WHERE p.part = (SELECT h FROM hv$r) AND g.gain > 0),
+         wn$r AS MATERIALIZED (
+           SELECT c.id FROM cd$r c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM symw e JOIN cd$r o ON o.id = e.dst
+             WHERE e.src = c.id
+               AND (o.gain > c.gain
+                    OR (o.gain = c.gain AND o.id < c.id)))),
+         pr$r AS MATERIALIZED (
+           SELECT p.id,
+             CASE WHEN w.id IS NULL THEN p.part ELSE 1 - p.part END AS part
+           FROM pr$p p LEFT JOIN wn$r w ON w.id = p.id)"""
+    }.mkString
+    s""",
+       symw AS MATERIALIZED (
+         SELECT u AS src, v AS dst, CAST(w AS BIGINT) AS w FROM pw
+         UNION ALL SELECT v, u, CAST(w AS BIGINT) FROM pw)$steps"""
+  }
+
+  private val partitionRefinedSqlOracle: String =
+    s"$partitionSqlBase${refineRoundsSql(8)} " +
+      "SELECT id, CAST(part AS BIGINT) AS part FROM pr8"
 
   private val kmvDistinctSqlOracle: String =
     s"""WITH $sqlGraphCte
@@ -3341,6 +3406,7 @@ object SparkEntry {
     "matching_weighted_sql_graph" -> weightedMatchingSqlOracle(6),
     "coarsen_sql_graph" -> weightedMatchingSqlOracle(6, coarse = true),
     "partition_sql_graph" -> partitionSqlOracle,
+    "partition_refined_sql_graph" -> partitionRefinedSqlOracle,
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,

@@ -92,6 +92,91 @@ object Partitioner {
       .select(col("id"), col("part"))
   }
 
+  /** Deterministic parallel FM-style refinement of a bisection: per
+    * round, boundary vertices on the HEAVIER side (tie → part 1) with
+    * positive gain (external minus internal incident weight) are
+    * candidates; a candidate moves only when it beats every ADJACENT
+    * candidate under (gain DESC, id ASC) — the [[graft.algo.Mis]]
+    * local-best rule, so movers are an independent set. All movers go
+    * the same direction, so each accepted move's gain is EXACT (its
+    * neighborhood is static this round) and the cut strictly
+    * decreases by the gain sum — rounds terminate because the cut is
+    * a decreasing non-negative integer. Balance: heavy→light moves
+    * shrink the imbalance until the moved mass overshoots it; the
+    * overshoot is bounded by the last round's mover mass and the
+    * direction flips with the sign, so the drift stays boundary-sized
+    * (the spec pins it on the fixture).
+    *
+    * Scale shape, per round: one edges⨝parts join (edge-scale, the
+    * boundary classifier), one per-vertex gain aggregation, one
+    * candidate-restricted neighbor-best aggregation (struct min — the
+    * Borůvka SortAggregate path), two skinny joins, no windows.
+    *
+    * @param parts0 (id, part) with part ∈ {0, 1}
+    * @return (id, part) with edgeCut ≤ the input's, same id set
+    */
+  def refine(spark: SparkSession,
+             weightedEdges: DataFrame,
+             parts0: DataFrame,
+             maxRounds: Int = 20,
+             numPartitions: Int = 32): DataFrame = {
+    val sym = weightedEdges
+      .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .unionAll(weightedEdges.select(col("dst").as("src"),
+        col("src").as("dst"), col("weight").cast("long").as("w")))
+    var parts = Superstep.freshCheckpoint(
+      parts0.select(col("id"), col("part").cast("long").as("part"))
+        .repartition(numPartitions, col("id")), eager = true)
+    var round = 0
+    var moved = 1L
+    while (moved > 0 && round < maxRounds) {
+      round += 1
+      val lab = sym
+        .join(parts.select(col("id").as("src"), col("part").as("pu"))
+          .hint("shuffle_hash"), Seq("src"))
+        .join(parts.select(col("id").as("dst"), col("part").as("pv"))
+          .hint("shuffle_hash"), Seq("dst"))
+      val gains = lab.groupBy(col("src").as("id"))
+        .agg(sum(when(col("pu") =!= col("pv"), col("w"))
+          .otherwise(-col("w"))).as("gain"))
+      val counts = parts.groupBy(col("part")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      val heavy = if (counts.getOrElse(1L, 0L) * 2 >= total) 1L else 0L
+      val cand = Superstep.freshCheckpoint(
+        gains.join(parts.hint("shuffle_hash"), Seq("id"))
+          .filter(col("part") === heavy && col("gain") > 0)
+          .select(col("id"), col("gain")), eager = true)
+      // local-best among adjacent candidates: min (−gain, id) wins
+      val nbrBest = sym
+        .join(cand.select(col("id").as("src")).hint("shuffle_hash"), Seq("src"),
+          "left_semi")
+        .join(cand.select(col("id").as("dst"), col("gain").as("gd"))
+          .hint("shuffle_hash"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(struct((-col("gd")).as("ng"), col("dst").as("nid"))).as("nb"))
+      val winners = Superstep.freshCheckpoint(
+        cand.join(nbrBest.hint("shuffle_hash"), Seq("id"), "left")
+          .filter(col("nb").isNull ||
+            struct((-col("gain")).as("ng"), col("id").as("nid")) < col("nb"))
+          .select(col("id")), eager = true)
+      moved = winners.count()
+      if (moved > 0) {
+        val next = Superstep.freshCheckpoint(
+          parts.join(winners.withColumn("mv", lit(1L)).hint("shuffle_hash"),
+              Seq("id"), "left")
+            .select(col("id"),
+              when(col("mv").isNotNull, lit(1L) - col("part"))
+                .otherwise(col("part")).as("part")), eager = true)
+        Superstep.freeCheckpoint(parts)
+        parts = next
+      }
+      Superstep.freeCheckpoint(cand)
+      Superstep.freeCheckpoint(winners)
+    }
+    parts
+  }
+
   /** Total weight of edges crossing the partition (the objective). */
   def edgeCut(weightedEdges: DataFrame, parts: DataFrame): Long = {
     val cut = weightedEdges

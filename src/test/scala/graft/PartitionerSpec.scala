@@ -59,6 +59,47 @@ class PartitionerSpec extends AnyFunSuite {
     assert(Partitioner.edgeCut(ew, parts) == 1L)
   }
 
+  test("refine: cut never increases, improves the fixture, reaches a fixed point") {
+    val ew = localityGraph(500L).cache()
+    val p0 = Partitioner.bisect(spark, ew, levels = 2, numPartitions = 4)
+      .localCheckpoint(true)
+    val cut0 = Partitioner.edgeCut(ew, p0)
+    val r1 = Partitioner.refine(spark, ew, p0, numPartitions = 4)
+      .localCheckpoint(true)
+    val cut1 = Partitioner.edgeCut(ew, r1)
+    assert(cut1 <= cut0, s"refinement worsened the cut: $cut0 -> $cut1")
+    assert(cut1 < cut0, s"refinement should improve the fixture bisection")
+    // idempotence at the fixed point
+    val r2 = Partitioner.refine(spark, ew, r1, numPartitions = 4)
+    assert(Partitioner.edgeCut(ew, r2) == cut1)
+    val same = r1.withColumnRenamed("part", "p1")
+      .join(r2.withColumnRenamed("part", "p2"), Seq("id"))
+      .filter(col("p1") =!= col("p2")).count()
+    assert(same == 0, "a second refine pass must be a no-op")
+    // balance drift stays small
+    val sizes = r1.groupBy("part").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum
+    assert(sizes.values.forall(_ >= n * 45 / 100), s"refine drifted: $sizes")
+    ew.unpersist()
+  }
+
+  test("refine keeps moving until positive-gain movers are exhausted") {
+    import spark.implicits._
+    // adversarial start: id-parity split of the locality graph — a
+    // near-worst cut the refiner must walk a long way down from
+    val ew = localityGraph(300L).cache()
+    val bad = ew.select(col("src").as("id"))
+      .unionAll(ew.select(col("dst").as("id"))).distinct()
+      .withColumn("part", pmod(col("id"), lit(2L)))
+    val cutBad = Partitioner.edgeCut(ew, bad)
+    val r = Partitioner.refine(spark, ew, bad, maxRounds = 50, numPartitions = 4)
+    val cutR = Partitioner.edgeCut(ew, r)
+    assert(cutR < cutBad / 2,
+      s"refiner barely moved: $cutBad -> $cutR")
+    ew.unpersist()
+  }
+
   test("bisect is deterministic across partition counts") {
     val ew = localityGraph(400L)
     def p(np: Int) = Partitioner.bisect(spark, ew, levels = 2, numPartitions = np)
