@@ -258,6 +258,22 @@ object Bench {
             lit(1L) + pmod(pmod(col("src"), lit(1000003L))
               + pmod(col("dst"), lit(1000003L)), lit(7L))),
           numPartitions = P).count())
+      val pw = GraphOps.undirectedPairs(g.edges).withColumn("weight",
+        lit(1L) + pmod(pmod(col("src"), lit(1000003L))
+          + pmod(col("dst"), lit(1000003L)), lit(7L)))
+        .localCheckpoint(true)
+      pw.count()
+      val bis = bench[DataFrame]("partition", cleanup = _.unpersist()) {
+        val b = graph.Partitioner.bisect(spark, pw, levels = 3,
+          numPartitions = P).localCheckpoint(true)
+        b.count(); b
+      }
+      bench("partition_refine")(
+        graph.Partitioner.refine(spark, pw, bis, numPartitions = P).count())
+      extra += "partition_cut" ->
+        graph.Partitioner.edgeCut(pw, bis).toDouble
+      bis.unpersist()
+      Superstep.freeCheckpoint(pw)
     }
 
     // round-3 late additions #3: corpus-scale exact sketch-finishers
