@@ -86,6 +86,16 @@ object ProbeNewOps {
         refined.unpersist()
         parts.unpersist()
       }
+      // k-way recursive bisection
+      for (k <- Seq(4, 8)) {
+        val kp = graft.graph.Partitioner.partition(spark, pew, k,
+          levels = 1, numPartitions = 8).cache()
+        val sz = kp.groupBy("part").count().orderBy("part").collect()
+          .map(r => r.getLong(1)).toSeq
+        val cut = graft.graph.Partitioner.edgeCut(pew, kp)
+        println(s"[probe] kway k=$k sizes=$sz cut=$cut")
+        kp.unpersist()
+      }
     }
 
     // entity-graph round counts (matches the GRAPH3 bench input)

@@ -2808,17 +2808,21 @@ object SparkEntry {
     * closure), the cumulative-mass prefix split, and the projection
     * back through both mappings.
     */
+  /** The connected locality fixture (ring + mixed-parity chords) as
+    * canonical weighted pairs `pw`, mirroring `partitionGraphEdges`.
+    */
+  private val partitionFixtureSql: String =
+    """WITH RECURSIVE
+       pe AS (SELECT DISTINCT src, dst FROM (
+         SELECT i AS src, (i + 1) % 1500 AS dst FROM range(1500) t(i)
+         UNION ALL SELECT i, (i + 5 + i % 4) % 1500 FROM range(1500) t(i))
+         WHERE src <> dst),
+       pw AS (SELECT u, v, 1 + (u + v) % 7 AS w FROM (
+         SELECT DISTINCT least(src, dst) AS u,
+                greatest(src, dst) AS v FROM pe))"""
+
   private val partitionSqlBase: String = {
-    val base =
-      """WITH RECURSIVE
-         pe AS (SELECT DISTINCT src, dst FROM (
-           SELECT i AS src, (i + 1) % 1500 AS dst FROM range(1500) t(i)
-           UNION ALL SELECT i, (i + 5 + i % 4) % 1500 FROM range(1500) t(i))
-           WHERE src <> dst),
-         pw AS (SELECT u, v, 1 + (u + v) % 7 AS w FROM (
-           SELECT DISTINCT least(src, dst) AS u,
-                  greatest(src, dst) AS v FROM pe))"""
-    base + wmRoundsSql("pw", "a", 6) + strongGateSql("pw", "a") +
+    partitionFixtureSql + wmRoundsSql("pw", "a", 6) + strongGateSql("pw", "a") +
       contractionSql("pw", "a", "wfa") +
       wmRoundsSql("cga", "b", 6) + strongGateSql("cga", "b") +
       contractionSql("cga", "b", "wfb") +

@@ -177,6 +177,54 @@ object Partitioner {
     parts
   }
 
+  /** k-way partitioning by recursive bisection (the classic multilevel
+    * k-way shape): bisect + refine, restrict each side to its internal
+    * edges, recurse; side s at depth d owns the label range
+    * [base, base + k/2^d). Vertices that lose every edge to the cut
+    * (isolated within their side) keep the side's base label — they
+    * are free movers with no cut contribution. k must be a power of
+    * two. Work per depth ≈ one bisection of the (shrinking) side
+    * subgraphs, all sides of a depth running over disjoint edge sets.
+    */
+  def partition(spark: SparkSession,
+                weightedEdges: DataFrame,
+                k: Int,
+                levels: Int = 1,
+                numPartitions: Int = 32): DataFrame = {
+    require(k >= 2 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
+    val endpoints = weightedEdges.select(col("src").as("id"))
+      .unionAll(weightedEdges.select(col("dst").as("id"))).distinct()
+
+    def go(edges: DataFrame, vertices: DataFrame, kk: Int,
+           base: Long): DataFrame = {
+      val half = refine(spark, edges,
+        bisect(spark, edges, levels, numPartitions),
+        numPartitions = numPartitions).localCheckpoint(false)
+      // vertices isolated inside this side (every incident edge was
+      // cut above) have no edge here: they keep the base label
+      val missing = vertices.join(half.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(base).as("part"))
+      val split =
+        if (kk == 2) half.select(col("id"), (col("part") + base).as("part"))
+        else {
+          def internal(side: DataFrame) = edges
+            .join(side.withColumnRenamed("id", "src").hint("shuffle_hash"),
+              Seq("src"), "left_semi")
+            .join(side.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+              Seq("dst"), "left_semi")
+            .localCheckpoint(false)
+          val side0 = half.filter(col("part") === 0).select(col("id"))
+            .localCheckpoint(false)
+          val side1 = half.filter(col("part") === 1).select(col("id"))
+            .localCheckpoint(false)
+          go(internal(side0), side0, kk / 2, base)
+            .unionAll(go(internal(side1), side1, kk / 2, base + kk / 2))
+        }
+      split.unionAll(missing)
+    }
+    go(weightedEdges, endpoints, k, 0L)
+  }
+
   /** Total weight of edges crossing the partition (the objective). */
   def edgeCut(weightedEdges: DataFrame, parts: DataFrame): Long = {
     val cut = weightedEdges

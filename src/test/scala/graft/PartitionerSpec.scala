@@ -100,6 +100,44 @@ class PartitionerSpec extends AnyFunSuite {
     ew.unpersist()
   }
 
+  test("k-way: covers every vertex once, balanced, cut a sliver, k respected") {
+    val ew = localityGraph(600L).cache()
+    val totalW = ew.agg(sum(col("weight"))).head().getLong(0)
+    val nVerts = ew.select(col("src").as("id"))
+      .unionAll(ew.select(col("dst").as("id"))).distinct().count()
+    for (k <- Seq(2, 4, 8)) {
+      val parts = Partitioner.partition(spark, ew, k, levels = 1,
+        numPartitions = 4).cache()
+      // exactly one label per vertex, labels within [0, k)
+      assert(parts.count() == nVerts, s"k=$k must cover every vertex once")
+      assert(parts.select(countDistinct(col("id"))).head().getLong(0) == nVerts)
+      val labels = parts.select(col("part")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(labels.forall(p => p >= 0 && p < k), s"k=$k labels: $labels")
+      assert(labels.size == k, s"k=$k must use all $k labels: $labels")
+      // balance: every side within ±25% of n/k on the locality fixture
+      val sizes = parts.groupBy("part").count().collect().map(_.getLong(1))
+      assert(sizes.forall(s => s * 4 >= nVerts / k * 3),
+        s"k=$k imbalance: ${sizes.toSeq}")
+      // cut stays a sliver of the total weight (k−1 nested bisections)
+      val cut = Partitioner.edgeCut(ew, parts)
+      assert(cut * 10 <= totalW, s"k=$k cut $cut of $totalW")
+      parts.unpersist()
+    }
+    ew.unpersist()
+  }
+
+  test("k-way k=2 equals bisect+refine") {
+    val ew = localityGraph(400L)
+    val two = Partitioner.partition(spark, ew, 2, levels = 1, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val direct = Partitioner.refine(spark, ew,
+        Partitioner.bisect(spark, ew, levels = 1, numPartitions = 4),
+        numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(two == direct)
+  }
+
   test("bisect is deterministic across partition counts") {
     val ew = localityGraph(400L)
     def p(np: Int) = Partitioner.bisect(spark, ew, levels = 2, numPartitions = np)
