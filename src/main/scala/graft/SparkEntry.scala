@@ -924,6 +924,17 @@ object SparkEntry {
         numPartitions = parts(s, d))
     }),
 
+    "partition_kway_sql_graph" -> ((s, d) => {
+      // k-way recursive bisection: bisect+refine, restrict each side
+      // to its internal edges, recurse — labels 0..3, balanced sides,
+      // nested cuts
+      val ew = GraphOps.undirectedPairs(partitionGraphEdges(s))
+        .withColumn("weight",
+          lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+      graph.Partitioner.partition(s, ew, k = 4, levels = 1,
+        numPartitions = parts(s, d))
+    }),
+
     "coloring_sql_graph" -> ((s, d) =>
       // greedy coloring on the same priority schedule: winners take the
       // round index as color, neighbors stay live — 20 colors on the
@@ -2867,45 +2878,117 @@ object SparkEntry {
     * the fixed point are no-ops (empty candidate sets), so the unroll
     * count only needs to be ≥ the dry round.
     */
-  private def refineRoundsSql(rounds: Int): String = {
+  private def refineRoundsSql(rounds: Int, in: String = "pw",
+                              sfx: String = "", start: String = ""): String = {
+    val init = if (start.isEmpty) "" else
+      s""",
+         pr${sfx}0 AS MATERIALIZED (
+           SELECT id, CAST(part AS BIGINT) AS part FROM $start)"""
     val steps = (1 to rounds).map { r =>
       val p = r - 1
       s""",
-         gn$r AS MATERIALIZED (
+         gn$sfx$r AS MATERIALIZED (
            SELECT e.src AS id,
              CAST(sum(CASE WHEN a.part <> b.part THEN e.w ELSE -e.w END)
                AS BIGINT) AS gain
-           FROM symw e
-           JOIN pr$p a ON a.id = e.src
-           JOIN pr$p b ON b.id = e.dst
+           FROM symw$sfx e
+           JOIN pr$sfx$p a ON a.id = e.src
+           JOIN pr$sfx$p b ON b.id = e.dst
            GROUP BY e.src),
-         hv$r AS (SELECT CASE WHEN 2 * sum(CASE WHEN part = 1 THEN 1
+         hv$sfx$r AS (SELECT CASE WHEN 2 * sum(CASE WHEN part = 1 THEN 1
                     ELSE 0 END) >= count(*) THEN 1 ELSE 0 END AS h
-                  FROM pr$p),
-         cd$r AS MATERIALIZED (
-           SELECT g.id, g.gain FROM gn$r g JOIN pr$p p ON p.id = g.id
-           WHERE p.part = (SELECT h FROM hv$r) AND g.gain > 0),
-         wn$r AS MATERIALIZED (
-           SELECT c.id FROM cd$r c
+                  FROM pr$sfx$p),
+         cd$sfx$r AS MATERIALIZED (
+           SELECT g.id, g.gain FROM gn$sfx$r g JOIN pr$sfx$p p ON p.id = g.id
+           WHERE p.part = (SELECT h FROM hv$sfx$r) AND g.gain > 0),
+         wn$sfx$r AS MATERIALIZED (
+           SELECT c.id FROM cd$sfx$r c
            WHERE NOT EXISTS (
-             SELECT 1 FROM symw e JOIN cd$r o ON o.id = e.dst
+             SELECT 1 FROM symw$sfx e JOIN cd$sfx$r o ON o.id = e.dst
              WHERE e.src = c.id
                AND (o.gain > c.gain
                     OR (o.gain = c.gain AND o.id < c.id)))),
-         pr$r AS MATERIALIZED (
+         pr$sfx$r AS MATERIALIZED (
            SELECT p.id,
              CASE WHEN w.id IS NULL THEN p.part ELSE 1 - p.part END AS part
-           FROM pr$p p LEFT JOIN wn$r w ON w.id = p.id)"""
+           FROM pr$sfx$p p LEFT JOIN wn$sfx$r w ON w.id = p.id)"""
     }.mkString
-    s""",
-       symw AS MATERIALIZED (
-         SELECT u AS src, v AS dst, CAST(w AS BIGINT) AS w FROM pw
-         UNION ALL SELECT v, u, CAST(w AS BIGINT) FROM pw)$steps"""
+    s"""$init,
+       symw$sfx AS MATERIALIZED (
+         SELECT u AS src, v AS dst, CAST(w AS BIGINT) AS w FROM $in
+         UNION ALL SELECT v, u, CAST(w AS BIGINT) FROM $in)$steps"""
   }
 
   private val partitionRefinedSqlOracle: String =
     s"$partitionSqlBase${refineRoundsSql(8)} " +
       "SELECT id, CAST(part AS BIGINT) AS part FROM pr8"
+
+  /** Single-level bisection twin over weighted pair CTE `in` (u, v, w),
+    * mirroring [[graft.graph.Partitioner.bisect]] at levels = 1: one
+    * strong-gated matching contraction, fine-mass rollup, BFS hop
+    * distances from the min-id coarse seed, cumulative-mass prefix
+    * split, projection through the single mapping. Emits `bp$sfx`
+    * (id, part).
+    */
+  private def bisect1Sql(in: String, sfx: String): String =
+    wmRoundsSql(in, sfx, 7) + strongGateSql(in, sfx) +
+      contractionSql(in, sfx, s"wf$sfx") +
+      s""",
+         ms$sfx AS (SELECT cid AS id, CAST(count(*) AS BIGINT) AS mass
+                FROM vm$sfx GROUP BY cid),
+         sy$sfx AS (SELECT u AS src, v AS dst FROM cg$sfx
+                  UNION ALL SELECT v, u FROM cg$sfx),
+         sd$sfx AS (SELECT min(id) AS s FROM ms$sfx),
+         bfs$sfx(id, d) AS (SELECT s, 0 FROM sd$sfx
+           UNION SELECT e.dst, b.d + 1 FROM bfs$sfx b
+                 JOIN sy$sfx e ON e.src = b.id WHERE b.d < 200),
+         ds$sfx AS (SELECT id, CAST(min(d) AS BIGINT) AS d
+                   FROM bfs$sfx GROUP BY id),
+         ov$sfx AS (SELECT m.id, m.mass, coalesce(d2.d, 1000000000) AS d
+                  FROM ms$sfx m LEFT JOIN ds$sfx d2 ON d2.id = m.id),
+         tt$sfx AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM ov$sfx),
+         cms$sfx AS (SELECT id, sum(mass) OVER (
+                  ORDER BY d, mass DESC, id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM ov$sfx),
+         dl$sfx AS (SELECT id AS cid,
+                    CASE WHEN cum * 2 <= (SELECT t FROM tt$sfx)
+                         THEN 0 ELSE 1 END AS part
+                  FROM cms$sfx),
+         bp$sfx AS MATERIALIZED (
+           SELECT a.id, CAST(d.part AS BIGINT) AS part
+           FROM vm$sfx a JOIN dl$sfx d ON d.cid = a.cid)"""
+
+  /** k = 4 recursive-bisection twin mirroring
+    * [[graft.graph.Partitioner.partition]] (levels = 1) on the
+    * locality fixture: top bisect+refine over `pw`, side-internal
+    * edge restriction, a second bisect+refine per side (labels 0/1 on
+    * side 0, 2/3 on side 1), vertices isolated within a side keep the
+    * side's base label. Refine unrolls past every fixed point —
+    * surplus rounds are no-ops.
+    */
+  private val partitionKwaySqlOracle: String =
+    partitionFixtureSql +
+      bisect1Sql("pw", "xa") + refineRoundsSql(14, "pw", "ra", "bpxa") +
+      s""",
+         sd0 AS MATERIALIZED (SELECT id FROM prra14 WHERE part = 0),
+         sd1 AS MATERIALIZED (SELECT id FROM prra14 WHERE part = 1),
+         ie0 AS MATERIALIZED (
+           SELECT e.u, e.v, e.w FROM pw e
+           JOIN sd0 a ON a.id = e.u JOIN sd0 b ON b.id = e.v),
+         ie1 AS MATERIALIZED (
+           SELECT e.u, e.v, e.w FROM pw e
+           JOIN sd1 a ON a.id = e.u JOIN sd1 b ON b.id = e.v)""" +
+      bisect1Sql("ie0", "xb") + refineRoundsSql(14, "ie0", "rb", "bpxb") +
+      bisect1Sql("ie1", "xc") + refineRoundsSql(14, "ie1", "rc", "bpxc") +
+      s""",
+         mi0 AS (SELECT s.id FROM sd0 s WHERE NOT EXISTS (
+                   SELECT 1 FROM ie0 e WHERE e.u = s.id OR e.v = s.id)),
+         mi1 AS (SELECT s.id FROM sd1 s WHERE NOT EXISTS (
+                   SELECT 1 FROM ie1 e WHERE e.u = s.id OR e.v = s.id))
+         SELECT id, CAST(part AS BIGINT) AS part FROM prrb14
+         UNION ALL SELECT id, CAST(part + 2 AS BIGINT) FROM prrc14
+         UNION ALL SELECT id, CAST(0 AS BIGINT) FROM mi0
+         UNION ALL SELECT id, CAST(2 AS BIGINT) FROM mi1"""
 
   private val kmvDistinctSqlOracle: String =
     s"""WITH $sqlGraphCte
@@ -3411,6 +3494,7 @@ object SparkEntry {
     "coarsen_sql_graph" -> weightedMatchingSqlOracle(6, coarse = true),
     "partition_sql_graph" -> partitionSqlOracle,
     "partition_refined_sql_graph" -> partitionRefinedSqlOracle,
+    "partition_kway_sql_graph" -> partitionKwaySqlOracle,
     "graph_stats_sql_graph" -> graphStatsSqlOracle,
     "sssp_sql_graph" -> ssspSqlOracle,
     "hyperball_sql_graph" -> hyperballSqlOracle,
