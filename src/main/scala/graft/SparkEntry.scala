@@ -948,6 +948,13 @@ object SparkEntry {
       graph.LinkScores.edgeScores(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         parts(s, d))),
 
+    "scan_sql_graph" -> ((s, d) =>
+      // SCAN structural clustering at ε=2/5, μ=3: 1077 cores in 124
+      // clusters, 102 borders, 270 hubs, 50 outliers on the fixture;
+      // the ε test is an exact integer predicate (no sqrt)
+      graph.Scan.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        epsNum = 2, epsDenom = 5, mu = 3, numPartitions = parts(s, d))),
+
     "ktruss_sql_graph" -> ((s, d) =>
       // 3-truss (every edge in ≥1 triangle): peels to a stable
       // 1278-edge truss; the DuckDB twin unrolls the peel rounds
@@ -3077,6 +3084,66 @@ object SparkEntry {
       .replace(" AS (", " AS MATERIALIZED (")
   }
 
+  /** DuckDB twin of [[graft.graph.Scan]] at ε = epsNum/epsDenom, μ = mu:
+    * per-edge common-neighbor counts (the k-truss support join shape),
+    * the same exact BIGINT ε-predicate
+    * (common+2)²·denom² ≥ num²·(du+1)(dv+1), a recursive min-id closure
+    * over the core–core ε-subgraph for clusters, then the border /
+    * hub / outlier role classification. Multi-referenced CTEs are
+    * MATERIALIZED by hand (the recursive `reach` cannot be).
+    */
+  private def scanSqlOracle(epsNum: Long, epsDenom: Long, mu: Long): String = {
+    val n2 = epsNum * epsNum
+    val d2 = epsDenom * epsDenom
+    s"""WITH RECURSIVE $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e),
+       su AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+                           UNION ALL SELECT v, u FROM und),
+       dg AS MATERIALIZED (SELECT a AS id, count(*) AS d FROM su GROUP BY a),
+       cm AS (SELECT c.u, c.v, count(*) AS common
+              FROM und c JOIN su x ON x.a = c.u
+              JOIN su y ON y.a = c.v AND y.b = x.b
+              GROUP BY c.u, c.v),
+       ee AS MATERIALIZED (
+         SELECT c.u, c.v FROM und c
+         LEFT JOIN cm ON c.u = cm.u AND c.v = cm.v
+         JOIN dg du ON du.id = c.u JOIN dg dv ON dv.id = c.v
+         WHERE (coalesce(cm.common, 0) + 2) * (coalesce(cm.common, 0) + 2) * $d2
+               >= $n2 * (du.d + 1) * (dv.d + 1)),
+       es AS MATERIALIZED (SELECT u AS a, v AS b FROM ee
+                           UNION ALL SELECT v, u FROM ee),
+       cores AS MATERIALIZED (
+         SELECT dg.id FROM dg
+         LEFT JOIN (SELECT a, count(*) AS c FROM es GROUP BY a) x ON dg.id = x.a
+         WHERE coalesce(x.c, 0) + 1 >= $mu),
+       ce AS (SELECT u AS a, v AS b FROM ee
+              WHERE u IN (SELECT id FROM cores) AND v IN (SELECT id FROM cores)),
+       cs AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+       reach(id, comp) AS (
+         SELECT id, id FROM cores
+         UNION
+         SELECT s.b, r.comp FROM reach r JOIN cs s ON s.a = r.id),
+       clusters AS MATERIALIZED (
+         SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+       members AS MATERIALIZED (
+         SELECT id, cluster, 'core' AS role FROM clusters
+         UNION ALL
+         SELECT s.a AS id, min(cl.cluster) AS cluster, 'border' AS role
+         FROM es s JOIN clusters cl ON s.b = cl.id
+         WHERE s.a NOT IN (SELECT id FROM cores) GROUP BY s.a)
+       SELECT id, cluster, role FROM members
+       UNION ALL
+       SELECT dg.id, CAST(-1 AS BIGINT) AS cluster,
+              CASE WHEN coalesce(r.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END
+                AS role
+       FROM dg
+       LEFT JOIN (SELECT su.a AS id, count(DISTINCT m.cluster) AS nc
+                  FROM su JOIN members m ON su.b = m.id
+                  GROUP BY su.a) r ON dg.id = r.id
+       WHERE dg.id NOT IN (SELECT id FROM members)"""
+  }
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -3451,6 +3518,7 @@ object SparkEntry {
     "ppr_sql_graph" -> pprSqlOracle(5),
     "sweep_cut_sql_graph" -> sweepSqlOracle(64),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
+    "scan_sql_graph" -> scanSqlOracle(2, 5, 3),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
     // longest path from any source = the Kahn peel round; the UNION
