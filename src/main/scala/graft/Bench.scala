@@ -273,6 +273,16 @@ object Bench {
       extra += "partition_cut" ->
         graph.Partitioner.edgeCut(pw, bis).toDouble
       bis.unpersist()
+      // k-way recursive bisection: 3 bisect+refine calls over
+      // geometrically-shrinking side subgraphs (levels=2 each)
+      val kway = bench[DataFrame]("partition_kway", cleanup = _.unpersist()) {
+        val p4 = graph.Partitioner.partition(spark, pw, k = 4, levels = 2,
+          numPartitions = P).localCheckpoint(true)
+        p4.count(); p4
+      }
+      extra += "partition_kway_cut" ->
+        graph.Partitioner.edgeCut(pw, kway).toDouble
+      kway.unpersist()
       Superstep.freeCheckpoint(pw)
     }
 
