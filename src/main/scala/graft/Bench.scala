@@ -207,6 +207,11 @@ object Bench {
           window = 2).count())
       bench("clustering_coeff")(
         Triangles.clustering(spark, GraphOps.undirectedPairs(g.edges), P).count())
+      bench("coreness")(
+        algo.Coreness.run(spark, sym, numPartitions = P).count())
+      bench("scan_cluster")(
+        graph.Scan.run(spark, sym, epsNum = 2, epsDenom = 5, mu = 3,
+          numPartitions = P).count())
       bench("betweenness")(
         algo.Betweenness.run(spark, sym, lms, P).count())
       bench("katz")(

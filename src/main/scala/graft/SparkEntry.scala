@@ -955,6 +955,13 @@ object SparkEntry {
       graph.Scan.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         epsNum = 2, epsDenom = 5, mu = 3, numPartitions = parts(s, d))),
 
+    "coreness_sql_graph" -> ((s, d) =>
+      // full core-number decomposition by h-index refinement: the
+      // fixture peels to coreness 1/2/3/4 = 19/72/659/749 vertices
+      // (the 749 agrees with the k=4 KCore peel) in 9 update rounds
+      algo.Coreness.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        numPartitions = parts(s, d))),
+
     "ktruss_sql_graph" -> ((s, d) =>
       // 3-truss (every edge in ≥1 triangle): peels to a stable
       // 1278-edge truss; the DuckDB twin unrolls the peel rounds
@@ -3144,6 +3151,37 @@ object SparkEntry {
        WHERE dg.id NOT IN (SELECT id FROM members)"""
   }
 
+  /** DuckDB twin of [[graft.algo.Coreness]]: c₀ = degree, then per
+    * round the h-index of neighbor values via the histogram +
+    * descending-cumulative-count identity h = max(min(c, cnt≥(c))) —
+    * the same all-integer arithmetic as the engine. `rounds` must be
+    * ≥ rounds-to-fixed-point (the update is idempotent there, so
+    * over-unrolling is safe; the fixture needs 9).
+    */
+  private def corenessSqlOracle(rounds: Int): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                 FROM e),
+         su AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+         c0 AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS c FROM su GROUP BY a)"""
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s""",
+         c$k AS (
+           SELECT id, CAST(max(least(c, ge)) AS BIGINT) AS c FROM (
+             SELECT id, c,
+                    CAST(sum(cnt) OVER (PARTITION BY id ORDER BY c DESC)
+                         AS BIGINT) AS ge
+             FROM (SELECT s.a AS id, st.c, CAST(count(*) AS BIGINT) AS cnt
+                   FROM su s JOIN c$p st ON s.b = st.id
+                   GROUP BY s.a, st.c))
+           GROUP BY id)"""
+    }.mkString
+    s"$head$steps SELECT id, c AS coreness FROM c$rounds"
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -3519,6 +3557,7 @@ object SparkEntry {
     "sweep_cut_sql_graph" -> sweepSqlOracle(64),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "scan_sql_graph" -> scanSqlOracle(2, 5, 3),
+    "coreness_sql_graph" -> corenessSqlOracle(10),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
     // longest path from any source = the Kahn peel round; the UNION
