@@ -646,7 +646,8 @@ object SparkEntry {
         .filter(pmod(col("id"), lit(10L)) === 1)
         .select(col("id"), col("nf").cast("long").as("reachable"),
           col("sum_dist").cast("long").as("sum_dist"),
-          round(col("harmonic"), 6).as("harmonic"))
+          round(col("harmonic"), 6).as("harmonic"),
+          col("ecc").as("eccentricity"))
     }),
 
     "clustering_sql_graph" -> ((s, d) =>
@@ -2167,7 +2168,8 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS reachable,
          CAST(sum(dist) AS BIGINT) AS sum_dist,
          round(sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 6)
-           AS harmonic
+           AS harmonic,
+         CAST(max(dist) AS BIGINT) AS eccentricity
        FROM d GROUP BY 1"""
 
   /** Clustering twin: per-vertex triangle credits (the tri_vertex

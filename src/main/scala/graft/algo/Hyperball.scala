@@ -57,10 +57,15 @@ object Hyperball {
         ((element_at(sk, k).cast("double") + 9.223372036854776e18) /
           1.8446744073709552e19))
 
-  /** @param perVertex (id, nf, sum_dist, harmonic) — nf = ball-size
-    *                  estimate (exact integral double below
+  /** @param perVertex (id, nf, sum_dist, harmonic, ecc) — nf =
+    *                  ball-size estimate (exact integral double below
     *                  saturation), sum_dist = Σ dist to reachable
-    *                  vertices, harmonic = Σ 1/dist
+    *                  vertices, harmonic = Σ 1/dist, ecc = the last
+    *                  radius at which the ball grew = the vertex's
+    *                  eccentricity within its component (exact below
+    *                  saturation, a lower bound past it); the max over
+    *                  vertices is the component diameter, the min the
+    *                  radius
     * @param nf the global neighborhood function: nf(t) = Σ_v |B(v,t)|
     *           = number of (ordered) vertex pairs within distance t,
     *           self-pairs included; nf(0) = |V|, one entry per radius
@@ -100,7 +105,8 @@ object Hyperball {
     var state = Superstep.freshCheckpoint(
       verts.repartition(numPartitions, col("id"))
         .select(col("id"), array(mix64(col("id"))).as("sk"),
-          lit(1.0).as("nf"), lit(0.0).as("sum_dist"), lit(0.0).as("harmonic")),
+          lit(1.0).as("nf"), lit(0.0).as("sum_dist"), lit(0.0).as("harmonic"),
+          lit(0L).as("ecc")),
       eager = true)
 
     val gc = new Superstep.CheckpointGC(spark, keep = 4)
@@ -121,13 +127,15 @@ object Hyperball {
         .groupBy("id").agg(kmv_merge(col("sk"), k).as("sk"))
       val next = merged
         .join(state.select(col("id"), col("nf").as("nf0"),
-          col("sum_dist").as("sd0"), col("harmonic").as("h0")), Seq("id"))
+          col("sum_dist").as("sd0"), col("harmonic").as("h0"),
+          col("ecc").as("e0")), Seq("id"))
         .withColumn("nf", kmvCount(col("sk"), k))
         // monotone: merging only shrinks the kth minimum, so Δ ≥ 0
         .withColumn("delta", col("nf") - col("nf0"))
         .select(col("id"), col("sk"), col("nf"),
           (col("sd0") + col("delta") * lit(t.toDouble)).as("sum_dist"),
           (col("h0") + col("delta") / lit(t.toDouble)).as("harmonic"),
+          when(col("delta") > 0, lit(t.toLong)).otherwise(col("e0")).as("ecc"),
           col("delta"))
       val chk = Superstep.freshCheckpoint(next, eager = false)
       // the single per-round action: materializes the checkpoint and
@@ -143,7 +151,8 @@ object Hyperball {
       s"HyperBall still expanding after $maxIter rounds — raise maxIter")
     gc.close(keepLatest = 1)
     Superstep.freeCheckpoint(edges)
-    Result(state.select(col("id"), col("nf"), col("sum_dist"), col("harmonic")),
+    Result(state.select(col("id"), col("nf"), col("sum_dist"), col("harmonic"),
+        col("ecc")),
       nfSeries.toSeq)
   }
 }

@@ -389,6 +389,11 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got(0L) == ((4.0, 6.0, 1.0 + 0.5 + 1.0 / 3))) // dists 1,2,3
     assert(got(1L) == ((4.0, 4.0, 1.0 + 1.0 + 0.5)))     // dists 1,1,2
     assert(got(10L) == ((2.0, 1.0, 1.0)))                // the pair only
+    // per-vertex eccentricity: path ends see 3 hops, middles 2, pair 1
+    val ecc = res.perVertex.collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(ecc == Map(0L -> 3L, 1L -> 2L, 2L -> 2L, 3L -> 3L,
+      10L -> 1L, 11L -> 1L))
     // global neighborhood function: pairs within radius 0,1,2,3
     assert(res.nf == Seq(6.0, 14.0, 18.0, 20.0))
     // 90% of 20 pairs = 18, hit exactly at radius 2
