@@ -591,6 +591,15 @@ object SparkEntry {
       s.createDataFrame(Seq(Tuple1(math.rint(q * 1e6) / 1e6))).toDF("modularity")
     }),
 
+    "community_profile_sql_graph" -> ((s, d) => {
+      // per-community quality report over the LPA-3 partition: exact
+      // integer size/internal/cut/volume plus conductance and internal
+      // density as single divisions (bit parity with the DuckDB twin)
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val labels = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
+      GraphOps.communityProfile(sym, labels)
+    }),
+
     "modrefine_sql_graph" -> ((s, d) => {
       // Louvain-style local-move refinement of the LPA-3 partition,
       // exactly two direction-gated rounds — integer-score argmax replayed
@@ -1993,6 +2002,51 @@ object SparkEntry {
        ss AS (SELECT CAST(sum(k * k) AS DOUBLE) AS s FROM kk)
        SELECT round(intra / m - s / (4.0 * m * m), 6) AS modularity FROM agg, ss"""
   }
+
+  /** DuckDB twin of [[GraphOps.communityProfile]] over the LPA-3
+    * labels: internal edges credit their community once, cut edges
+    * credit both sides; volume = 2·internal + cut; conductance and
+    * density are single divisions of exact BIGINTs.
+    */
+  private val communityProfileSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e),
+       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
+       canon AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
+       lab AS (SELECT l.id, c.community FROM l3 l JOIN canon c ON l.label = c.label),
+       j AS (SELECT a.community AS ca, b.community AS cb
+             FROM und JOIN lab a ON und.u = a.id JOIN lab b ON und.v = b.id),
+       per AS (
+         SELECT community, CAST(sum(i) AS BIGINT) AS internal_edges,
+                CAST(sum(c) AS BIGINT) AS cut_edges
+         FROM (SELECT ca AS community,
+                      CASE WHEN ca = cb THEN 1 ELSE 0 END AS i,
+                      CASE WHEN ca <> cb THEN 1 ELSE 0 END AS c FROM j
+               UNION ALL
+               SELECT cb, 0, 1 FROM j WHERE ca <> cb)
+         GROUP BY community),
+       tot AS (SELECT coalesce(CAST(sum(internal_edges * 2 + cut_edges)
+                               AS BIGINT), 0) AS two_m FROM per),
+       sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS size
+                 FROM lab GROUP BY community),
+       base AS (
+         SELECT s.community, s.size,
+                coalesce(p.internal_edges, 0) AS internal_edges,
+                coalesce(p.cut_edges, 0) AS cut_edges,
+                coalesce(p.internal_edges, 0) * 2 + coalesce(p.cut_edges, 0)
+                  AS volume,
+                t.two_m
+         FROM sizes s LEFT JOIN per p ON s.community = p.community
+         CROSS JOIN tot t)
+       SELECT community, size, internal_edges, cut_edges, volume,
+         round(CASE WHEN least(volume, two_m - volume) > 0
+           THEN CAST(cut_edges AS DOUBLE) / least(volume, two_m - volume)
+           ELSE 0.0 END, 6) AS conductance,
+         round(CASE WHEN size >= 2
+           THEN CAST(internal_edges * 2 AS DOUBLE) / (size * (size - 1))
+           ELSE 0.0 END, 6) AS internal_density
+       FROM base"""
 
   private val triVertexSqlOracle: String =
     s"""WITH $sqlGraphCte,
@@ -3551,6 +3605,7 @@ object SparkEntry {
     "cc_sql_graph" -> ccSqlOracle,
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "mod_sql_graph" -> modSqlOracle,
+    "community_profile_sql_graph" -> communityProfileSqlOracle,
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
     "louvain_sql_graph" -> louvainSqlOracle(2),
     "leiden_sql_graph" -> leidenSqlOracle(2),

@@ -148,6 +148,78 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** Per-community quality profile over an undirected graph and a
+    * community assignment: size, internal and cut edge counts, volume
+    * (Σ member degrees = 2·internal + cut), conductance
+    * cut / min(vol, 2m − vol) and internal density
+    * 2·internal / (size·(size−1)) — the report a GraphRAG layer runs
+    * after community detection to decide which communities are worth
+    * summarizing (dense, well-separated) vs artifacts (sparse, leaky).
+    *
+    * Labels must cover every edge endpoint (the [[graft.algo
+    * .Modularity]] convention — detection outputs always do); vertices
+    * carrying a label but no edge still profile with zero edges.
+    *
+    * Scale shape: two vertex-keyed label joins over the canonical pair
+    * form (the modularity join shape), one explode to ≤ 2 rows per
+    * edge, one map-side-combinable aggregation at community
+    * granularity, and a broadcast of the 1-row global total. All
+    * counts are exact BIGINTs; the two ratios are single fp divisions
+    * of exact integers (cross-engine bit parity), rounded to 6dp.
+    */
+  def communityProfile(symEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = undirectedPairs(symEdges)
+    val lab = labels.select(col("id"), col("community"))
+    val tagged = und
+      .join(lab.select(col("id").as("src"), col("community").as("ca")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("community").as("cb")),
+        Seq("dst"))
+    // internal edges credit their community once; cut edges credit
+    // both sides (so Σ cut counts each boundary edge twice globally)
+    val contrib = tagged.select(explode(
+      when(col("ca") === col("cb"), array(
+        struct(col("ca").as("community"),
+          lit(1L).as("internal"), lit(0L).as("cut"))))
+        .otherwise(array(
+          struct(col("ca").as("community"),
+            lit(0L).as("internal"), lit(1L).as("cut")),
+          struct(col("cb").as("community"),
+            lit(0L).as("internal"), lit(1L).as("cut"))))).as("x"))
+      .select(col("x.community").as("community"),
+        col("x.internal").as("internal"), col("x.cut").as("cut"))
+    val per = contrib.groupBy(col("community"))
+      .agg(sum(col("internal")).as("internal_edges"),
+        sum(col("cut")).as("cut_edges"))
+    // 2m = Σ vol; null (empty edge set) coalesces to 0
+    val tot = per.agg(coalesce(
+      sum(col("internal_edges") * 2 + col("cut_edges")), lit(0L)).as("two_m"))
+    val sizes = lab.groupBy(col("community")).agg(count(lit(1)).as("size"))
+
+    sizes
+      .join(per, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("size"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        col("two_m"))
+      .withColumn("volume", col("internal_edges") * 2 + col("cut_edges"))
+      .withColumn("conductance", {
+        val denom = least(col("volume"), col("two_m") - col("volume"))
+        round(when(denom > 0,
+          col("cut_edges").cast("double") / denom.cast("double"))
+          .otherwise(lit(0.0)), 6)
+      })
+      .withColumn("internal_density",
+        round(when(col("size") >= 2,
+          (col("internal_edges") * 2).cast("double") /
+            (col("size") * (col("size") - 1)).cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .select(col("community"), col("size"), col("internal_edges"),
+        col("cut_edges"), col("volume"), col("conductance"),
+        col("internal_density"))
+  }
+
   /** Directed-graph reciprocity: the fraction of edges whose reverse
     * also exists (Wasserman–Faust), plus the raw counts — how mutual
     * the link graph is. One self-semi-join on the swapped key; the

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphOps
+
+/** Community profile on the two-triangles-with-a-bridge fixture with a
+  * hand-assigned partition: every count, volume, conductance and
+  * density value computed by hand; an edge-free labeled vertex profiles
+  * with zeros.
+  */
+class CommunityProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hand-computed profile: counts, conductance, density, edge-free community") {
+    // triangles {1,2,3} and {5,6,7}, bridge 3-4-5, pendant 8 off 1
+    val sym = GraphOps.symmetrize(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (3L, 4L), (4L, 5L), (1L, 8L))
+      .toDF("src", "dst"))
+    // {1,2,3,4} -> 100, {5,6,7,8} -> 200, edge-free vertex 9 -> 300
+    val labels = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L,
+      5L -> 200L, 6L -> 200L, 7L -> 200L, 8L -> 200L, 9L -> 300L)
+      .toDF("id", "community")
+
+    val got = GraphOps.communityProfile(sym, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+
+    // m = 9, 2m = 18
+    // 100: internal (1,2)(1,3)(2,3)(3,4)=4, cut (4,5)(1,8)=2, vol 10,
+    //      conductance 2/min(10,8)=0.25, density 8/(4*3)=0.666667
+    assert(got(100L) == ((4L, 4L, 2L, 10L, 0.25, 0.666667)))
+    // 200: internal (5,6)(5,7)(6,7)=3, cut 2, vol 8,
+    //      conductance 2/min(8,10)=0.25, density 6/12=0.5
+    assert(got(200L) == ((4L, 3L, 2L, 8L, 0.25, 0.5)))
+    // 300: no edges at all
+    assert(got(300L) == ((1L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
+}
