@@ -209,6 +209,8 @@ object Bench {
         Triangles.clustering(spark, GraphOps.undirectedPairs(g.edges), P).count())
       bench("coreness")(
         algo.Coreness.run(spark, sym, numPartitions = P).count())
+      bench("trussness")(
+        algo.Trussness.run(spark, sym, numPartitions = P).count())
       bench("scan_cluster")(
         graph.Scan.run(spark, sym, epsNum = 2, epsDenom = 5, mu = 3,
           numPartitions = P).count())

@@ -965,6 +965,13 @@ object SparkEntry {
       graph.Scan.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         epsNum = 2, epsDenom = 5, mu = 3, numPartitions = parts(s, d))),
 
+    "trussness_sql_graph" -> ((s, d) =>
+      // per-edge truss level by the local h-index fixed point: one
+      // update round on this graph (τ = 2 for 2554 edges, 3 for the
+      // 1278-edge 3-truss — the same set the k=3 peel keeps)
+      algo.Trussness.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        numPartitions = parts(s, d))),
+
     "coreness_sql_graph" -> ((s, d) =>
       // full core-number decomposition by h-index refinement: the
       // fixture peels to coreness 1/2/3/4 = 19/72/659/749 vertices
@@ -3238,6 +3245,51 @@ object SparkEntry {
       .replace(" AS (", " AS MATERIALIZED (")
   }
 
+  /** DuckDB twin of [[graft.algo.Trussness]]: τ₀ = support + 2, then
+    * per round τ = 2 + h-index over min(partner τ) − 2 per triangle,
+    * via the same histogram + descending-cumulative identity as the
+    * coreness twin. State CTEs are joined twice per round →
+    * MATERIALIZED throughout. `rounds` ≥ rounds-to-fixed-point (the
+    * update is idempotent there; the fixture needs 1).
+    */
+  private def trussnessSqlOracle(rounds: Int): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                 FROM e),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM und e1 JOIN und e2 ON e1.v = e2.u
+                 JOIN und e3 ON e2.v = e3.v AND e1.u = e3.u),
+         inc AS (SELECT a AS eu, b AS ev, a AS pu, c AS pv, b AS qu, c AS qv
+                   FROM tri
+                 UNION ALL SELECT a, c, a, b, b, c FROM tri
+                 UNION ALL SELECT b, c, a, b, a, c FROM tri),
+         s0 AS (
+           SELECT und.u, und.v, CAST(coalesce(s.sup, 0) + 2 AS BIGINT) AS t
+           FROM und LEFT JOIN (SELECT eu AS u, ev AS v, count(*) AS sup
+                               FROM inc GROUP BY 1, 2) s USING (u, v))"""
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s""",
+         s$k AS (
+           SELECT und.u, und.v, CAST(coalesce(h.h + 2, 2) AS BIGINT) AS t
+           FROM und LEFT JOIN (
+             SELECT eu AS u, ev AS v, max(least(x, ge)) AS h FROM (
+               SELECT eu, ev, x,
+                      CAST(sum(cnt) OVER (PARTITION BY eu, ev ORDER BY x DESC)
+                           AS BIGINT) AS ge
+               FROM (SELECT i.eu, i.ev, least(p.t, q.t) - 2 AS x,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM inc i JOIN s$p p ON i.pu = p.u AND i.pv = p.v
+                                JOIN s$p q ON i.qu = q.u AND i.qv = q.v
+                     GROUP BY 1, 2, 3))
+             GROUP BY 1, 2) h ON und.u = h.u AND und.v = h.v)"""
+    }.mkString
+    s"""$head$steps
+       SELECT u AS src, v AS dst, t AS trussness FROM s$rounds"""
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -3615,6 +3667,7 @@ object SparkEntry {
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "scan_sql_graph" -> scanSqlOracle(2, 5, 3),
     "coreness_sql_graph" -> corenessSqlOracle(10),
+    "trussness_sql_graph" -> trussnessSqlOracle(2),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
     // longest path from any source = the Kahn peel round; the UNION
