@@ -965,6 +965,16 @@ object SparkEntry {
       graph.Scan.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         epsNum = 2, epsDenom = 5, mu = 3, numPartitions = parts(s, d))),
 
+    "neighbor_sample_sql_graph" -> ((s, d) => {
+      // deterministic 2-layer GraphSAGE sampling (fanouts 3 then 2)
+      // from the %20==0 seed vertices — congruential ranks replayed
+      // row-for-row by the DuckDB twin
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(20L)) === 0)
+      graph.NeighborSampling.sample(s, sym, seeds, Seq(3, 2), parts(s, d))
+    }),
+
     "trussness_sql_graph" -> ((s, d) =>
       // per-edge truss level by the local h-index fixed point: one
       // update round on this graph (τ = 2 for 2554 edges, 3 for the
@@ -3290,6 +3300,33 @@ object SparkEntry {
       .replace(" AS (", " AS MATERIALIZED (")
   }
 
+  /** DuckDB twin of [[graft.graph.NeighborSampling]]: the same
+    * layer-salted congruential rank, smallest-f pick via
+    * row_number() ordered by (rank, dst) — ties break identically to
+    * bounded_topk's (score desc, id asc).
+    */
+  private def neighborSampleSqlOracle(f1: Int, f2: Int): String = {
+    def layer(tag: String, frontier: String, f: Int, salt: Long) =
+      s"""c$tag AS (
+           SELECT s.src, s.dst,
+             ((s.src % 1000000007) * 1000003 + (s.dst % 1000000007) * 999979
+              + $salt) % 1000000007 AS r
+           FROM sym s JOIN $frontier fr ON s.src = fr.id),
+         p$tag AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+                    row_number() OVER (PARTITION BY src ORDER BY r, dst) AS rn
+             FROM c$tag)
+           WHERE rn <= $f)"""
+    s"""WITH $sqlGraphCte,
+       seeds AS (SELECT DISTINCT src AS id FROM sym WHERE src % 20 = 0),
+       ${layer("1", "seeds", f1, 12345L + 777L)},
+       f2 AS (SELECT DISTINCT dst AS id FROM p1),
+       ${layer("2", "f2", f2, 12345L + 777L * 2)}
+       SELECT 1 AS layer, src, dst FROM p1
+       UNION ALL SELECT 2, src, dst FROM p2"""
+  }
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -3668,6 +3705,7 @@ object SparkEntry {
     "scan_sql_graph" -> scanSqlOracle(2, 5, 3),
     "coreness_sql_graph" -> corenessSqlOracle(10),
     "trussness_sql_graph" -> trussnessSqlOracle(2),
+    "neighbor_sample_sql_graph" -> neighborSampleSqlOracle(3, 2),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
     // longest path from any source = the Kahn peel round; the UNION
