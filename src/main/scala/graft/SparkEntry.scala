@@ -975,6 +975,16 @@ object SparkEntry {
       graph.NeighborSampling.sample(s, sym, seeds, Seq(3, 2), parts(s, d))
     }),
 
+    "negative_sample_sql_graph" -> ((s, d) => {
+      // deterministic link-prediction negatives: 5 verified non-edges
+      // per %20==0 seed from 13 congruential domain probes
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(20L)) === 0)
+      graph.NeighborSampling.negativeSample(s, sym, seeds, k = 5,
+        numPartitions = parts(s, d))
+    }),
+
     "trussness_sql_graph" -> ((s, d) =>
       // per-edge truss level by the local h-index fixed point: one
       // update round on this graph (τ = 2 for 2554 edges, 3 for the
@@ -3327,6 +3337,36 @@ object SparkEntry {
        UNION ALL SELECT 2, src, dst FROM p2"""
   }
 
+  /** DuckDB twin of [[graft.graph.NeighborSampling.negativeSample]]:
+    * identical congruential domain probes, the same
+    * verify-and-keep-first-k pipeline via row_number over the probe
+    * index (probe indices are unique per (seed, dst) after the min-j
+    * collapse, so no ties exist to break).
+    */
+  private def negativeSampleSqlOracle(k: Int, pad: Int): String =
+    s"""WITH $sqlGraphCte,
+       verts AS (SELECT DISTINCT src AS id FROM sym),
+       dom AS (SELECT max(id) + 1 AS d FROM verts),
+       seeds AS (SELECT id AS src FROM verts WHERE id % 20 = 0),
+       probes AS (SELECT src, unnest(range(1, ${k + pad + 1})) AS j FROM seeds),
+       cand AS (
+         SELECT p.src, p.j,
+           ((p.src % 1000000007) * 1000003 + p.j * 999979 + 424243) % dom.d
+             AS dst
+         FROM probes p CROSS JOIN dom),
+       ok AS (
+         SELECT c.src, c.dst, min(c.j) AS j
+         FROM cand c
+         JOIN verts v ON c.dst = v.id
+         WHERE c.src <> c.dst
+           AND NOT EXISTS (SELECT 1 FROM sym e
+                           WHERE e.src = c.src AND e.dst = c.dst)
+         GROUP BY c.src, c.dst)
+       SELECT src, dst FROM (
+         SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY j) AS rn
+         FROM ok)
+       WHERE rn <= $k"""
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -3706,6 +3746,7 @@ object SparkEntry {
     "coreness_sql_graph" -> corenessSqlOracle(10),
     "trussness_sql_graph" -> trussnessSqlOracle(2),
     "neighbor_sample_sql_graph" -> neighborSampleSqlOracle(3, 2),
+    "negative_sample_sql_graph" -> negativeSampleSqlOracle(5, 8),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
     // longest path from any source = the Kahn peel round; the UNION

@@ -82,4 +82,50 @@ object NeighborSampling {
     }
     layers.reduce(_ unionAll _)
   }
+
+  /** Deterministic negative-edge sampling for link-prediction
+    * training: per seed vertex, up to `k` verified NON-neighbors. Each
+    * seed probes `k + pad` congruential candidates over the id domain
+    * [0, max_id]; probes that miss the vertex set, hit the seed
+    * itself, or collide with a real edge are discarded and the k
+    * lowest-probe-index survivors are kept — so the yield per seed is
+    * ≤ k and can fall short for near-complete vertices or tiny id
+    * domains (raise `pad` there). Dense ids (the normalizer's output
+    * convention) keep the miss rate near zero.
+    *
+    * Scale shape: one explode to (k+pad) rows per seed, one semi-join
+    * against the vertex set, one edge-keyed anti-join against the
+    * (symmetric) edge table, one [[bounded_topk]] — no global sort,
+    * no per-vertex arrays, all exchanges keyed on vertex/edge ids.
+    * Deterministic and engine-replayable (`negative_sample_sql_graph`).
+    */
+  def negativeSample(spark: SparkSession,
+                     symEdges: DataFrame,
+                     seeds: DataFrame,
+                     k: Int,
+                     pad: Int = 8,
+                     numPartitions: Int = 32): DataFrame = {
+    require(k > 0 && pad >= 0, s"need k > 0, pad >= 0; got k=$k pad=$pad")
+    val edges = symEdges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val verts = edges.select(col("src").as("id")).distinct()
+    val maxId = verts.agg(max(col("id"))).collect()(0).getLong(0)
+    val domain = maxId + 1L
+
+    val cand = seeds.select(col("id").as("src")).distinct()
+      .select(col("src"), explode(sequence(lit(1), lit(k + pad))).as("j"))
+      .select(col("src"), col("j"),
+        pmod(pmod(col("src"), lit(M)) * lit(A)
+          + col("j") * lit(B) + lit(424243L), lit(domain)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    cand
+      .join(verts.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+        Seq("dst"), "left_semi")
+      .join(edges.hint("shuffle_hash"), Seq("src", "dst"), "left_anti")
+      // distinct probe targets: two j's can alias to the same dst
+      .groupBy(col("src"), col("dst")).agg(min(col("j")).as("j"))
+      .groupBy(col("src"))
+      .agg(bounded_topk(-col("j").cast("double"), col("dst"), k).as("top"))
+      .select(col("src"), explode(col("top.id")).as("dst"))
+  }
 }

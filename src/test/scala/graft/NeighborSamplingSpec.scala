@@ -64,4 +64,32 @@ class NeighborSamplingSpec extends AnyFunSuite {
 
     out.unpersist(); sym.unpersist()
   }
+
+  test("negative samples: verified non-edges, capped, deterministic") {
+    val sym = fixture.cache()
+    val seeds = sym.select(col("src").as("id")).distinct()
+      .filter(pmod(col("id"), lit(10L)) === 0)
+    val neg = NeighborSampling.negativeSample(spark, sym, seeds, k = 4,
+      numPartitions = 4).cache()
+
+    // never a real edge, never a self-loop, always a known vertex
+    assert(neg.join(sym, Seq("src", "dst"), "left_semi").count() == 0)
+    assert(neg.filter(col("src") === col("dst")).count() == 0)
+    val verts = sym.select(col("src").as("dst")).distinct()
+    assert(neg.join(verts, Seq("dst"), "left_anti").count() == 0)
+
+    // at most k per seed, and only for seeds
+    val per = neg.groupBy(col("src")).agg(count(lit(1)).as("c"))
+    assert(per.filter(col("c") > 4).count() == 0)
+    assert(neg.select(col("src").as("id")).distinct()
+      .join(seeds, Seq("id"), "left_anti").count() == 0)
+
+    // bit-identical rerun
+    val again = NeighborSampling.negativeSample(spark, sym, seeds, k = 4,
+      numPartitions = 4)
+    assert(neg.count() == again.count()
+      && neg.unionAll(again).distinct().count() == neg.count())
+
+    neg.unpersist(); sym.unpersist()
+  }
 }
