@@ -481,6 +481,14 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    "cooccurrence_sql" -> ((s, d) =>
+      // relational→graph construction: users co-active in the same
+      // hour, hot hours (>50 actors) dropped per the cap discipline
+      GraphOps.coOccurrenceEdges(
+        s.read.parquet(t(d, "events"))
+          .withColumn("bucket", date_trunc("hour", col("ts"))),
+        "bucket", "user_id", maxBucket = 50)),
+
     // ── graph: corpus pipeline + iterative algorithms (G-1..G-7) ──
     "g1_semantic_edges" -> ((s, d) => {
       val g = graphFor(s, d)
@@ -3746,6 +3754,19 @@ object SparkEntry {
     "coreness_sql_graph" -> corenessSqlOracle(10),
     "trussness_sql_graph" -> trussnessSqlOracle(2),
     "neighbor_sample_sql_graph" -> neighborSampleSqlOracle(3, 2),
+    "cooccurrence_sql" ->
+      """WITH ba AS (
+           SELECT DISTINCT date_trunc('hour', ts) AS bucket, user_id AS actor
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         keep AS (
+           SELECT bucket FROM (SELECT bucket, count(*) AS s FROM ba
+                               GROUP BY bucket)
+           WHERE s BETWEEN 2 AND 50),
+         g AS (SELECT ba.bucket, ba.actor FROM ba JOIN keep USING (bucket))
+         SELECT l.actor AS src, r.actor AS dst,
+                CAST(count(*) AS BIGINT) AS weight
+         FROM g l JOIN g r ON l.bucket = r.bucket AND l.actor < r.actor
+         GROUP BY 1, 2""",
     "negative_sample_sql_graph" -> negativeSampleSqlOracle(5, 8),
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,

@@ -220,6 +220,45 @@ object GraphOps {
         col("internal_density"))
   }
 
+  /** Co-occurrence graph construction from an event-shaped frame: two
+    * actors are linked with weight = number of distinct buckets (time
+    * windows, documents, sessions, …) they share — the standard
+    * relational→graph step that turns an activity log into an edge
+    * table the link-graph algorithms can run on.
+    *
+    * The per-bucket self-join is the quadratic surface, so buckets
+    * larger than `maxBucket` are DROPPED, not expanded (the capped-LSH
+    * discipline): a bucket of size s yields s·(s−1)/2 pairs, and one
+    * hot bucket at 10⁶ actors would emit 5·10¹¹ rows — callers that
+    * need hot-bucket signal should bucket finer instead. Recall
+    * semantics: weights count only shared buckets of size ∈
+    * [2, maxBucket]; singleton buckets carry no pair signal at all.
+    *
+    * Scale shape: one distinct (bucket, actor) aggregation, one
+    * bucket-sized count + semi-join gate, one bucket-keyed self-join
+    * bounded by maxBucket² per key, one (a, b) pair aggregation
+    * (map-side combinable). Deterministic set algebra — the DuckDB
+    * twin (`cooccurrence_sql`) replays it exactly.
+    */
+  def coOccurrenceEdges(df: DataFrame,
+                        bucketCol: String,
+                        actorCol: String,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val ba = df.select(col(bucketCol).as("bucket"), col(actorCol).as("actor"))
+      .filter(col("bucket").isNotNull && col("actor").isNotNull)
+      .distinct()
+    val keep = ba.groupBy(col("bucket")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2 && col("s") <= maxBucket)
+      .select(col("bucket"))
+    val gated = ba.join(keep.hint("shuffle_hash"), Seq("bucket"), "left_semi")
+    gated.as("l")
+      .join(gated.as("r"), col("l.bucket") === col("r.bucket")
+        && col("l.actor") < col("r.actor"))
+      .groupBy(col("l.actor").as("src"), col("r.actor").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Directed-graph reciprocity: the fraction of edges whose reverse
     * also exists (Wasserman–Faust), plus the raw counts — how mutual
     * the link graph is. One self-semi-join on the swapped key; the

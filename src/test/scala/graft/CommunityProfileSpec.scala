@@ -38,4 +38,16 @@ class CommunityProfileSpec extends AnyFunSuite {
     // 300: no edges at all
     assert(got(300L) == ((1L, 0L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("co-occurrence edges: shared-bucket weights, hot bucket dropped") {
+    // b1 {1,2,3}, b2 {1,2}, b3 {1..5} over the cap, b4 {7} singleton
+    val ev = Seq(
+      ("b1", 1L), ("b1", 2L), ("b1", 3L), ("b1", 3L), // dup row collapses
+      ("b2", 1L), ("b2", 2L),
+      ("b3", 1L), ("b3", 2L), ("b3", 3L), ("b3", 4L), ("b3", 5L),
+      ("b4", 7L)).toDF("bucket", "actor")
+    val got = GraphOps.coOccurrenceEdges(ev, "bucket", "actor", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
 }
