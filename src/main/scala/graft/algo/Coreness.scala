@@ -37,6 +37,24 @@ import org.apache.spark.sql.functions._
   */
 object Coreness {
 
+  /** One h-index refinement round — exposed for the PlanSpec gate:
+    * the histogram aggregation must be map-side partial and the only
+    * window must partition by vertex over DISTINCT values (no
+    * collect_list / per-vertex arrays anywhere in the plan).
+    */
+  private[graft] def hIndexRound(e: DataFrame, state: DataFrame): DataFrame = {
+    val hist = e
+      .join(state.select(col("id").as("src"), col("c")).hint("shuffle_hash"),
+        Seq("src"))
+      .groupBy(col("dst").as("id"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val ge = sum(col("cnt")).over(
+      Window.partitionBy(col("id")).orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hist.select(col("id"), least(col("c"), ge).as("h"))
+      .groupBy(col("id")).agg(max(col("h")).as("c"))
+  }
+
   /** @param symEdges symmetrized undirected edges (both directions)
     * @return (id, coreness) for every non-isolated vertex
     */
@@ -60,19 +78,10 @@ object Coreness {
       // neighbor-value histogram: (vertex, value) → count. Equal values
       // collapse map-side, so the exchange is ≤ one row per (vertex,
       // distinct neighbor value) — far below edge scale on dense spots.
-      val hist = e
-        .join(state.select(col("id").as("src"), col("c")).hint("shuffle_hash"),
-          Seq("src"))
-        .groupBy(col("dst").as("id"), col("c"))
-        .agg(count(lit(1)).as("cnt"))
-      // cnt≥(c) over the ≤ kmax+1 distinct values, then the h-index
-      // identity h = max(min(c, cnt≥(c)))
-      val ge = sum(col("cnt")).over(
-        Window.partitionBy(col("id")).orderBy(col("c").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      val next = Superstep.freshCheckpoint(
-        hist.select(col("id"), least(col("c"), ge).as("h"))
-          .groupBy(col("id")).agg(max(col("h")).as("c")), eager = false)
+      // Then cnt≥(c) over the ≤ kmax+1 distinct values and the h-index
+      // identity h = max(min(c, cnt≥(c))). Shape pinned by PlanSpec.
+      val next = Superstep.freshCheckpoint(hIndexRound(e, state),
+        eager = false)
       changed = next.join(state.withColumnRenamed("c", "prev"), Seq("id"))
         .filter(col("c") =!= col("prev")).count()
       gc.tick()

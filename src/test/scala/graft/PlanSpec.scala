@@ -192,6 +192,33 @@ class PlanSpec extends AnyFunSuite {
       s"the dims-fold explode must partial-aggregate before the exchange:\n$phys")
   }
 
+  test("coreness h-index round: partial histogram agg, window over distinct values, no arrays") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val st = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("id", "c")
+    val round = graft.algo.Coreness.hIndexRound(e, st)
+    assert(logicalWindows(round) === 1,
+      "exactly one window: the distinct-value cumulative count")
+    val phys = round.queryExecution.executedPlan.toString
+    assert(!phys.contains("collect_list"),
+      s"h-index must not materialize neighbor arrays:\n$phys")
+    assert(phys.contains("partial_count"),
+      s"histogram agg must combine map-side:\n$phys")
+  }
+
+  test("negative sampling: bounded aggregate, no Window, no global sort") {
+    val sym = graft.graph.GraphOps.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst"))
+    val seeds = Seq(1L, 3L).toDF("id")
+    val neg = graft.graph.NeighborSampling.negativeSample(
+      spark, sym, seeds, k = 2, numPartitions = 4)
+    assert(logicalWindows(neg) === 0,
+      "per-seed keep must be the bounded aggregate, not a window rank")
+    val phys = neg.queryExecution.executedPlan.toString
+    assert(phys.contains("bounded_topk"), s"expected bounded_topk:\n$phys")
+    assert(!phys.toLowerCase.contains("globalsort") && !phys.contains("Sort ["),
+      s"no global sort may appear:\n$phys")
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     // own temp parquet, not the shared testdata file: another suite
     // caching the same read plan would substitute an InMemoryRelation
