@@ -211,6 +211,8 @@ object Bench {
         algo.Coreness.run(spark, sym, numPartitions = P).count())
       bench("trussness")(
         algo.Trussness.run(spark, sym, numPartitions = P).count())
+      bench("densest")(
+        algo.Densest.run(spark, sym, numPartitions = P).members.count())
       bench("scan_cluster")(
         graph.Scan.run(spark, sym, epsNum = 2, epsDenom = 5, mu = 3,
           numPartitions = P).count())

@@ -973,6 +973,18 @@ object SparkEntry {
       graph.Scan.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         epsNum = 2, epsDenom = 5, mu = 3, numPartitions = parts(s, d))),
 
+    "densest_sql_graph" -> ((s, d) => {
+      // densest-subgraph peel over the fixture graph plus a planted
+      // K25 (ids 2000..2024): round 1 wins at density 301/27 ≈ 11.1
+      // (the clique + its two densest circulant hangers-on)
+      val clique = s.range(25).select(col("id").as("a"))
+        .crossJoin(s.range(25).select(col("id").as("b")))
+        .filter(col("a") < col("b"))
+        .select((col("a") + 2000L).as("src"), (col("b") + 2000L).as("dst"))
+      algo.Densest.run(s, sqlGraphEdges(s).unionByName(clique),
+        numPartitions = parts(s, d)).members
+    }),
+
     "neighbor_sample_sql_graph" -> ((s, d) => {
       // deterministic 2-layer GraphSAGE sampling (fanouts 3 then 2)
       // from the %20==0 seed vertices — congruential ranks replayed
@@ -3375,6 +3387,38 @@ object SparkEntry {
          FROM ok)
        WHERE rn <= $k"""
 
+  /** DuckDB twin of [[graft.algo.Densest]] on the planted-K25 graph:
+    * two unrolled peel rounds (the engine's stats end there — round
+    * 1's keep set is empty), exact integer peel predicate
+    * d·4·n > 10·m, argmax density by cross-multiplication with ties
+    * to the earlier round, membership = the winning round's vertices.
+    */
+  private val densestSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       base AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+         UNION ALL
+         SELECT 2000 + a.i, 2000 + b.i
+         FROM range(25) a(i), range(25) b(i) WHERE a.i < b.i),
+       d0 AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS id FROM base UNION ALL SELECT v FROM base)
+              GROUP BY id),
+       mn0 AS (SELECT CAST(sum(d) // 2 AS BIGINT) AS m,
+                      CAST(count(*) AS BIGINT) AS n FROM d0),
+       keep0 AS (SELECT id FROM d0 CROSS JOIN mn0 WHERE d * 4 * n > 10 * m),
+       s1 AS (SELECT b.u, b.v FROM base b
+              JOIN keep0 k1 ON b.u = k1.id JOIN keep0 k2 ON b.v = k2.id),
+       d1 AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS id FROM s1 UNION ALL SELECT v FROM s1)
+              GROUP BY id),
+       mn1 AS (SELECT CAST(coalesce(sum(d), 0) // 2 AS BIGINT) AS m,
+                      CAST(count(*) AS BIGINT) AS n FROM d1),
+       best AS (SELECT CASE WHEN mn1.m * mn0.n > mn0.m * mn1.n THEN 1 ELSE 0
+                       END AS b
+                FROM mn0 CROSS JOIN mn1)
+       SELECT id FROM d0 CROSS JOIN best WHERE b = 0
+       UNION ALL SELECT id FROM d1 CROSS JOIN best WHERE b = 1"""
+
   /** Shared BM25 CTE chain (toks → dls → stats → p → tf → dfs →
     * scored) for the fulltext and hybrid oracles — ONE copy of the
     * Okapi constants / rounding / term list, so the two twins cannot
@@ -3768,6 +3812,7 @@ object SparkEntry {
          FROM g l JOIN g r ON l.bucket = r.bucket AND l.actor < r.actor
          GROUP BY 1, 2""",
     "negative_sample_sql_graph" -> negativeSampleSqlOracle(5, 8),
+    "densest_sql_graph" -> densestSqlOracle,
     "link_scores_sql_graph" -> linkScoresSqlOracle,
     "bipartite_proj_sql_graph" -> bipartiteProjSqlOracle,
     // longest path from any source = the Kahn peel round; the UNION
