@@ -608,6 +608,18 @@ object SparkEntry {
       GraphOps.communityProfile(sym, labels)
     }),
 
+    "assortativity_sql_graph" -> ((s, d) => {
+      // do same-community entities link to each other? Newman mixing
+      // over the LPA-3 partition, exact integers into one division
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val labels = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
+      GraphOps.attributeAssortativity(sym, labels)
+    }),
+
+    "rich_club_sql_graph" -> ((s, d) =>
+      // hub-club density per degree level; histogram-sized quadratic
+      GraphOps.richClub(GraphOps.symmetrize(sqlGraphEdges(s)))),
+
     "modrefine_sql_graph" -> ((s, d) => {
       // Louvain-style local-move refinement of the LPA-3 partition,
       // exactly two direction-gated rounds — integer-score argmax replayed
@@ -2094,6 +2106,60 @@ object SparkEntry {
            THEN CAST(internal_edges * 2 AS DOUBLE) / (size * (size - 1))
            ELSE 0.0 END, 6) AS internal_density
        FROM base"""
+
+  /** DuckDB twin of [[GraphOps.attributeAssortativity]] over the LPA-3
+    * labels: r = (4m·same − Σvol²)/(4m² − Σvol²), single division.
+    */
+  private val assortativitySqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e),
+       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
+       canon AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
+       lab AS (SELECT l.id, c.community FROM l3 l JOIN canon c ON l.label = c.label),
+       j AS (SELECT a.community AS ca, b.community AS cb
+             FROM und JOIN lab a ON und.u = a.id JOIN lab b ON und.v = b.id),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                      CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+                        AS same
+               FROM j),
+       vol AS (SELECT CAST(sum(v * v) AS HUGEINT) AS s2 FROM (
+                 SELECT c, CAST(count(*) AS BIGINT) AS v FROM (
+                   SELECT ca AS c FROM j UNION ALL SELECT cb FROM j)
+                 GROUP BY c))
+       SELECT m, same,
+         round(CASE WHEN 4 * m * m - s2 <> 0
+           THEN CAST(4 * m * same - s2 AS DOUBLE)
+                / CAST(4 * m * m - s2 AS DOUBLE)
+           END, 6) AS assortativity
+       FROM agg CROSS JOIN vol"""
+
+  /** DuckDB twin of [[GraphOps.richClub]]: histograms over distinct
+    * degree values, strict > k cumulations, one division per level.
+    */
+  private val richClubSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e),
+       deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                 SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+               GROUP BY id),
+       dh AS (SELECT degree AS d, CAST(count(*) AS BIGINT) AS cv FROM deg
+              GROUP BY degree),
+       mh AS (SELECT d, CAST(count(*) AS BIGINT) AS ce FROM (
+                SELECT least(a.degree, b.degree) AS d
+                FROM und JOIN deg a ON und.u = a.id JOIN deg b ON und.v = b.id)
+              GROUP BY d),
+       ks AS (SELECT d AS k FROM dh),
+       nk AS (SELECT k, CAST(coalesce(sum(cv), 0) AS BIGINT) AS n_k
+              FROM ks LEFT JOIN dh ON dh.d > ks.k GROUP BY k),
+       ek AS (SELECT k, CAST(coalesce(sum(ce), 0) AS BIGINT) AS e_k
+              FROM ks LEFT JOIN mh ON mh.d > ks.k GROUP BY k)
+       SELECT nk.k, n_k, e_k,
+         round(CAST(e_k * 2 AS DOUBLE) / CAST(n_k * (n_k - 1) AS DOUBLE), 6)
+           AS phi
+       FROM nk JOIN ek ON nk.k = ek.k
+       WHERE n_k >= 2"""
 
   private val triVertexSqlOracle: String =
     s"""WITH $sqlGraphCte,
@@ -3787,6 +3853,8 @@ object SparkEntry {
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,
+    "assortativity_sql_graph" -> assortativitySqlOracle,
+    "rich_club_sql_graph" -> richClubSqlOracle,
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
     "louvain_sql_graph" -> louvainSqlOracle(2),
     "leiden_sql_graph" -> leidenSqlOracle(2),

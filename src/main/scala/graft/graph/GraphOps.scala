@@ -259,6 +259,80 @@ object GraphOps {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** Categorical (attribute) assortativity — Newman 2003 mixing: with
+    * e_ij the fraction of directed edge ends from label i to label j
+    * (both orientations of each undirected edge) and a_i = Σ_j e_ij,
+    *
+    *   r = (Σ e_ii − Σ a_i²) / (1 − Σ a_i²)
+    *
+    * computed from exact integers: same-label edge-end count, total
+    * edge-end count M = 2m, and per-label volumes (Σ member degrees);
+    * r = (same·M − Σ vol²) / (M² − Σ vol²) as ONE fp division of two
+    * DECIMAL(38) values (vol² passes 2⁶³ at link-graph scale). The
+    * "do entities of the same type actually link to each other"
+    * diagnostic. Labels must cover every edge endpoint.
+    *
+    * Scale shape: the modularity join (two vertex-keyed label joins
+    * over canonical pairs), one label-grain volume aggregation, two
+    * 1-row aggregates. r = 1 for perfect mixing-by-label, 0 for
+    * random, < 0 for disassortative; undefined (null) when every
+    * endpoint shares one label.
+    */
+  def attributeAssortativity(symEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = undirectedPairs(symEdges)
+    val lab = labels.select(col("id"), col("community"))
+    val tagged = und
+      .join(lab.select(col("id").as("src"), col("community").as("ca")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("community").as("cb")), Seq("dst"))
+    val agg = tagged.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("same"))
+    // per-label volume = degree mass: each edge end credits its label
+    val vol = tagged.select(col("ca").as("c")).unionAll(tagged.select(col("cb")))
+      .groupBy(col("c")).agg(count(lit(1)).as("v"))
+      .agg(sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
+    // r = (4m·same − Σvol²) / (4m² − Σvol²); den = 0 ⟺ single label
+    val num = (col("same").cast("decimal(38,0)") * 4 * col("m") - col("s2"))
+      .cast("double")
+    val den = (col("m").cast("decimal(38,0)") * 4 * col("m") - col("s2"))
+      .cast("double")
+    agg.crossJoin(vol).select(col("m"), col("same"),
+      round(when(den =!= 0.0, num / den), 6).as("assortativity"))
+  }
+
+  /** Rich-club coefficient per degree level (Zhou–Mondragón 2004):
+    * for each k in the graph's distinct degree values, N_k = vertices
+    * with degree > k, E_k = edges with BOTH endpoint degrees > k, and
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) — do the hubs form their own dense
+    * club? Exact integers plus one fp division per output row.
+    *
+    * Scale shape: one degree aggregation, one min-endpoint-degree edge
+    * pass, then two HISTOGRAMS over distinct degree values (D =
+    * O(√m) rows each) cross-compared — the quadratic piece is D²,
+    * histogram-sized, never m. Output rows where N_k < 2 are dropped
+    * (φ undefined).
+    */
+  def richClub(symEdges: DataFrame): DataFrame = {
+    val und = undirectedPairs(symEdges)
+    val deg = degrees(symEdges)
+    val degHist = deg.groupBy(col("degree").as("d")).agg(count(lit(1)).as("cv"))
+    val meHist = und
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), Seq("dst"))
+      .select(least(col("du"), col("dv")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("ce"))
+    val ks = degHist.select(col("d").as("k"))
+    val nk = ks.join(degHist, col("d") > col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("cv")), lit(0L)).as("n_k"))
+    val ek = ks.join(meHist, col("d") > col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("ce")), lit(0L)).as("e_k"))
+    nk.join(ek, Seq("k"))
+      .filter(col("n_k") >= 2)
+      .select(col("k"), col("n_k"), col("e_k"),
+        round((col("e_k") * 2).cast("double") /
+          (col("n_k") * (col("n_k") - 1)).cast("double"), 6).as("phi"))
+  }
+
   /** Directed-graph reciprocity: the fraction of edges whose reverse
     * also exists (Wasserman–Faust), plus the raw counts — how mutual
     * the link graph is. One self-semi-join on the swapped key; the

@@ -39,6 +39,28 @@ class CommunityProfileSpec extends AnyFunSuite {
     assert(got(300L) == ((1L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("attribute assortativity: two labeled triangles with one cross edge") {
+    // m = 7, same = 6, vols 7/7 → r = (4·7·6 − 98)/(4·49 − 98) = 70/98
+    val sym = GraphOps.symmetrize(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst"))
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 4L).toDF("id", "community")
+    val r = GraphOps.attributeAssortativity(sym, labels).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == math.rint(70.0 / 98.0 * 1e6) / 1e6)
+  }
+
+  test("rich club: K4 with two pendants, per-level club density") {
+    val sym = GraphOps.symmetrize(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 9L), (3L, 10L)).toDF("src", "dst"))
+    val got = GraphOps.richClub(sym).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // k=1: the K4 (4 vertices, 6 edges, φ=1); k=3: {3,4} with their
+    // edge (φ=1); k=4 dropped (no vertices above), singletons dropped
+    assert(got == Map(1L -> ((4L, 6L, 1.0)), 3L -> ((2L, 1L, 1.0))))
+  }
+
   test("co-occurrence edges: shared-bucket weights, hot bucket dropped") {
     // b1 {1,2,3}, b2 {1,2}, b3 {1..5} over the cap, b4 {7} singleton
     val ev = Seq(
