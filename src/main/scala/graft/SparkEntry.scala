@@ -608,6 +608,17 @@ object SparkEntry {
       GraphOps.communityProfile(sym, labels)
     }),
 
+    "lpa_seeded_sql_graph" -> ((s, d) => {
+      // semi-supervised label spreading: %20==0 seeds carry class
+      // id%3, 4 fixed synchronous rounds, hard-clamped seeds
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(20L)) === 0)
+        .select(col("id"), pmod(col("id"), lit(3L)).as("label"))
+      LabelPropagation.seeded(s, sym, seeds, rounds = 4,
+        numPartitions = parts(s, d))
+    }),
+
     "assortativity_sql_graph" -> ((s, d) => {
       // do same-community entities link to each other? Newman mixing
       // over the LPA-3 partition, exact integers into one division
@@ -2106,6 +2117,38 @@ object SparkEntry {
            THEN CAST(internal_edges * 2 AS DOUBLE) / (size * (size - 1))
            ELSE 0.0 END, 6) AS internal_density
        FROM base"""
+
+  /** DuckDB twin of [[graft.algo.LabelPropagation.seeded]]: clamped
+    * seeds, per round the labeled-neighbor mode with the engine's
+    * (max count, min label) tie-break encoded as c·10000 − label
+    * (labels < 10000). State CTEs feed both the next vote and the
+    * next update → MATERIALIZED.
+    */
+  private def lpaSeededSqlOracle(rounds: Int): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         verts AS (SELECT DISTINCT src AS id FROM sym),
+         sd AS (SELECT id, id % 3 AS label FROM verts WHERE id % 20 = 0),
+         st0 AS (SELECT v.id, sd.label AS seed_label, sd.label AS label
+                 FROM verts v LEFT JOIN sd USING (id))"""
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s""",
+         w$k AS (
+           SELECT v.dst AS id, arg_max(v.label, v.c * 10000 - v.label) AS label
+           FROM (SELECT s.dst, l.label, count(*) AS c
+                 FROM sym s JOIN st$p l ON s.src = l.id
+                 WHERE l.label IS NOT NULL
+                 GROUP BY s.dst, l.label) v
+           GROUP BY v.dst),
+         st$k AS (
+           SELECT p.id, p.seed_label,
+                  coalesce(p.seed_label, w.label, p.label) AS label
+           FROM st$p p LEFT JOIN w$k w ON p.id = w.id)"""
+    }.mkString
+    s"$head$steps SELECT id, label FROM st$rounds"
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
 
   /** DuckDB twin of [[GraphOps.attributeAssortativity]] over the LPA-3
     * labels: r = (4m·same − Σvol²)/(4m² − Σvol²), single division.
@@ -3854,6 +3897,7 @@ object SparkEntry {
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,
     "assortativity_sql_graph" -> assortativitySqlOracle,
+    "lpa_seeded_sql_graph" -> lpaSeededSqlOracle(4),
     "rich_club_sql_graph" -> richClubSqlOracle,
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
     "louvain_sql_graph" -> louvainSqlOracle(2),

@@ -86,4 +86,65 @@ object LabelPropagation {
     val out = labels.join(canon, Seq("label")).select(col("id"), col("community"))
     Result(out, step, converged)
   }
+
+  /** Seeded (semi-supervised) label spreading — Zhu–Ghahramani-style
+    * hard-clamp propagation: seed vertices keep their class forever,
+    * every other vertex synchronously adopts the MODE of its LABELED
+    * neighbors (ties → minimum label; keeps its current label when no
+    * neighbor is labeled yet). The node-classification primitive for
+    * spreading a small hand-labeled set (entity types, spam flags,
+    * language tags) over the link graph. Vertices unreachable from any
+    * seed stay null.
+    *
+    * Runs a FIXED number of synchronous rounds (the synchronous
+    * schedule can 2-cycle on bipartite frontiers, exactly like
+    * unseeded LPA — callers pick rounds ≈ graph diameter). Same
+    * per-round budget as [[run]]: one edges⨝state shuffle-hash join +
+    * one vote aggregation + one skinny update join; deterministic and
+    * engine-replayable (`lpa_seeded_sql_graph`).
+    *
+    * @param seeds (id, label) — the clamped class assignment
+    * @return (id, label) for every vertex of the graph (nullable)
+    */
+  def seeded(spark: SparkSession,
+             symEdges: DataFrame,
+             seeds: DataFrame,
+             rounds: Int,
+             numPartitions: Int = 32): DataFrame = Superstep.withoutAQE(spark) {
+    val e = symEdges.select(col("src"), col("dst"))
+      .repartition(numPartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col("id"), col("label"))
+
+    var labels = e.select(col("src").as("id")).distinct()
+      .join(sd.withColumnRenamed("label", "seed_label"), Seq("id"), "left")
+      .select(col("id"), col("seed_label"),
+        col("seed_label").as("label"))
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(true)
+
+    val gc = new Superstep.CheckpointGC(spark)
+    var r = 0
+    while (r < rounds) {
+      val votes = e
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("id").as("src"), col("label")).hint("shuffle_hash"),
+          Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes.groupBy(col("dst").as("id"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label")))
+          .as("newLabel"))
+      labels = labels.join(winner.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"), col("seed_label"),
+          coalesce(col("seed_label"), col("newLabel"), col("label"))
+            .as("label"))
+        .localCheckpoint(true)
+      gc.tick()
+      r += 1
+    }
+    e.unpersist()
+    gc.close()
+    labels.select(col("id"), col("label"))
+  }
 }

@@ -753,4 +753,23 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(bareBits > 4 * freshBits,
       s"expected compounding without the reset (got $bareBits vs $freshBits bits)")
   }
+
+  test("seeded label spreading: clamped path ends, min-label tie at the midpoint") {
+    import graft.algo.LabelPropagation
+    val sym = GraphOps.symmetrize(Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 4L), (6L, 7L)).toDF("src", "dst"))
+    val seeds = Seq((0L, 10L), (4L, 11L)).toDF("id", "label")
+    def run(rounds: Int) = LabelPropagation.seeded(spark, sym, seeds,
+      rounds, numPartitions = 4).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // round 2: 2 sees one vote for 10 and one for 11 -> tie -> min
+    // label; the disjoint edge 6-7 is unreachable from any seed -> null
+    assert(run(2) == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 11L,
+      4L -> 11L, 6L -> -1L, 7L -> -1L))
+    // round 3: synchronous recompute lets the boundary drift — vertex 3
+    // now ties between the newly-labeled 2 (10) and the seed 4 (11) and
+    // takes the min. The mode is a full recompute, not a freeze.
+    assert(run(3)(3L) == 10L)
+  }
 }
