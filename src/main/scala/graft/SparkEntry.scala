@@ -608,6 +608,13 @@ object SparkEntry {
       GraphOps.communityProfile(sym, labels)
     }),
 
+    "rectangles_sql_graph" -> ((s, d) => {
+      // exact global 4-cycle count via the diagonal identity
+      val n = Triangles.countRectangles(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))
+      s.createDataFrame(Seq(Tuple1(n))).toDF("rectangles")
+    }),
+
     "lpa_seeded_sql_graph" -> ((s, d) => {
       // semi-supervised label spreading: %20==0 seeds carry class
       // id%3, 4 fixed synchronous rounds, hard-clamped seeds
@@ -2117,6 +2124,21 @@ object SparkEntry {
            THEN CAST(internal_edges * 2 AS DOUBLE) / (size * (size - 1))
            ELSE 0.0 END, 6) AS internal_density
        FROM base"""
+
+  /** DuckDB twin of [[graft.algo.Triangles.countRectangles]]: wedge
+    * co-degree per pair, Σ cd·(cd−1) = 4·#C₄.
+    */
+  private val rectanglesSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e),
+       su AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+       codeg AS (SELECT l.b AS u, r.b AS w, CAST(count(*) AS BIGINT) AS cd
+                 FROM su l JOIN su r ON l.a = r.a AND l.b < r.b
+                 GROUP BY 1, 2)
+       SELECT CAST(coalesce(sum(cd * (cd - 1)), 0) // 4 AS BIGINT)
+         AS rectangles
+       FROM codeg"""
 
   /** DuckDB twin of [[graft.algo.LabelPropagation.seeded]]: clamped
     * seeds, per round the labeled-neighbor mode with the engine's
@@ -3898,6 +3920,7 @@ object SparkEntry {
     "community_profile_sql_graph" -> communityProfileSqlOracle,
     "assortativity_sql_graph" -> assortativitySqlOracle,
     "lpa_seeded_sql_graph" -> lpaSeededSqlOracle(4),
+    "rectangles_sql_graph" -> rectanglesSqlOracle,
     "rich_club_sql_graph" -> richClubSqlOracle,
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
     "louvain_sql_graph" -> louvainSqlOracle(2),

@@ -104,6 +104,46 @@ object Triangles {
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
 
+  /** Exact global 4-cycle (rectangle) count via the diagonal identity:
+    * every unordered vertex pair {u, w} with c common neighbors closes
+    * C(c, 2) four-cycles through them, and each 4-cycle has exactly
+    * two diagonal pairs, so #C₄ = ½ · Σ_{u<w} C(codeg(u,w), 2). The
+    * co-citation / co-purchase motif one step up from triangles —
+    * the bipartite-ish density signal triangles miss entirely.
+    *
+    * The wedge generation is Σ deg(c)² rows — inherently the same
+    * super-linear surface as `LinkScores` — so `maxCenterDegree`
+    * (0 = unlimited) drops super-hub CENTERS before the self-join,
+    * exactly the capped-wedge discipline of `LinkScores.recommend`
+    * (PLANS.md §6): cycles through dropped hubs are not counted, a
+    * documented recall trade, never a silent one. The (u, w) pair
+    * aggregation is map-side combinable; C(c,2) sums in BIGINT.
+    */
+  def countRectangles(spark: SparkSession, undirectedPairs: DataFrame,
+                      numPartitions: Int = 32,
+                      maxCenterDegree: Long = 0): Long = {
+    val pairs = undirectedPairs.select(col("src"), col("dst"))
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val centers =
+      if (maxCenterDegree <= 0) sym
+      else {
+        val ok = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+          .filter(col("d") <= maxCenterDegree).select(col("id"))
+        sym.join(ok.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          Seq("src"), "left_semi")
+      }
+    val cw = centers.select(col("src").as("c"), col("dst"))
+      .repartition(numPartitions, col("c"))
+    val codeg = cw.as("l").join(cw.as("r"),
+        col("l.c") === col("r.c") && col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("u"), col("r.dst").as("w"))
+      .agg(count(lit(1)).as("cd"))
+    // Σ cd·(cd−1) = 4·#C₄ exactly; DIV keeps the division integral
+    val row = codeg.agg(
+      expr("CAST(sum(cd * (cd - 1)) DIV 4 AS BIGINT)").as("c4")).first()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   /** Local clustering coefficient cc(v) = 2·T(v) / (d(v)·(d(v)−1))
     * (Watts–Strogatz) over the simple undirected graph; 0 for degree
     * < 2. One shared degree-oriented triangle enumeration + one degree

@@ -772,4 +772,20 @@ class AlgoFixtureSpec extends AnyFunSuite {
     // takes the min. The mode is a full recompute, not a freeze.
     assert(run(3)(3L) == 10L)
   }
+
+  test("rectangle count: C4, K4, C5, shared-edge squares, hub cap") {
+    import graft.algo.Triangles
+    def rect(e: Seq[(Long, Long)], cap: Long = 0) =
+      Triangles.countRectangles(spark,
+        GraphOps.undirectedPairs(e.toDF("src", "dst")), 4, cap)
+    assert(rect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == 1L) // C4
+    assert(rect(for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) == 3L) // K4
+    assert(rect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))) == 0L) // C5
+    // two squares sharing edge (3,4)
+    assert(rect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (3L, 5L), (5L, 6L), (6L, 4L))) == 2L)
+    // capping away the degree-3 centers (3 and 4) loses their cycles
+    assert(rect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (3L, 5L), (5L, 6L), (6L, 4L)), cap = 2) == 0L)
+  }
 }
