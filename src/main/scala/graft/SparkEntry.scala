@@ -1062,6 +1062,16 @@ object SparkEntry {
       algo.KCore.run(s, GraphOps.symmetrize(sqlGraphEdges(s)), k = 4,
         numPartitions = parts(s, d))),
 
+    "score_sql_graph" -> ((s, d) => {
+      // weighted s-core at s=8 over the deterministic 1+(u+v)%3
+      // weights: 9 peel rounds to a 692-vertex core — the "enough
+      // total evidence mass" filter for co-mention-weighted graphs
+      val we = sqlGraphEdges(s).withColumn("weight",
+        lit(1L) + pmod(col("src") + col("dst"), lit(3L)))
+      algo.KCore.sCore(s, GraphOps.symmetrizeWeighted(we), s = 8,
+        numPartitions = parts(s, d))
+    }),
+
     "leiden_sql_graph" -> ((s, d) => {
       // full Leiden: the Louvain move/aggregate loop PLUS the
       // connected-split refinement between them (Traag et al. 2019) —
@@ -2359,6 +2369,35 @@ object SparkEntry {
       .replace(" AS (", " AS MATERIALIZED (")
       // the graph CTEs e/sym predate the peel chain and are referenced
       // once each — MATERIALIZED is harmless there too
+  }
+
+  /** DuckDB twin of [[graft.algo.KCore.sCore]] at strength threshold
+    * `s` over the deterministic 1+(u+v)%3 weights: unrolled strength
+    * peel, bit-exact integer comparisons. `rounds` ≥ rounds-to-stable
+    * (extra rounds are no-ops at the fixed point; the fixture needs 9).
+    */
+  private def sCoreSqlOracle(s: Long, rounds: Int): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         ws0 AS (
+           SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+                  1 + (src + dst) % 3 AS w
+           FROM e WHERE src <> dst GROUP BY 1, 2, 3)"""
+    val steps = (0 until rounds).map { r =>
+      s""",
+         wt$r AS (SELECT id, CAST(sum(w) AS BIGINT) AS st FROM (
+                    SELECT src AS id, w FROM ws$r
+                    UNION ALL SELECT dst, w FROM ws$r) GROUP BY id),
+         wa$r AS (SELECT id FROM wt$r WHERE st >= $s),
+         ws${r + 1} AS (SELECT c.src, c.dst, c.w FROM ws$r c
+           JOIN wa$r x ON c.src = x.id JOIN wa$r y ON c.dst = y.id)"""
+    }.mkString
+    s"""$head$steps
+       SELECT id, CAST(sum(w) AS BIGINT) AS core_strength FROM (
+         SELECT src AS id, w FROM ws$rounds
+         UNION ALL SELECT dst, w FROM ws$rounds)
+       GROUP BY id"""
+      .replace(" AS (", " AS MATERIALIZED (")
   }
 
   /** BFS twin: capped recursive frontier expansion (the landmark
@@ -3926,6 +3965,7 @@ object SparkEntry {
     "louvain_sql_graph" -> louvainSqlOracle(2),
     "leiden_sql_graph" -> leidenSqlOracle(2),
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
+    "score_sql_graph" -> sCoreSqlOracle(8, 10),
     "ppr_sql_graph" -> pprSqlOracle(5),
     "sweep_cut_sql_graph" -> sweepSqlOracle(64),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),

@@ -788,4 +788,19 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(rect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
       (3L, 5L), (5L, 6L), (6L, 4L)), cap = 2) == 0L)
   }
+
+  test("weighted s-core: strength peel keeps the evidence-heavy core") {
+    import graft.algo.KCore
+    // triangle {1,2,3} with weight-2 edges (strength 4 each) plus a
+    // weight-1 pendant 9 on vertex 1 (strength 1; lifts 1 to 5)
+    val we = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L), (1L, 9L, 1L))
+      .toDF("src", "dst", "weight")
+    val sym = GraphOps.symmetrizeWeighted(we)
+    val got = KCore.sCore(spark, sym, s = 4, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pendant dies (1 < 4); the triangle stands at within-core strength 4
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
+    // s = 6 cascades: nobody reaches 6 once the pendant is gone
+    assert(KCore.sCore(spark, sym, s = 6, numPartitions = 4).count() == 0)
+  }
 }
