@@ -1062,6 +1062,15 @@ object SparkEntry {
       algo.KCore.run(s, GraphOps.symmetrize(sqlGraphEdges(s)), k = 4,
         numPartitions = parts(s, d))),
 
+    "graph_diff_sql" -> ((s, d) =>
+      // edge change-feed between two deterministic ingestion runs
+      GraphOps.snapshotDiff(sqlGraphEdges(s), sqlGraphEdgesV2(s))),
+
+    "graph_diff_degree_sql" -> ((s, d) =>
+      // per-vertex degree movement implied by the same diff
+      GraphOps.degreeDelta(
+        GraphOps.snapshotDiff(sqlGraphEdges(s), sqlGraphEdgesV2(s)))),
+
     "score_sql_graph" -> ((s, d) => {
       // weighted s-core at s=8 over the deterministic 1+(u+v)%3
       // weights: 9 peel rounds to a 692-vertex core — the "enough
@@ -1667,6 +1676,20 @@ object SparkEntry {
       r.select(col("a").as("src"),
         pmod(col("a") + lit(4L) * (pmod(col("a"), lit(m)) + c), lit(SqlGraphV)).as("dst"))
     rule(7, 1).unionAll(rule(11, 3)).unionAll(rule(13, 5))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** The "next ingestion run" snapshot for the diff queries: rule
+    * (13, 5) retired, rule (5, 2) introduced — same filter, same
+    * vertex domain, deterministic in both engines.
+    */
+  private def sqlGraphEdgesV2(s: SparkSession): DataFrame = {
+    val r = s.range(SqlGraphV).select(col("id").as("a"))
+      .filter(pmod(col("a"), lit(10L)) =!= 0)
+    def rule(m: Long, c: Long): DataFrame =
+      r.select(col("a").as("src"),
+        pmod(col("a") + lit(4L) * (pmod(col("a"), lit(m)) + c), lit(SqlGraphV)).as("dst"))
+    rule(7, 1).unionAll(rule(11, 3)).unionAll(rule(5, 2))
       .filter(col("src") =!= col("dst")).distinct()
   }
 
@@ -2399,6 +2422,47 @@ object SparkEntry {
        GROUP BY id"""
       .replace(" AS (", " AS MATERIALIZED (")
   }
+
+  /** Shared before/after snapshot CTEs + the edge-status diff for the
+    * graph_diff twins (after = rules {7,1},{11,3},{5,2}).
+    */
+  private val graphDiffCtesSql: String =
+    s"""WITH $sqlGraphCte,
+       e2 AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT i AS src, (i + 4*((i % 7) + 1)) % 1500 AS dst
+             FROM range(1500) t(i) WHERE i % 10 <> 0
+           UNION ALL SELECT i, (i + 4*((i % 11) + 3)) % 1500
+             FROM range(1500) t(i) WHERE i % 10 <> 0
+           UNION ALL SELECT i, (i + 4*((i % 5) + 2)) % 1500
+             FROM range(1500) t(i) WHERE i % 10 <> 0
+         ) WHERE src <> dst),
+       ub AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+              FROM e),
+       ua AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+              FROM e2),
+       diff AS (
+         SELECT coalesce(ub.src, ua.src) AS src,
+                coalesce(ub.dst, ua.dst) AS dst,
+                CASE WHEN ub.src IS NOT NULL AND ua.src IS NOT NULL
+                       THEN 'kept'
+                     WHEN ua.src IS NOT NULL THEN 'added'
+                     ELSE 'removed' END AS status
+         FROM ub FULL OUTER JOIN ua
+           ON ub.src = ua.src AND ub.dst = ua.dst)"""
+
+  private val graphDiffSqlOracle: String =
+    s"$graphDiffCtesSql SELECT src, dst, status FROM diff"
+
+  private val graphDiffDegreeSqlOracle: String =
+    s"""$graphDiffCtesSql
+       SELECT id, CAST(sum(d) AS BIGINT) AS delta FROM (
+         SELECT src AS id, CASE WHEN status = 'added' THEN 1 ELSE -1 END AS d
+         FROM diff WHERE status <> 'kept'
+         UNION ALL
+         SELECT dst, CASE WHEN status = 'added' THEN 1 ELSE -1 END
+         FROM diff WHERE status <> 'kept')
+       GROUP BY id HAVING sum(d) <> 0"""
 
   /** BFS twin: capped recursive frontier expansion (the landmark
     * eccentricity is 18 on this graph, so the 40-hop cap only bounds
@@ -3966,6 +4030,8 @@ object SparkEntry {
     "leiden_sql_graph" -> leidenSqlOracle(2),
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
     "score_sql_graph" -> sCoreSqlOracle(8, 10),
+    "graph_diff_sql" -> graphDiffSqlOracle,
+    "graph_diff_degree_sql" -> graphDiffDegreeSqlOracle,
     "ppr_sql_graph" -> pprSqlOracle(5),
     "sweep_cut_sql_graph" -> sweepSqlOracle(64),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),

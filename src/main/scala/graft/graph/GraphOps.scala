@@ -333,6 +333,34 @@ object GraphOps {
           (col("n_k") * (col("n_k") - 1)).cast("double"), 6).as("phi"))
   }
 
+  /** Edge-level diff between two graph snapshots: each canonical
+    * undirected pair is `kept`, `added` (only in `after`) or
+    * `removed` (only in `before`) — the change-feed a link-graph
+    * layer emits between ingestion runs (what did this commit batch
+    * do to the dependency graph?). ONE full-outer join on the edge
+    * key; both sides shuffle once on (src, dst).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = undirectedPairs(before).withColumn("in_b", lit(1))
+    val a = undirectedPairs(after).withColumn("in_a", lit(1))
+    b.join(a, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        when(col("in_b").isNotNull && col("in_a").isNotNull, lit("kept"))
+          .when(col("in_a").isNotNull, lit("added"))
+          .otherwise(lit("removed")).as("status"))
+  }
+
+  /** Per-vertex degree delta from a [[snapshotDiff]] frame: +1 per
+    * incident added edge, −1 per removed, zero-delta vertices
+    * dropped. One explode + one map-side-combinable aggregation.
+    */
+  def degreeDelta(diff: DataFrame): DataFrame =
+    diff.filter(col("status") =!= "kept")
+      .select(explode(array(col("src"), col("dst"))).as("id"),
+        when(col("status") === "added", 1L).otherwise(-1L).as("d"))
+      .groupBy(col("id")).agg(sum(col("d")).as("delta"))
+      .filter(col("delta") =!= 0)
+
   /** Directed-graph reciprocity: the fraction of edges whose reverse
     * also exists (Wasserman–Faust), plus the raw counts — how mutual
     * the link graph is. One self-semi-join on the swapped key; the

@@ -72,4 +72,18 @@ class CommunityProfileSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
   }
+
+  test("snapshot diff + degree delta: added/kept/removed, orientation-proof") {
+    val before = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val after = Seq((3L, 2L), (3L, 4L), (4L, 5L)).toDF("src", "dst") // (3,2) flipped
+    val diff = GraphOps.snapshotDiff(before, after)
+    val got = diff.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == Map((1L, 2L) -> "removed", (2L, 3L) -> "kept",
+      (3L, 4L) -> "kept", (4L, 5L) -> "added"))
+    val delta = GraphOps.degreeDelta(diff).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 nets to zero and is dropped
+    assert(delta == Map(1L -> -1L, 2L -> -1L, 4L -> 1L, 5L -> 1L))
+  }
 }
