@@ -1062,6 +1062,15 @@ object SparkEntry {
       algo.KCore.run(s, GraphOps.symmetrize(sqlGraphEdges(s)), k = 4,
         numPartitions = parts(s, d))),
 
+    "ari_sql_graph" -> ((s, d) => {
+      // partition agreement: how much does the LPA partition
+      // consolidate between round 1 and round 3 (exact-integer ARI)
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val one = LabelPropagation.run(s, sym, parts(s, d), maxIter = 1).labels
+      val three = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
+      algo.PartitionCompare.ari(one, three)
+    }),
+
     "graph_diff_sql" -> ((s, d) =>
       // edge change-feed between two deterministic ingestion runs
       GraphOps.snapshotDiff(sqlGraphEdges(s), sqlGraphEdgesV2(s))),
@@ -2422,6 +2431,43 @@ object SparkEntry {
        GROUP BY id"""
       .replace(" AS (", " AS MATERIALIZED (")
   }
+
+  /** DuckDB twin of [[graft.algo.PartitionCompare.ari]] between the
+    * LPA-1 and LPA-3 partitions (both canonicalized to min member
+    * id): doubled pair counts A/a/b in HUGEINT, the fraction-free
+    * closed form 2(N·A − ab)/(N(a+b) − 2ab), one double division.
+    */
+  private val ariSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
+       cn1 AS (SELECT label, min(id) AS community FROM l1 GROUP BY label),
+       p1 AS (SELECT l.id, c.community AS c1 FROM l1 l
+              JOIN cn1 c ON l.label = c.label),
+       cn3 AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
+       p3 AS (SELECT l.id, c.community AS c2 FROM l3 l
+              JOIN cn3 c ON l.label = c.label),
+       cont AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS nij
+                FROM p1 JOIN p3 USING (id) GROUP BY c1, c2),
+       cells AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+                        CAST(sum(nij * (nij - 1)) AS HUGEINT) AS pb2
+                 FROM cont),
+       ag AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS pl2 FROM (
+                SELECT CAST(sum(nij) AS BIGINT) AS t FROM cont GROUP BY c1)),
+       bg AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS pr2 FROM (
+                SELECT CAST(sum(nij) AS BIGINT) AS t FROM cont GROUP BY c2))
+       SELECT n,
+         CAST(pb2 // 2 AS BIGINT) AS pairs_both,
+         CAST(pl2 // 2 AS BIGINT) AS pairs_left,
+         CAST(pr2 // 2 AS BIGINT) AS pairs_right,
+         round(CASE
+           WHEN CAST(n AS HUGEINT) * (n - 1) * (pl2 + pr2) - 2 * pl2 * pr2 <> 0
+             THEN CAST(2 * (CAST(n AS HUGEINT) * (n - 1) * pb2 - pl2 * pr2)
+                       AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * (n - 1) * (pl2 + pr2)
+                         - 2 * pl2 * pr2 AS DOUBLE)
+           WHEN pb2 = pl2 AND pl2 = pr2 THEN 1.0
+           END, 6) AS ari
+       FROM cells CROSS JOIN ag CROSS JOIN bg"""
 
   /** Shared before/after snapshot CTEs + the edge-status diff for the
     * graph_diff twins (after = rules {7,1},{11,3},{5,2}).
@@ -4031,6 +4077,7 @@ object SparkEntry {
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
     "score_sql_graph" -> sCoreSqlOracle(8, 10),
     "graph_diff_sql" -> graphDiffSqlOracle,
+    "ari_sql_graph" -> ariSqlOracle,
     "graph_diff_degree_sql" -> graphDiffDegreeSqlOracle,
     "ppr_sql_graph" -> pprSqlOracle(5),
     "sweep_cut_sql_graph" -> sweepSqlOracle(64),

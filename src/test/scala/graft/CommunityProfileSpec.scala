@@ -86,4 +86,24 @@ class CommunityProfileSpec extends AnyFunSuite {
     // 3 nets to zero and is dropped
     assert(delta == Map(1L -> -1L, 2L -> -1L, 4L -> 1L, 5L -> 1L))
   }
+
+  test("adjusted Rand index: hand-computed, relabel-invariant, degenerate") {
+    import graft.algo.PartitionCompare
+    def part(m: (Long, Long)*) = m.toSeq.toDF("id", "community")
+    // P1 = {1,2,3},{4,5,6}; P2 = {1,2},{3,4,5,6}:
+    // ARI = 2(30*8 - 12*14)/(30*26 - 2*12*14) = 144/444
+    val p1 = part(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val p2 = part(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L)
+    val r = PartitionCompare.ari(p1, p2).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 4L
+      && r.getLong(2) == 6L && r.getLong(3) == 7L)
+    assert(r.getDouble(4) == math.rint(144.0 / 444.0 * 1e6) / 1e6)
+    // same clustering under different label names -> 1
+    val p2r = part(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 7L, 5L -> 7L, 6L -> 7L)
+    assert(PartitionCompare.ari(p1, p2r).collect()(0).getDouble(4) == 1.0)
+    // degenerate: both one cluster -> denominator 0, perfect -> 1
+    val all1 = part((1L to 6L).map(_ -> 1L): _*)
+    val all2 = part((1L to 6L).map(_ -> 2L): _*)
+    assert(PartitionCompare.ari(all1, all2).collect()(0).getDouble(4) == 1.0)
+  }
 }
