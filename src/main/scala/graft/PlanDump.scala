@@ -92,6 +92,22 @@ object PlanDump {
           .queryExecution.executedPlan.toString
       }
     }
+    // ── round-3 final: h-index round + bounded sampling ──
+    Superstep.withoutAQE(spark) {
+      val e = (0L until 60L).map(i => (i, (i + 1) % 60)).toDF("src", "dst")
+        .repartition(4, col("src"))
+      val st = (0L until 60L).map(i => (i, 2L)).toDF("id", "c")
+      dump("Coreness.hIndexRound (histogram + distinct-value window)") {
+        graft.algo.Coreness.hIndexRound(e, st)
+          .queryExecution.executedPlan.toString
+      }
+      val sym = graft.graph.GraphOps.symmetrize(e)
+      dump("NeighborSampling.negativeSample (bounded_topk keep)") {
+        graft.graph.NeighborSampling.negativeSample(spark, sym,
+          (0L until 60L by 10L).toDF("id"), k = 3, numPartitions = 4)
+          .queryExecution.executedPlan.toString
+      }
+    }
     spark.stop()
   }
   // scalastyle:on println
