@@ -77,4 +77,38 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     assert(r.modularity >= qLpa - 1e-9,
       s"refined modularity ${r.modularity} < LPA $qLpa")
   }
+
+  test("round-3-final ops compose on real pipeline output") {
+    import graft.algo.{Coreness, PartitionCompare}
+    import graft.graph.Scan
+    val corpus = CorpusGen.corpus(spark, 120L)
+    val r = Pipeline.run(spark, corpus, numPartitions = 8)
+    val g = GraphOps.semanticGraph(r.snapshot)
+    val sym = GraphOps.symmetrize(g.edges).localCheckpoint(true)
+    val nVerts = sym.select(col("src")).distinct().count()
+
+    // coreness covers every non-isolated vertex, max >= 1
+    val core = Coreness.run(spark, sym, numPartitions = 8).cache()
+    assert(core.count() == nVerts)
+    assert(core.agg(max(col("coreness"))).first().getLong(0) >= 1L)
+
+    // community profile over the pipeline's own communities: volumes
+    // must sum to 2m and every community must appear
+    val prof = GraphOps.communityProfile(sym, r.communities
+      .select(col("id"), col("community"))).cache()
+    val m = GraphOps.undirectedPairs(sym).count()
+    assert(prof.agg(sum(col("volume"))).first().getLong(0) == 2 * m)
+    assert(prof.count() == r.communities.select(col("community")).distinct().count())
+
+    // SCAN assigns every vertex exactly one role
+    val roles = Scan.run(spark, sym, epsNum = 2, epsDenom = 5, mu = 3,
+      numPartitions = 8)
+    assert(roles.count() == nVerts)
+    assert(roles.select(col("id")).distinct().count() == nVerts)
+
+    // ARI of the partition with itself is exactly 1
+    val self = PartitionCompare.ari(r.communities, r.communities).first()
+    assert(self.getDouble(4) == 1.0)
+    core.unpersist(); prof.unpersist()
+  }
 }
