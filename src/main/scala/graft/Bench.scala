@@ -222,6 +222,19 @@ object Bench {
         algo.Katz.run(spark, g.edges, P, tol = 0.0, maxIter = 10).scores.count())
       bench("recommend")(
         graph.LinkScores.recommend(spark, sym, P, minCommon = 2).count())
+      bench("eigenvector")(
+        algo.Eigenvector.run(spark, sym, P, tol = 0.0, maxIter = 10)
+          .scores.count())
+      bench("salsa")(
+        algo.Salsa.run(spark, g.edges, P, tol = 0.0, maxIter = 10)
+          .scores.count())
+      bench("cliques4")(
+        Triangles.countCliques4(spark, GraphOps.undirectedPairs(g.edges), P))
+      // tighter caps than the oracle query: the entity graph has
+      // co-mention hubs, and the pair universe is the cost driver
+      bench("simrank")(
+        algo.SimRank.run(spark, g.edges, maxIter = 5, numPartitions = P,
+          maxInDegree = 32, maxCenterOutDegree = 64).scores.count())
     }
 
     // round-3 late additions #2: priority-peel / forest / embedding ops

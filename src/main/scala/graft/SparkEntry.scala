@@ -780,6 +780,43 @@ object SparkEntry {
         round(col("auth"), 6).as("auth"))
     }),
 
+    "eigen_sql_graph" -> ((s, d) => {
+      // eigenvector centrality: undamped power iteration on the
+      // symmetrized graph, 5 fixed iterations, L2-normalized (sqrt is
+      // IEEE-exact in both engines), vs the unrolled twin
+      val r = algo.Eigenvector.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        numPartitions = parts(s, d), tol = 0.0, maxIter = 5)
+      r.scores.select(col("id"), round(col("eig"), 6).as("eig"))
+    }),
+
+    "salsa_sql_graph" -> ((s, d) => {
+      // SALSA: degree-normalized HITS (the Who-To-Follow ranker),
+      // 5 fixed iterations, L1-normalized, vs the unrolled twin
+      val r = algo.Salsa.run(s, sqlGraphEdges(s),
+        numPartitions = parts(s, d), tol = 0.0, maxIter = 5)
+      r.scores.select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+    }),
+
+    "clique4_sql_graph" -> ((s, d) => {
+      // exact global 4-clique count: triangle-list self-join on the
+      // shared oriented edge + corner-pair adjacency semi-join, vs the
+      // 6-way ordered join in DuckDB
+      val n = Triangles.countCliques4(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))
+      s.createDataFrame(Seq(Tuple1(n))).toDF("cliques4")
+    }),
+
+    "simrank_sql_graph" -> ((s, d) => {
+      // pruned-pair SimRank (C=0.75, 5 iters) over co-citation
+      // candidate pairs, vs the unrolled recurrence on the same
+      // pair universe with the same degree caps
+      val r = algo.SimRank.run(s, sqlGraphEdges(s), c = 0.75, maxIter = 5,
+        numPartitions = parts(s, d), maxInDegree = 64,
+        maxCenterOutDegree = 256)
+      r.scores.select(col("a"), col("b"), round(col("s"), 6).as("s"))
+    }),
+
     "walks_sql_graph" -> ((s, d) => {
       // DeepWalk corpus: 2 walks × 8 steps from the id%10==1 starts,
       // congruential step choice both engines replay row-for-row
@@ -2833,6 +2870,127 @@ object SparkEntry {
     chain.toString.replace(" AS (", " AS MATERIALIZED (")
   }
 
+  /** Eigenvector-centrality twin: one HITS phase per iteration on the
+    * symmetric graph — gather Σx over in-edges, left join the vertex
+    * set, L2-normalize (sqrt is IEEE-correctly-rounded in both
+    * engines, so the normalizer is exact given the same sums).
+    */
+  private def eigenSqlOracle(iters: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""WITH $sqlGraphCte,
+         vts AS (SELECT DISTINCT src AS id FROM sym),
+         x0 AS (SELECT id, 1.0 AS x FROM vts)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      chain.append(
+        s""",
+         xr$i AS (SELECT s.dst AS id, sum(x$p.x) AS xraw
+                  FROM sym s JOIN x$p ON x$p.id = s.src GROUP BY s.dst),
+         xf$i AS (SELECT v.id, COALESCE(r.xraw, 0.0) AS xraw
+                  FROM vts v LEFT JOIN xr$i r ON r.id = v.id),
+         n$i AS (SELECT sqrt(sum(xraw * xraw)) AS n FROM xf$i),
+         x$i AS (SELECT id, xraw / (SELECT n FROM n$i) AS x FROM xf$i)""")
+    }
+    chain.append(s"""
+         SELECT id, round(x, 6) AS eig FROM x$iters""")
+    chain.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** SALSA twin: the two degree-normalized chains unrolled, inverse
+    * degrees folded onto each edge up front exactly as Salsa.run does
+    * (same per-term products, same L1 normalizer placement).
+    */
+  private def salsaSqlOracle(iters: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""WITH $sqlGraphCte,
+         vts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         ind AS (SELECT dst AS id, 1.0 / count(*) AS inv_in FROM e GROUP BY dst),
+         outd AS (SELECT src AS id, 1.0 / count(*) AS inv_out FROM e GROUP BY src),
+         ew AS (SELECT e.src, e.dst, o.inv_out, i.inv_in
+                FROM e JOIN outd o ON o.id = e.src JOIN ind i ON i.id = e.dst),
+         s0 AS (SELECT id, 1.0 AS h, 1.0 AS a FROM vts)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      chain.append(
+        s""",
+         t$i AS (SELECT ew.src AS u, sum(s$p.a * ew.inv_in) AS t
+                 FROM ew JOIN s$p ON s$p.id = ew.dst GROUP BY ew.src),
+         arx$i AS (SELECT ew.dst AS id, sum(t$i.t * ew.inv_out) AS araw
+                   FROM ew JOIN t$i ON t$i.u = ew.src GROUP BY ew.dst),
+         ar$i AS (SELECT v.id, COALESCE(x.araw, 0.0) AS araw
+                  FROM vts v LEFT JOIN arx$i x ON x.id = v.id),
+         na$i AS (SELECT sum(araw) AS n FROM ar$i),
+         a$i AS (SELECT id, araw / (SELECT n FROM na$i) AS a FROM ar$i),
+         sx$i AS (SELECT ew.dst AS v, sum(s$p.h * ew.inv_out) AS s
+                  FROM ew JOIN s$p ON s$p.id = ew.src GROUP BY ew.dst),
+         hrx$i AS (SELECT ew.src AS id, sum(sx$i.s * ew.inv_in) AS hraw
+                   FROM ew JOIN sx$i ON sx$i.v = ew.dst GROUP BY ew.src),
+         hr$i AS (SELECT v.id, COALESCE(x.hraw, 0.0) AS hraw
+                  FROM vts v LEFT JOIN hrx$i x ON x.id = v.id),
+         nh$i AS (SELECT sum(hraw) AS n FROM hr$i),
+         s$i AS (SELECT h.id, h.hraw / (SELECT n FROM nh$i) AS h, a$i.a AS a
+                 FROM hr$i h JOIN a$i ON a$i.id = h.id)""")
+    }
+    chain.append(s"""
+         SELECT id, round(h, 6) AS hub, round(a, 6) AS auth FROM s$iters""")
+    chain.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** 4-clique twin: the direct 6-way ordered join a<b<c<d over the
+    * undirected edge set — every K₄ counted exactly once.
+    */
+  private val clique4SqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e)
+       SELECT count(*) AS cliques4
+       FROM und e1
+       JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+       JOIN und e3 ON e3.u = e1.u AND e3.v > e2.v
+       JOIN und e4 ON e4.u = e1.v AND e4.v = e2.v
+       JOIN und e5 ON e5.u = e1.v AND e5.v = e3.v
+       JOIN und e6 ON e6.u = e2.v AND e6.v = e3.v"""
+
+  /** SimRank twin: the same pruned pair universe (wedge centers
+    * outdeg ≤ 256, endpoints indeg ≤ 64), the same s(i,i) = 1 diagonal
+    * lookup, the same C/(|I(a)||I(b)|)·Σ recurrence unrolled.
+    */
+  private def simrankSqlOracle(iters: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""WITH $sqlGraphCte,
+         ind AS (SELECT dst AS id, count(*) AS ind FROM e GROUP BY dst),
+         outd AS (SELECT src AS id, count(*) AS outd FROM e GROUP BY src),
+         legs AS (SELECT e.src AS center, e.dst AS v, i.ind
+                  FROM e JOIN ind i ON i.id = e.dst
+                  WHERE i.ind <= 64
+                    AND e.src IN (SELECT id FROM outd WHERE outd <= 256)),
+         prs AS (SELECT DISTINCT l.v AS a, r.v AS b, l.ind AS ia, r.ind AS ib
+                 FROM legs l JOIN legs r ON l.center = r.center AND l.v < r.v),
+         ine AS (SELECT dst AS v, src AS n FROM e),
+         s0 AS (SELECT a, b, 0.0 AS s FROM prs)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      chain.append(
+        s""",
+         c$i AS (SELECT p.a, p.b, p.ia, p.ib,
+                   CASE WHEN x.n = y.n THEN 1.0
+                        ELSE COALESCE(sp.s, 0.0) END AS shat
+                 FROM prs p
+                 JOIN ine x ON x.v = p.a
+                 JOIN ine y ON y.v = p.b
+                 LEFT JOIN s$p sp ON sp.a = least(x.n, y.n)
+                                 AND sp.b = greatest(x.n, y.n)),
+         s$i AS (SELECT a, b, 0.75 / (ia * ib) * sum(shat) AS s
+                 FROM c$i GROUP BY a, b, ia, ib)""")
+    }
+    chain.append(s"""
+         SELECT a, b, round(s, 6) AS s FROM s$iters""")
+    chain.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Random-walk twin: the step choice is exact 64-bit integer
     * arithmetic (see RandomWalks.choice), so the recursive CTE replays
     * the walks row-for-row against the same dst-ordered rank index.
@@ -4192,6 +4350,10 @@ object SparkEntry {
            SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
          GROUP BY id""",
     "hits_sql_graph" -> hitsSqlOracle(5),
+    "eigen_sql_graph" -> eigenSqlOracle(5),
+    "salsa_sql_graph" -> salsaSqlOracle(5),
+    "clique4_sql_graph" -> clique4SqlOracle,
+    "simrank_sql_graph" -> simrankSqlOracle(5),
     "scc_sql_graph" -> sccSqlOracle,
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,
     "clustering_sql_graph" -> clusteringSqlOracle,

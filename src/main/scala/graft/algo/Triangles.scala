@@ -144,6 +144,48 @@ object Triangles {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Exact global 4-clique count — the motif one step up from
+    * [[countTriangles]] (K₄, the densest 4-vertex pattern; rectangles
+    * count the sparsest). Follows the k-clique listing scheme of
+    * Danisch, Balalau & Sozio ("Listing k-cliques in Sparse Real-World
+    * Graphs", WWW 2018) specialised to k = 4 on the degree-oriented
+    * DAG: every triangle appears exactly once as (u, v, w) with
+    * u ≺ v ≺ w in (degree, id) order, and a 4-clique {a≺b≺c≺d} is
+    * exactly one pair of triangles (a,b,c), (a,b,d) sharing their
+    * lowest oriented edge (a,b) whose third corners {c,d} are
+    * themselves adjacent. So: self-join the triangle list on the
+    * oriented edge, semi-join the corner pair against the edge set.
+    *
+    * The self-join emits C(t_e, 2) rows per oriented edge with t_e
+    * triangles; degree orientation bounds t_e ≤ |N⁺| = O(√m), and
+    * `maxEdgeTriangles` (0 = unlimited) drops hotter edges before the
+    * self-join — the same explicit recall trade as
+    * [[countRectangles]]'s center cap, never a silent truncation.
+    */
+  def countCliques4(spark: SparkSession, undirectedPairs: DataFrame,
+                    numPartitions: Int = 32,
+                    maxEdgeTriangles: Long = 0): Long = {
+    val tri = enumerate(undirectedPairs, numPartitions)
+      .repartition(numPartitions, col("u"), col("v"))
+    val kept =
+      if (maxEdgeTriangles <= 0) tri
+      else {
+        val ok = tri.groupBy(col("u"), col("v")).agg(count(lit(1)).as("t"))
+          .filter(col("t") <= maxEdgeTriangles).select(col("u"), col("v"))
+        tri.join(ok.hint("shuffle_hash"), Seq("u", "v"), "left_semi")
+      }
+    // out-lists are id-sorted, so l.w < r.w already enumerates each
+    // unordered corner pair once with a < b by id
+    val cand = kept.as("l").join(kept.as("r"),
+        col("l.u") === col("r.u") && col("l.v") === col("r.v") &&
+          col("l.w") < col("r.w"))
+      .select(col("l.w").as("a"), col("r.w").as("b"))
+    val und = undirectedPairs.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    cand.join(und.hint("shuffle_hash"), Seq("a", "b"), "left_semi").count()
+  }
+
   /** Local clustering coefficient cc(v) = 2·T(v) / (d(v)·(d(v)−1))
     * (Watts–Strogatz) over the simple undirected graph; 0 for degree
     * < 2. One shared degree-oriented triangle enumeration + one degree

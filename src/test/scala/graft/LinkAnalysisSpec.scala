@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.{Eigenvector, Salsa, SimRank, Triangles}
+import graft.graph.GraphOps
+
+/** Fixtures for the round-3 link-analysis additions: eigenvector
+  * centrality (power iteration), SALSA (degree-normalized HITS),
+  * 4-clique counting, and pruned-pair SimRank.
+  */
+class LinkAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def edges(pairs: (Long, Long)*): DataFrame = pairs.toDF("src", "dst")
+
+  // ───────────────────────── eigenvector ─────────────────────────
+
+  test("eigenvector: matches a dense same-arithmetic power iteration") {
+    // triangle {1,2,3} + pendant 4 on 3 — non-bipartite, so the
+    // iteration is well-behaved; compare 5 distributed rounds against
+    // a local replica with identical per-round arithmetic
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val sym = GraphOps.symmetrize(edges(und: _*))
+    val got = Eigenvector.run(spark, sym, numPartitions = 4, maxIter = 5)
+      .scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2) }
+    var x = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val raw = adj.map { case (v, ns) => v -> ns.map(x).sum }
+      val n = math.sqrt(raw.values.map(r => r * r).sum)
+      x = raw.map { case (v, r) => v -> r / n }
+    }
+    assert(got.keySet == x.keySet)
+    x.foreach { case (v, e) => assert(math.abs(got(v) - e) < 1e-12, s"v=$v") }
+  }
+
+  test("eigenvector: symmetric vertices get equal centrality at convergence") {
+    val sym = GraphOps.symmetrize(edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val r = Eigenvector.run(spark, sym, numPartitions = 4, tol = 1e-12,
+      maxIter = 200)
+    assert(r.converged)
+    val m = r.scores.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(m(1L) - m(2L)) < 1e-9)   // 1 and 2 are exchangeable
+    assert(m(3L) > m(1L) && m(1L) > m(4L))   // hub > triangle > pendant
+    assert(math.abs(m.values.map(v => v * v).sum - 1.0) < 1e-9) // unit L2
+  }
+
+  // ─────────────────────────── SALSA ───────────────────────────
+
+  test("salsa: stationary authority ∝ indeg, hub ∝ outdeg (connected support)") {
+    // hubs {1,2} and authorities {3,4,5}; the authority support graph
+    // is connected and aperiodic, so the chains converge to the
+    // degree distributions (Lempel & Moran §3.1)
+    val e = edges((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (2L, 5L))
+    val r = Salsa.run(spark, e, numPartitions = 4, tol = 1e-12, maxIter = 500)
+    assert(r.converged)
+    val m = r.scores.collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // auth: indeg 2,2,1 over total 5
+    assert(math.abs(m(3L)._2 - 0.4) < 1e-9)
+    assert(math.abs(m(4L)._2 - 0.4) < 1e-9)
+    assert(math.abs(m(5L)._2 - 0.2) < 1e-9)
+    // hub: outdeg 2,3 over total 5
+    assert(math.abs(m(1L)._1 - 0.4) < 1e-9)
+    assert(math.abs(m(2L)._1 - 0.6) < 1e-9)
+    // pure authorities have zero hub mass and vice versa
+    assert(m(3L)._1 == 0.0 && m(1L)._2 == 0.0)
+  }
+
+  // ───────────────────────── 4-cliques ─────────────────────────
+
+  def complete(n: Int): Seq[(Long, Long)] =
+    for { i <- 0 until n; j <- i + 1 until n } yield (i.toLong, j.toLong)
+
+  test("cliques4: K5 has 5, K4 has 1, C5 has 0") {
+    assert(Triangles.countCliques4(spark,
+      GraphOps.undirectedPairs(edges(complete(5): _*)), 4) == 5L)
+    assert(Triangles.countCliques4(spark,
+      GraphOps.undirectedPairs(edges(complete(4): _*)), 4) == 1L)
+    val c5 = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong))
+    assert(Triangles.countCliques4(spark,
+      GraphOps.undirectedPairs(edges(c5: _*)), 4) == 0L)
+  }
+
+  test("cliques4: two K4s sharing a triangle count 2; K6 counts C(6,4)") {
+    // {1,2,3,4} and {1,2,3,5} complete, 4–5 absent
+    val twoK4 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (3L, 5L))
+    assert(Triangles.countCliques4(spark,
+      GraphOps.undirectedPairs(edges(twoK4: _*)), 4) == 2L)
+    assert(Triangles.countCliques4(spark,
+      GraphOps.undirectedPairs(edges(complete(6): _*)), 4) == 15L)
+  }
+
+  test("cliques4: the edge-triangle cap drops hot edges explicitly") {
+    // in K5 every oriented edge closes ≤ 3 triangles; cap at 1 kills
+    // every candidate pair, cap at 0 (unlimited) restores the count
+    val und = GraphOps.undirectedPairs(edges(complete(5): _*))
+    assert(Triangles.countCliques4(spark, und, 4, maxEdgeTriangles = 1) == 0L)
+    assert(Triangles.countCliques4(spark, und, 4, maxEdgeTriangles = 0) == 5L)
+  }
+
+  // ────────────────────────── SimRank ──────────────────────────
+
+  test("simrank: same single in-neighbor gives s = C from iteration 1 on") {
+    val e = edges((10L, 1L), (10L, 2L)) // 10→1, 10→2
+    val s = SimRank.run(spark, e, c = 0.75, maxIter = 5, numPartitions = 4)
+      .scores.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(s == Map((1L, 2L) -> 0.75))
+  }
+
+  test("simrank: dyadic fixed point through a shared + distinct in-neighbor mix") {
+    // c→a, c→b (shared), d→a, e→b (distinct), f→d, f→e (d,e share f):
+    //   s(d,e) = 0.75 from iter 1; s(a,b) → 0.75/4 · (1 + s(d,e))
+    //          = 0.328125 exactly (all values dyadic — exact doubles)
+    val (a, b, c, d, e, f) = (1L, 2L, 3L, 4L, 5L, 6L)
+    val g = edges((c, a), (c, b), (d, a), (e, b), (f, d), (f, e))
+    val s = SimRank.run(spark, g, c = 0.75, maxIter = 5, numPartitions = 4)
+      .scores.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(s((d, e)) == 0.75)
+    assert(s((a, b)) == 0.328125)
+    assert(s.size == 2) // only co-citation pairs are scored (pruned set)
+  }
+
+  test("simrank: scores are bounded by C and the pair set obeys the caps") {
+    // star-ish burst: one center fans out to 6 targets → C(6,2) pairs,
+    // each s = C; an over-cap center (outdeg > cap) produces none
+    val burst = (1L to 6L).map(i => (100L, i))
+    val s1 = SimRank.run(spark, edges(burst: _*), c = 0.75, maxIter = 3,
+      numPartitions = 4).scores
+    assert(s1.count() == 15)
+    assert(s1.agg(max(col("s"))).first().getDouble(0) == 0.75)
+    val s2 = SimRank.run(spark, edges(burst: _*), c = 0.75, maxIter = 3,
+      numPartitions = 4, maxCenterOutDegree = 5).scores
+    assert(s2.count() == 0)
+  }
+}
