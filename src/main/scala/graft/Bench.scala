@@ -235,6 +235,19 @@ object Bench {
       bench("simrank")(
         algo.SimRank.run(spark, g.edges, maxIter = 5, numPartitions = P,
           maxInDegree = 32, maxCenterOutDegree = 64).scores.count())
+      // the incremental-re-rank win: restart from this run's converged
+      // ranks and count the supersteps the warm start saves
+      val prior = pr.ranks.localCheckpoint(true)
+      prior.count()
+      val warm = bench[PageRank.Result]("pagerank_warm")(
+        PageRank.run(spark, sym, P, init = Some(prior)))
+      extra += "pagerank_warm_iterations" -> warm.iterations.toDouble
+      Superstep.freeCheckpoint(prior)
+      bench("backbone")(
+        GraphOps.disparityBackbone(
+          GraphOps.undirectedPairs(g.edges).withColumn("weight",
+            lit(1L) + pmod(col("src") + col("dst"), lit(5L))))
+          .filter(col("keep")).count())
     }
 
     // round-3 late additions #2: priority-peel / forest / embedding ops

@@ -570,6 +570,37 @@ object SparkEntry {
       pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "pr_warm_sql_graph" -> ((s, d) => {
+      // warm-start (incremental) PageRank: deterministic non-uniform
+      // init (id%7)+1 renormalized inside run, 5 fixed supersteps vs
+      // the unrolled twin seeded the same way
+      val e = sqlGraphEdges(s)
+      val verts = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+      val init = verts.select(col("id"),
+        (pmod(col("id"), lit(7L)) + 1L).cast("double").as("rank"))
+      val pr = PageRank.run(s, e, parts(s, d), tol = 0.0, maxIter = 5,
+        init = Some(init))
+      pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
+    "backbone_sql_graph" -> ((s, d) => {
+      // disparity-filter backbone over deterministic weights
+      // 1+(src+dst)%5 on the canonical undirected pairs; both p-values
+      // and the keep flag vs the identical-arithmetic twin
+      val pairs = GraphOps.undirectedPairs(sqlGraphEdges(s))
+        .select(col("src"), col("dst"),
+          (lit(1L) + pmod(col("src") + col("dst"), lit(5L))).as("weight"))
+      // untestable endpoints (k < 2) surface as −1 sentinels: the
+      // driver comparator sorts column values, and NULL doesn't order
+      // against floats
+      GraphOps.disparityBackbone(pairs, alpha = 0.05)
+        .select(col("src"), col("dst"), col("weight").cast("long").as("weight"),
+          round(coalesce(col("alpha_src"), lit(-1.0)), 6).as("alpha_src"),
+          round(coalesce(col("alpha_dst"), lit(-1.0)), 6).as("alpha_dst"),
+          col("keep").cast("int").as("keep"))
+    }),
+
     "pr_weighted_sql_graph" -> ((s, d) => {
       // the weighted contribution path (rank·w/Σw) against the same
       // unrolled recurrence with a deterministic arithmetic weight
@@ -1895,8 +1926,20 @@ object SparkEntry {
     * both engines (VERDICT r2 #4); unweighted is the same recurrence
     * with w = 1.0 (bit-identical to the r2 oracle).
     */
-  private def prSqlOracle(iters: Int, weighted: Boolean = false): String = {
+  private def prSqlOracle(iters: Int, weighted: Boolean = false,
+                          warm: Boolean = false): String = {
     val wExpr = if (weighted) "(1 + (src + dst) % 3)::DOUBLE" else "1.0"
+    // warm start: deterministic non-uniform init (id%7)+1, renormalized
+    // to unit mass — integer-valued doubles sum exactly in any order,
+    // so both engines agree bit-for-bit on the normalizer
+    val r0Expr =
+      if (warm)
+        """r0 AS (SELECT deg.id, deg.outdeg,
+             ((deg.id % 7) + 1)::DOUBLE / t.tot AS rank
+           FROM deg CROSS JOIN
+             (SELECT CAST(sum((id % 7) + 1) AS DOUBLE) AS tot FROM deg) t)"""
+      else
+        "r0 AS (SELECT deg.id, deg.outdeg, 1.0 / c.n AS rank FROM deg CROSS JOIN c)"
     val head =
       s"""WITH $sqlGraphCte,
          ew AS (SELECT src, dst, $wExpr AS w FROM e),
@@ -1905,7 +1948,7 @@ object SparkEntry {
              SELECT src AS id, w AS od FROM ew
              UNION ALL SELECT dst, 0.0 FROM ew) GROUP BY id),
          c AS (SELECT count(*) AS n FROM deg),
-         r0 AS (SELECT deg.id, deg.outdeg, 1.0 / c.n AS rank FROM deg CROSS JOIN c)"""
+         $r0Expr"""
     val steps = (1 to iters).map { k =>
       val p = k - 1
       s""",
@@ -2869,6 +2912,32 @@ object SparkEntry {
     // referenced CTEs, which goes exponential on an unrolled recurrence
     chain.toString.replace(" AS (", " AS MATERIALIZED (")
   }
+
+  /** Disparity-backbone twin: identical per-edge arithmetic — the
+    * strength sums are integer-valued doubles (exact in any order),
+    * the p-value is one pow over one exact division per endpoint.
+    */
+  private val backboneSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+               FROM e),
+       ew AS (SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM und),
+       ks AS (SELECT id, count(*) AS k, sum(w) AS s FROM (
+                SELECT src AS id, w FROM ew
+                UNION ALL SELECT dst, w FROM ew) GROUP BY id),
+       j AS (SELECT ew.src, ew.dst, ew.w,
+               CASE WHEN a.k >= 2 THEN pow(1.0 - ew.w / a.s, a.k - 1) END
+                 AS alpha_src,
+               CASE WHEN b.k >= 2 THEN pow(1.0 - ew.w / b.s, b.k - 1) END
+                 AS alpha_dst
+             FROM ew JOIN ks a ON a.id = ew.src JOIN ks b ON b.id = ew.dst)
+       SELECT src, dst, CAST(w AS BIGINT) AS weight,
+         round(coalesce(alpha_src, -1.0), 6) AS alpha_src,
+         round(coalesce(alpha_dst, -1.0), 6) AS alpha_dst,
+         CAST(coalesce(alpha_src < 0.05, false)
+              OR coalesce(alpha_dst < 0.05, false)
+              OR (alpha_src IS NULL AND alpha_dst IS NULL) AS INT) AS keep
+       FROM j"""
 
   /** Eigenvector-centrality twin: one HITS phase per iteration on the
     * symmetric graph — gather Σx over in-edges, left join the vertex
@@ -4350,6 +4419,8 @@ object SparkEntry {
            SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
          GROUP BY id""",
     "hits_sql_graph" -> hitsSqlOracle(5),
+    "pr_warm_sql_graph" -> prSqlOracle(5, warm = true),
+    "backbone_sql_graph" -> backboneSqlOracle,
     "eigen_sql_graph" -> eigenSqlOracle(5),
     "salsa_sql_graph" -> salsaSqlOracle(5),
     "clique4_sql_graph" -> clique4SqlOracle,

@@ -57,9 +57,12 @@ object PageRank {
           damping: Double = 0.85,
           ckpt: Option[Superstep] = None,
           weighted: Boolean = false,
-          seeds: Option[DataFrame] = None): Result = Superstep.withoutAQE(spark) {
+          seeds: Option[DataFrame] = None,
+          init: Option[DataFrame] = None): Result = Superstep.withoutAQE(spark) {
     require(seeds.isEmpty || ckpt.isEmpty,
       "personalized PageRank does not support checkpoint/resume")
+    require(init.isEmpty || (seeds.isEmpty && ckpt.isEmpty),
+      "warm-start init is exclusive with personalization and checkpoint/resume")
 
     val wCol = if (weighted) col("weight").cast("double") else lit(1.0)
     val eAll = edges.select(col("src"), col("dst"), wCol.as("w"))
@@ -129,8 +132,26 @@ object PageRank {
         .repartition(numPartitions, col("id"))
     }
     if (resumed.isEmpty) {
-      state = state.withColumn("rank",
-        if (seeds.isEmpty) lit(1.0 / n) else col("s"))
+      state = init match {
+        case None =>
+          state.withColumn("rank",
+            if (seeds.isEmpty) lit(1.0 / n) else col("s"))
+        case Some(r0) =>
+          // warm start (incremental re-rank after a snapshot diff):
+          // prior ranks seed the iteration, vertices new to this
+          // snapshot default to 1/n, and the whole vector renormalizes
+          // to unit mass so the recurrence semantics stay PageRank.
+          // The total is a sum of driver-supplied ranks — one skinny
+          // vertex-keyed join + a one-row aggregate, no edge-scale work.
+          val i = r0.select(col("id"), col("rank").cast("double").as("r0"))
+            .localCheckpoint(true)
+          val joined = state.join(i.hint("shuffle_hash"), Seq("id"), "left")
+            .withColumn("r0", coalesce(col("r0"), lit(1.0 / n)))
+            .localCheckpoint(false)
+          val tot = joined.agg(sum(col("r0"))).first().getDouble(0)
+          require(tot > 0, "warm-start ranks must have positive total mass")
+          joined.withColumn("rank", col("r0") / tot).drop("r0")
+      }
     }
     // LAZY checkpoints throughout the loop: the per-iteration stats
     // aggregation is the action that materializes them, so each

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{Eigenvector, Salsa, SimRank, Triangles}
+import graft.algo.{Eigenvector, PageRank, Salsa, SimRank, Triangles}
 import graft.graph.GraphOps
 
 /** Fixtures for the round-3 link-analysis additions: eigenvector
@@ -128,6 +128,62 @@ class LinkAnalysisSpec extends AnyFunSuite {
     assert(s((d, e)) == 0.75)
     assert(s((a, b)) == 0.328125)
     assert(s.size == 2) // only co-citation pairs are scored (pruned set)
+  }
+
+  // ─────────────────── warm-start PageRank ───────────────────
+
+  test("pagerank warm start: converged ranks restart in one step, scale-invariant") {
+    val sym = GraphOps.symmetrize(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    val cold = PageRank.run(spark, sym, numPartitions = 4, tol = 1e-10)
+    assert(cold.converged)
+    val prior = cold.ranks
+    // restarting FROM the fixed point converges immediately
+    val warm = PageRank.run(spark, sym, numPartitions = 4, tol = 1e-9,
+      init = Some(prior))
+    assert(warm.converged && warm.iterations <= 2,
+      s"warm restart took ${warm.iterations} iterations")
+    val c = cold.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = warm.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    c.foreach { case (v, r) => assert(math.abs(w(v) - r) < 1e-8) }
+    // init renormalizes, so a scaled prior gives the same trajectory
+    val scaled = PageRank.run(spark, sym, numPartitions = 4, tol = 0.0,
+      maxIter = 3, init = Some(prior.select(col("id"),
+        (col("rank") * 1024.0).as("rank")))) // dyadic scale: exact ÷
+    val base = PageRank.run(spark, sym, numPartitions = 4, tol = 0.0,
+      maxIter = 3, init = Some(prior))
+    val sm = scaled.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    base.ranks.collect().foreach(r =>
+      assert(sm(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("pagerank warm start: vertices missing from the prior default to 1/n") {
+    val sym = GraphOps.symmetrize(edges((1L, 2L), (2L, 3L)))
+    val partial = Seq((1L, 0.9)).toDF("id", "rank") // 2 and 3 unseen
+    val r = PageRank.run(spark, sym, numPartitions = 4, tol = 0.0, maxIter = 1,
+      init = Some(partial))
+    // after renormalization r0 = (0.9, 1/3, 1/3)/Σ; one step keeps mass 1
+    val mass = r.ranks.agg(sum(col("rank"))).first().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9)
+  }
+
+  // ─────────────────── disparity backbone ───────────────────
+
+  test("disparity backbone: locally-dominant edge kept, diluted edges cut") {
+    // hub 10 with weights 10/1/1 (k=3, s=12): α(10–1) = (1/6)² ≈ 0.028
+    // keeps, α(10–2) = α(10–3) = (11/12)² ≈ 0.84 cuts (leaf side is
+    // k=1 → null); isolated pair 20–21 is untestable → kept
+    val pairs = Seq((1L, 10L, 10L), (2L, 10L, 1L), (3L, 10L, 1L),
+      (20L, 21L, 5L)).toDF("src", "dst", "weight")
+    val out = GraphOps.disparityBackbone(pairs, alpha = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(3)), Option(r.get(4)), r.getBoolean(5))).toMap
+    val (aSrc, aDst, keepHub) = out((1L, 10L))
+    assert(aSrc.isEmpty)                               // leaf k=1 → null
+    assert(math.abs(aDst.get.asInstanceOf[Double] - 1.0 / 36) < 1e-12)
+    assert(keepHub)
+    assert(!out((2L, 10L))._3 && !out((3L, 10L))._3)   // diluted: cut
+    assert(out((20L, 21L)) == (None, None, true))      // untestable: kept
   }
 
   test("simrank: scores are bounded by C and the pair set obeys the caps") {
