@@ -248,6 +248,23 @@ object Bench {
           GraphOps.undirectedPairs(g.edges).withColumn("weight",
             lit(1L) + pmod(col("src") + col("dst"), lit(5L))))
           .filter(col("keep")).count())
+      // incremental maintenance: 5% of the pairs arrive as the delta;
+      // only the incremental step is timed (the prior labeling / old
+      // count is the state an ingestion pipeline already holds)
+      val pairsAll = GraphOps.undirectedPairs(g.edges).localCheckpoint(true)
+      val isDelta = pmod(xxhash64(col("src"), col("dst")), lit(20L)) === 0
+      val oldPairs = pairsAll.filter(!isDelta).localCheckpoint(true)
+      val deltaPairs = pairsAll.filter(isDelta).localCheckpoint(true)
+      val prevCc = ConnectedComponents.run(spark, oldPairs, None, P)
+        .localCheckpoint(true)
+      prevCc.count()
+      bench("cc_incremental")(
+        ConnectedComponents.incremental(spark, prevCc, deltaPairs, P).count())
+      val triInc = bench[Long]("tri_incremental")(
+        Triangles.incrementalDelta(spark, oldPairs, deltaPairs, P))
+      extra += "tri_incremental_delta" -> triInc.toDouble
+      Seq(pairsAll, oldPairs, deltaPairs, prevCc)
+        .foreach(Superstep.freeCheckpoint)
     }
 
     // round-3 late additions #2: priority-peel / forest / embedding ops

@@ -1148,6 +1148,29 @@ object SparkEntry {
       GraphOps.degreeDelta(
         GraphOps.snapshotDiff(sqlGraphEdges(s), sqlGraphEdgesV2(s)))),
 
+    "cc_inc_sql_graph" -> ((s, d) => {
+      // incremental CC: contract the V1 labeling to star edges, merge
+      // only the edges V2 introduces — must equal a fresh CC over
+      // V1 ∪ V2 (the oracle computes the full union closure)
+      val old = sqlGraphEdges(s)
+      val delta = sqlGraphEdgesV2(s).exceptAll(old)
+      val prev = ConnectedComponents.run(s, old, None, parts(s, d))
+      ConnectedComponents.incremental(s, prev, delta, parts(s, d))
+    }),
+
+    "tri_inc_sql_graph" -> ((s, d) => {
+      // delta-proportional triangle maintenance: count only triangles
+      // a snapshot's added edges create; the oracle recounts both
+      // graphs wholesale and subtracts
+      val old = GraphOps.undirectedPairs(sqlGraphEdges(s))
+      val newAll = GraphOps.undirectedPairs(
+        sqlGraphEdges(s).unionAll(sqlGraphEdgesV2(s)))
+      val delta = newAll.exceptAll(old)
+      s.createDataFrame(Seq(Tuple1(
+        Triangles.incrementalDelta(s, old, delta, parts(s, d)))))
+        .toDF("delta_triangles")
+    }),
+
     "score_sql_graph" -> ((s, d) => {
       // weighted s-core at s=8 over the deterministic 1+(u+v)%3
       // weights: 9 peel rounds to a 692-vertex core — the "enough
@@ -2579,6 +2602,36 @@ object SparkEntry {
 
   private val graphDiffSqlOracle: String =
     s"$graphDiffCtesSql SELECT src, dst, status FROM diff"
+
+  /** Incremental-CC twin: the oracle knows nothing about contraction —
+    * it computes the full min-label closure over the UNION graph, which
+    * is exactly what the star-contracted incremental run must equal.
+    */
+  private val ccIncSqlOracle: String =
+    graphDiffCtesSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+       pu AS (SELECT src, dst FROM ub UNION SELECT src, dst FROM ua),
+       symu AS (SELECT src, dst FROM pu UNION SELECT dst, src FROM pu),
+       reach(id, comp) AS (
+         SELECT DISTINCT src, src FROM symu
+         UNION
+         SELECT s.dst, r.comp FROM reach r JOIN symu s ON s.src = r.id
+       )
+       SELECT id, min(comp) AS component FROM reach GROUP BY id"""
+
+  /** Incremental-triangles twin: recount both snapshots wholesale with
+    * the canonical ordered-triple join and subtract — the engine's
+    * delta-proportional path must land on the same number.
+    */
+  private val triIncSqlOracle: String =
+    graphDiffCtesSql + s""",
+       tb AS (SELECT count(*) AS c FROM ub x JOIN ub y ON y.src = x.dst
+              JOIN ub z ON z.src = x.src AND z.dst = y.dst),
+       pu AS (SELECT src, dst FROM ub UNION SELECT src, dst FROM ua),
+       ta AS (SELECT count(*) AS c FROM pu x JOIN pu y ON y.src = x.dst
+              JOIN pu z ON z.src = x.src AND z.dst = y.dst)
+       SELECT CAST(ta.c - tb.c AS BIGINT) AS delta_triangles
+       FROM ta CROSS JOIN tb"""
 
   private val graphDiffDegreeSqlOracle: String =
     s"""$graphDiffCtesSql
@@ -4304,6 +4357,8 @@ object SparkEntry {
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
     "score_sql_graph" -> sCoreSqlOracle(8, 10),
     "graph_diff_sql" -> graphDiffSqlOracle,
+    "cc_inc_sql_graph" -> ccIncSqlOracle,
+    "tri_inc_sql_graph" -> triIncSqlOracle,
     "ari_sql_graph" -> ariSqlOracle,
     "graph_diff_degree_sql" -> graphDiffDegreeSqlOracle,
     "ppr_sql_graph" -> pprSqlOracle(5),
