@@ -246,7 +246,10 @@ object Bench {
       bench("backbone")(
         GraphOps.disparityBackbone(
           GraphOps.undirectedPairs(g.edges).withColumn("weight",
-            lit(1L) + pmod(col("src") + col("dst"), lit(5L))))
+            // entity ids are 64-bit hashes: mod-reduce BEFORE the add
+            // or src + dst overflows under ANSI
+            lit(1L) + pmod(pmod(col("src"), lit(5L)) + pmod(col("dst"), lit(5L)),
+              lit(5L))))
           .filter(col("keep")).count())
       // incremental maintenance: 5% of the pairs arrive as the delta;
       // only the incremental step is timed (the prior labeling / old

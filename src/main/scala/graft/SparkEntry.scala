@@ -618,6 +618,31 @@ object SparkEntry {
       LabelPropagation.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         parts(s, d), maxIter = 3).labels),
 
+    "lpa_weighted_sql_graph" -> ((s, d) => {
+      // weight-summed votes with the deterministic 1+(u+v)%3 weight
+      // (symmetric in the endpoints, so both directions agree); exact
+      // BIGINT sums keep the (cnt, -label) tie-break engine-replayable
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(3L)))
+      LabelPropagation.run(s, sym, parts(s, d), maxIter = 3,
+        weightCol = Some("w")).labels
+    }),
+
+    "transitivity_sql_graph" -> ((s, d) =>
+      Triangles.transitivity(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))),
+
+    "temporal_reach_sql_graph" -> ((s, d) => {
+      // earliest-arrival over the arithmetic graph with deterministic
+      // interaction times 1+(3·src+dst)%20, five seeds active at t=0;
+      // the oracle replays the relaxation as a recursive closure
+      val te = sqlGraphEdges(s).withColumn("ts",
+        lit(1L) + pmod(col("src") * 3 + col("dst"), lit(20L)))
+      val seeds = s.range(5).select((col("id") * 300 + 1).as("id"))
+      algo.ShortestPaths.earliestArrival(s, te, seeds, startTime = 0L,
+        parts(s, d))
+    }),
+
     "mod_sql_graph" -> ((s, d) => {
       // A-8 modularity against a DuckDB oracle: same graph, LPA-3
       // communities (themselves oracle-checked), exact integer counts
@@ -779,6 +804,15 @@ object SparkEntry {
         alpha = 0.0625, beta = 1.0, tol = 0.0, maxIter = 5)
       r.scores.select(col("id"), round(col("k"), 6).as("katz"))
     }),
+
+    "edge_betweenness_sql_graph" -> ((s, d) =>
+      // Brandes' edge variant (the Girvan–Newman splitting signal)
+      // from the same landmark sample; canonical-pair scores, both
+      // engines rounding the identical double to 6dp
+      algo.Betweenness.edgeScores(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+          sources = Seq(1L, 2L, 3L), numPartitions = parts(s, d))
+        .select(col("u"), col("v"),
+          round(col("betweenness"), 6).as("betweenness"))),
 
     "betweenness_sql_graph" -> ((s, d) =>
       // Brandes dependency accumulation from landmark sources {1,2,3}
@@ -2028,6 +2062,61 @@ object SparkEntry {
        canon AS (SELECT label, min(id) AS community FROM l$iters GROUP BY label)
        SELECT l.id, c.community FROM l$iters l JOIN canon c ON l.label = c.label"""
 
+  /** Weighted LPA twin: votes are 1+(u+v)%3 weight SUMS instead of
+    * counts — same unrolled rounds, same cnt·10000−label tie encoding
+    * (weighted counts stay far below the 10000 label floor × degree).
+    */
+  private def lpaWeightedSqlOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+         l$k AS (
+           SELECT v.dst AS id,
+                  arg_max(v.label, v.c * 10000 - v.label) AS label
+           FROM (SELECT s.dst, l.label, sum(1 + (s.src + s.dst) % 3) AS c
+                 FROM sym s JOIN l$p l ON s.src = l.id
+                 GROUP BY s.dst, l.label) v
+           GROUP BY v.dst)"""
+    }.mkString
+    s"""WITH $sqlGraphCte,
+       l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)$steps,
+       canon AS (SELECT label, min(id) AS community FROM l$iters GROUP BY label)
+       SELECT l.id, c.community FROM l$iters l JOIN canon c ON l.label = c.label"""
+  }
+
+  /** Global-transitivity twin: the canonical ordered-triple triangle
+    * join + the Σ d(d−1)/2 wedge aggregate, ONE division of exact ints.
+    */
+  private val transitivitySqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       p AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       tri AS (SELECT count(*) AS t FROM p x JOIN p y ON y.u = x.v
+               JOIN p z ON z.u = x.u AND z.v = y.v),
+       wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM
+               (SELECT count(*) AS d FROM sym GROUP BY src))
+       SELECT wed.w AS n_wedges, CAST(3 * tri.t AS BIGINT) AS n_closed,
+              CASE WHEN wed.w = 0 THEN NULL
+                   ELSE CAST(3 * tri.t AS DOUBLE) / wed.w END AS transitivity
+       FROM tri CROSS JOIN wed"""
+
+  /** Earliest-arrival twin: the temporal relaxation as a recursive
+    * closure — every (vertex, arrival) state the non-decreasing-ts
+    * rule can reach, min per vertex. UNION dedup bounds the recursion
+    * by the finite (id × ts) state space.
+    */
+  private val temporalReachSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       te AS (SELECT src, dst, 1 + (src * 3 + dst) % 20 AS ts FROM e),
+       reach(id, arr) AS (
+         SELECT CAST(300 * i + 1 AS BIGINT), CAST(0 AS BIGINT)
+         FROM range(5) t(i)
+         UNION
+         SELECT t.dst, t.ts FROM reach r
+         JOIN te t ON t.src = r.id AND t.ts >= r.arr
+       )
+       SELECT id, CAST(min(arr) AS BIGINT) AS arrival
+       FROM reach GROUP BY id"""
+
   /** Unrolled 2-round Louvain local-move refinement of the LPA-3
     * partition, mirroring ModularityRefine.run's exact integer-score
     * argmax (S = 2m·k_iC − k_i·(tot_C − [C=cur]·k_i), ties → current
@@ -2852,6 +2941,67 @@ object SparkEntry {
       s"""
          SELECT id, round(sum(delta), 6) AS betweenness
          FROM ($unions) GROUP BY id""")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** Edge-betweenness twin: the SAME forward-σ/backward-δ recurrence,
+    * but each level also emits its raw per-(DAG edge, landmark) flow
+    * σ(u)/σ(w)·(1+δ(w)) — the terms the vertex δ aggregates — keyed by
+    * the canonical pair; final = sum over levels and sources, 6dp.
+    */
+  private def edgeBetweennessSqlOracle(levels: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         l0 AS (SELECT lm AS id, lm AS landmark, CAST(1 AS BIGINT) AS sigma
+                FROM (VALUES (1), (2), (3)) t(lm)),
+         s0 AS (SELECT id, landmark FROM l0)""")
+    for (i <- 1 to levels) {
+      val p = i - 1
+      b.append(
+        s""",
+         c$i AS (SELECT s.dst AS id, p.landmark,
+                   CAST(sum(p.sigma) AS BIGINT) AS sigma
+                 FROM l$p p JOIN sym s ON s.src = p.id GROUP BY 1, 2),
+         l$i AS (SELECT c.id, c.landmark, c.sigma FROM c$i c
+                 WHERE NOT EXISTS (SELECT 1 FROM s$p x
+                   WHERE x.id = c.id AND x.landmark = c.landmark)),
+         s$i AS (SELECT id, landmark FROM s$p
+                 UNION ALL SELECT id, landmark FROM l$i)""")
+    }
+    b.append(
+      s""",
+         dl$levels AS (SELECT id, landmark, 0.0 AS delta FROM l$levels)""")
+    for (d <- levels to 1 by -1) {
+      val p = d - 1
+      b.append(
+        s""",
+         eb$d AS (SELECT p.id AS pu, w.id AS pw,
+                    CAST(p.sigma AS DOUBLE) / w.sigma * (1 + dw.delta)
+                      AS flow
+                  FROM l$d w
+                  JOIN dl$d dw ON dw.id = w.id AND dw.landmark = w.landmark
+                  JOIN sym s ON s.dst = w.id
+                  JOIN l$p p ON p.id = s.src AND p.landmark = w.landmark),
+         cb$d AS (SELECT p.id, p.landmark,
+                    sum(CAST(p.sigma AS DOUBLE) / w.sigma * (1 + dw.delta))
+                      AS delta
+                  FROM l$d w
+                  JOIN dl$d dw ON dw.id = w.id AND dw.landmark = w.landmark
+                  JOIN sym s ON s.dst = w.id
+                  JOIN l$p p ON p.id = s.src AND p.landmark = w.landmark
+                  GROUP BY 1, 2),
+         dl$p AS (SELECT l.id, l.landmark, coalesce(c.delta, 0.0) AS delta
+                  FROM l$p l LEFT JOIN cb$d c
+                    ON c.id = l.id AND c.landmark = l.landmark)""")
+    }
+    val unions = (1 to levels)
+      .map(d => s"SELECT pu, pw, flow FROM eb$d").mkString(" UNION ALL ")
+    b.append(
+      s"""
+         SELECT least(pu, pw) AS u, greatest(pu, pw) AS v,
+                round(sum(flow), 6) AS betweenness
+         FROM ($unions) GROUP BY 1, 2""")
     b.toString.replace(" AS (", " AS MATERIALIZED (")
   }
 
@@ -4345,6 +4495,9 @@ object SparkEntry {
     "pr_weighted_sql_graph" -> prSqlOracle(5, weighted = true),
     "cc_sql_graph" -> ccSqlOracle,
     "lpa_sql_graph" -> lpaSqlOracle(3),
+    "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
+    "transitivity_sql_graph" -> transitivitySqlOracle,
+    "temporal_reach_sql_graph" -> temporalReachSqlOracle,
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,
     "assortativity_sql_graph" -> assortativitySqlOracle,
@@ -4486,6 +4639,7 @@ object SparkEntry {
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,
     "betweenness_sql_graph" -> betweennessSqlOracle(20),
+    "edge_betweenness_sql_graph" -> edgeBetweennessSqlOracle(20),
     "katz_sql_graph" -> katzSqlOracle(5),
     "feature_prop_sql_graph" -> featurePropSqlOracle,
     "reciprocity_sql_graph" -> reciprocitySqlOracle,

@@ -30,17 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object Betweenness {
 
-  /** @param symEdges symmetrized edges (both directions present)
-    * @param sources small landmark set (the sample)
-    * @return (id, betweenness) over vertices reachable from ≥1 source,
-    *         sources themselves included (with their δ from OTHER
-    *         sources only, per Brandes' v ≠ s convention)
+  private final case class Forward(edges: DataFrame, state: DataFrame,
+                                   maxDist: Int)
+
+  /** Forward Brandes pass: BFS levels with exact BIGINT σ path counts
+    * from every source. Leaves `edges` and the final σ `state`
+    * checkpointed; callers free both when done.
     */
-  def run(spark: SparkSession,
-          symEdges: DataFrame,
-          sources: Seq[Long],
-          numPartitions: Int = 32,
-          maxIter: Int = 256): DataFrame = Superstep.withoutAQE(spark) {
+  private def forward(spark: SparkSession,
+                      symEdges: DataFrame,
+                      sources: Seq[Long],
+                      numPartitions: Int,
+                      maxIter: Int): Forward = {
     require(sources.nonEmpty, "Betweenness needs at least one source")
     import spark.implicits._
 
@@ -49,7 +50,6 @@ object Betweenness {
         .filter(col("src") =!= col("dst"))
         .repartition(numPartitions, col("src")), eager = true)
 
-    // ── forward: BFS levels with shortest-path counts σ ──
     val init = sources.distinct.toDF("landmark")
       .select(col("landmark").as("id"), col("landmark"),
         lit(0).as("dist"), lit(1L).as("sigma"))
@@ -82,10 +82,27 @@ object Betweenness {
     }
     require(frontierN == 0,
       s"betweenness forward pass still live after $maxIter rounds")
-    val maxDist = depth - 1
     // newest loop checkpoint is the EMPTY final frontier; keep 2 so
     // the final σ state survives this sweep (as in ShortestPaths)
     gc.close(keepLatest = 2)
+    Forward(edges, state, depth - 1)
+  }
+
+  /** @param symEdges symmetrized edges (both directions present)
+    * @param sources small landmark set (the sample)
+    * @return (id, betweenness) over vertices reachable from ≥1 source,
+    *         sources themselves included (with their δ from OTHER
+    *         sources only, per Brandes' v ≠ s convention)
+    */
+  def run(spark: SparkSession,
+          symEdges: DataFrame,
+          sources: Seq[Long],
+          numPartitions: Int = 32,
+          maxIter: Int = 256): DataFrame = Superstep.withoutAQE(spark) {
+    val fwd = forward(spark, symEdges, sources, numPartitions, maxIter)
+    val edges = fwd.edges
+    val state = fwd.state
+    val maxDist = fwd.maxDist
 
     // ── backward: dependency accumulation by descending level ──
     // δ at the deepest level is 0; each level's δ feeds exactly the
@@ -132,6 +149,91 @@ object Betweenness {
         .select(col("id"), col("landmark")), Seq("id", "landmark"), "left_anti")
         .groupBy(col("id"))
         .agg(sum(col("delta")).as("betweenness")), eager = true)
+    gcB.close(keepLatest = 1)
+    Superstep.freeCheckpoint(state)
+    Superstep.freeCheckpoint(edges)
+    out
+  }
+
+  /** Per-EDGE betweenness (Brandes' edge variant — the Girvan–Newman
+    * splitting signal: the bridges shortest paths funnel through):
+    * during the backward pass, the flow over DAG edge (u, w) from
+    * source s is σ_s(u)/σ_s(w) · (1 + δ_s(w)) — exactly the terms the
+    * vertex δ aggregates — so the per-edge score falls out of the SAME
+    * sweep by keeping the edge key on the contribution rows before the
+    * vertex-grain sum. Reported per canonical undirected pair, summed
+    * over sources.
+    *
+    * Scale shape: identical to [[run]] plus one canonical-pair
+    * aggregate at the end; the per-level flow frame is checkpointed
+    * once and feeds BOTH the vertex δ (grouped to (id, landmark)) and
+    * the edge accumulator (re-materialized per level, like the vertex
+    * path's `acc`, so the GC can reclaim superseded level frames).
+    * Every DAG edge still carries exactly one message per source over
+    * the whole pass.
+    *
+    * @return (u, v, betweenness) for every edge on ≥1 sampled shortest
+    *         path, u < v
+    */
+  def edgeScores(spark: SparkSession,
+                 symEdges: DataFrame,
+                 sources: Seq[Long],
+                 numPartitions: Int = 32,
+                 maxIter: Int = 256): DataFrame = Superstep.withoutAQE(spark) {
+    val fwd = forward(spark, symEdges, sources, numPartitions, maxIter)
+    val edges = fwd.edges
+    val state = fwd.state
+    val maxDist = fwd.maxDist
+
+    var delta = Superstep.freshCheckpoint(
+      state.filter(col("dist") === maxDist)
+        .select(col("id"), col("landmark"), lit(0.0).as("delta")),
+      eager = true)
+    var edgeAcc: Option[DataFrame] = None
+    val gcB = new Superstep.CheckpointGC(spark, keep = 8)
+    var d = maxDist
+    while (d > 0) {
+      val lower = state.filter(col("dist") === d)
+        .join(delta, Seq("id", "landmark"))
+        .select(col("id").as("w"), col("landmark"),
+          col("sigma").as("sw"), col("delta").as("dw"))
+      // one row per (DAG edge, landmark): the flow term itself
+      val perEdge = Superstep.freshCheckpoint(
+        lower
+          .join(edges.hint("shuffle_hash"), lower("w") === edges("dst"))
+          .select(edges("src").as("id"), col("w"), col("landmark"),
+            col("sw"), col("dw"))
+          .join(state.filter(col("dist") === d - 1)
+            .select(col("id"), col("landmark"), col("sigma")),
+            Seq("id", "landmark"))
+          .select(col("id"), col("w"), col("landmark"),
+            (col("sigma").cast("double") / col("sw") *
+              (lit(1.0) + col("dw"))).as("flow")), eager = true)
+      val contrib = perEdge.groupBy(col("id"), col("landmark"))
+        .agg(sum(col("flow")).as("delta"))
+      val level = Superstep.freshCheckpoint(
+        state.filter(col("dist") === d - 1)
+          .select(col("id"), col("landmark"))
+          .join(contrib, Seq("id", "landmark"), "left")
+          .select(col("id"), col("landmark"),
+            coalesce(col("delta"), lit(0.0)).as("delta")),
+        eager = true)
+      val lvlEdges = perEdge.select(
+        least(col("id"), col("w")).as("u"),
+        greatest(col("id"), col("w")).as("v"), col("flow"))
+      edgeAcc = Some(Superstep.freshCheckpoint(
+        edgeAcc.map(_.unionByName(lvlEdges)).getOrElse(lvlEdges),
+        eager = true))
+      delta = level
+      gcB.tick()
+      d -= 1
+    }
+    val out = Superstep.freshCheckpoint(
+      edgeAcc.map(_.groupBy(col("u"), col("v"))
+          .agg(sum(col("flow")).as("betweenness")))
+        .getOrElse(state.limit(0).select(
+          col("id").as("u"), col("id").as("v"),
+          lit(0.0).as("betweenness"))), eager = true)
     gcB.close(keepLatest = 1)
     Superstep.freeCheckpoint(state)
     Superstep.freeCheckpoint(edges)

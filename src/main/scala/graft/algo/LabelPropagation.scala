@@ -24,6 +24,13 @@ object LabelPropagation {
     *   edge still get a (self-)community, matching the reference's
     *   assignment of every named node (community_detection.py:133).
     *   Without it, only edge endpoints are labeled (VERDICT r2 #9).
+    * @param weightCol optional edge-weight column on `symEdges`: votes
+    *   become weight SUMS instead of neighbor counts (the natural form
+    *   on co-occurrence graphs, where a 50-co-mention neighbor should
+    *   out-vote five 1-co-mention ones). Pass INTEGER weights for a
+    *   deterministic tie-break — fp sums would make the (cnt, -label)
+    *   comparison order-sensitive. Same per-round exchange budget: the
+    *   weight rides the existing edges⨝state join.
     * @return (id, community) — community = min member id of the cluster
     */
   def run(spark: SparkSession,
@@ -31,9 +38,11 @@ object LabelPropagation {
           numPartitions: Int = 32,
           maxIter: Int = 20,
           ckpt: Option[Superstep] = None,
-          vertices: Option[DataFrame] = None): Result = Superstep.withoutAQE(spark) {
+          vertices: Option[DataFrame] = None,
+          weightCol: Option[String] = None): Result = Superstep.withoutAQE(spark) {
 
-    val e = symEdges.select(col("src"), col("dst"))
+    val e = symEdges.select(
+        col("src") +: col("dst") +: weightCol.map(col).toSeq: _*)
       .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -58,7 +67,8 @@ object LabelPropagation {
         .join(labels.select(col("id").as("src"), col("label")).hint("shuffle_hash"),
           Seq("src"))
         .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(weightCol.map(w => sum(col(w)))
+          .getOrElse(count(lit(1))).as("cnt"))
       val winner = votes.groupBy(col("dst").as("id"))
         .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("newLabel"))
 

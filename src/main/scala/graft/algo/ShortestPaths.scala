@@ -162,4 +162,85 @@ object ShortestPaths {
     Superstep.freeCheckpoint(e)
     state
   }
+
+  /** Temporal earliest-arrival reachability (Wu et al. 2016, "Path
+    * Problems in Temporal Graphs"): over edges that exist at a POINT in
+    * time — (src, dst, ts) interaction events — a path is valid only if
+    * its timestamps are non-decreasing, and the query is "from the seed
+    * set at startTime, what is the earliest time each vertex can be
+    * reached?". The link-graph primitive for influence/contagion reach
+    * over commit, message, or citation streams, where static
+    * reachability badly over-connects (A→B at t=5, B→C at t=3 does NOT
+    * imply A reaches C).
+    *
+    * Label-correcting relaxation in the [[weighted]] Bellman–Ford
+    * shape: state = best-known arrival per vertex, frontier = vertices
+    * whose arrival just improved, candidates = frontier⨝edges on src
+    * with the temporal gate ts ≥ arrival, arrival at dst = the edge's
+    * ts (traversal is instantaneous at the interaction moment).
+    * Improvements only DECREASE arrivals and decreasing an arrival only
+    * WIDENS the feasible edge set, so the fixed point is the true
+    * earliest-arrival labeling. Per round: one frontier⨝edges
+    * shuffle-hash join min-combined map-side before the vertex
+    * exchange, one state left join for strict improvements, one skinny
+    * min-merge — the [[weighted]] budget exactly; the temporal gate is
+    * a codegen'd post-join filter on the co-partitioned rows.
+    *
+    * @param temporalEdges (src, dst, ts) — one row per timestamped
+    *                      interaction, ts integral (epoch or logical)
+    * @param seeds one column `id` — the source set (dedup'd here)
+    * @param startTime seeds are active from this instant; edges with
+    *                  ts < startTime are unusable from a seed directly
+    * @return (id, arrival) for every temporally reachable vertex,
+    *         seeds themselves at startTime; unreachable ids absent
+    */
+  def earliestArrival(spark: SparkSession,
+                      temporalEdges: DataFrame,
+                      seeds: DataFrame,
+                      startTime: Long,
+                      numPartitions: Int = 32,
+                      maxIter: Int = 512): DataFrame = Superstep.withoutAQE(spark) {
+    val e = Superstep.freshCheckpoint(
+      temporalEdges.select(col("src"), col("dst"), col("ts").cast("long"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(numPartitions, col("src")), eager = true)
+
+    val init = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(startTime).as("arrival"))
+      .repartition(numPartitions, col("id"))
+    var state = Superstep.freshCheckpoint(init, eager = true)
+    var frontier = state
+    var frontierSize = frontier.count()
+    var iter = 0
+    val gc = new Superstep.CheckpointGC(spark, keep = 6)
+
+    while (frontierSize > 0 && iter < maxIter) {
+      val candidates = frontier
+        .join(e.hint("shuffle_hash"), frontier("id") === e("src"))
+        .filter(col("ts") >= col("arrival")) // the temporal gate
+        .select(e("dst").as("id"), col("ts").as("arrival"))
+        .groupBy(col("id"))
+        .agg(min(col("arrival")).as("arrival"))
+      val improved = Superstep.freshCheckpoint(
+        candidates
+          .join(state.select(col("id"), col("arrival").as("old")), Seq("id"), "left")
+          .filter(col("old").isNull || col("arrival") < col("old"))
+          .select(col("id"), col("arrival")), eager = false)
+      frontierSize = improved.count() // materializes the lazy checkpoint
+      if (frontierSize > 0) {
+        state = Superstep.freshCheckpoint(
+          state.unionByName(improved)
+            .groupBy(col("id"))
+            .agg(min(col("arrival")).as("arrival")), eager = true)
+      }
+      frontier = improved
+      gc.tick()
+      iter += 1
+    }
+    require(frontierSize == 0,
+      s"temporal relaxation still improving after $maxIter rounds — raise maxIter")
+    gc.close(keepLatest = 2)
+    Superstep.freeCheckpoint(e)
+    state
+  }
 }

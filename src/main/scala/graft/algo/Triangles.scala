@@ -256,4 +256,35 @@ object Triangles {
     closed.select(array_sort(array(col("lo"), col("hi"), col("w"))).as("t"))
       .distinct().count()
   }
+
+  /** Global transitivity (global clustering coefficient): the fraction
+    * of wedges that close, 3·#triangles / #wedges with #wedges =
+    * Σ_v d(v)·(d(v)−1)/2 — the one-number "how clumpy is this graph"
+    * summary that complements the per-vertex [[clustering]] column.
+    *
+    * Cost = one [[countTriangles]] run (the shared degree-oriented
+    * enumeration) + one map-side-combinable degree aggregate; both
+    * counts are exact BIGINT (d·(d−1) DIV 2 stays integral), the ratio
+    * is ONE IEEE division of those ints — cross-engine bit parity.
+    * d ≤ ~3·10⁹ before d·(d−1) crosses 2⁶³ — beyond any real degree.
+    *
+    * @return one row (n_wedges, n_closed, transitivity) where n_closed
+    *         = 3·#triangles (each triangle closes all three of its
+    *         wedges); transitivity null on a wedge-free graph
+    */
+  def transitivity(spark: SparkSession,
+                   undirectedPairs: DataFrame,
+                   numPartitions: Int = 32): DataFrame = {
+    val t = countTriangles(spark, undirectedPairs, numPartitions)
+    val sym = undirectedPairs.select(col("src"), col("dst"))
+      .unionAll(undirectedPairs.select(col("dst").as("src"), col("src").as("dst")))
+    val wedges = sym.groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) DIV 2")).as("w"))
+      .first().getLong(0)
+    val ratio: Option[Double] =
+      if (wedges == 0L) None else Some(3.0 * t / wedges)
+    spark.createDataFrame(Seq((wedges, 3L * t, ratio)))
+      .toDF("n_wedges", "n_closed", "transitivity")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.{LabelPropagation, Triangles}
+import graft.graph.GraphOps
+
+/** Weighted label propagation and the global transitivity summary. */
+class GraphMetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def edges(pairs: (Long, Long)*): DataFrame = pairs.toDF("src", "dst")
+
+  def communities(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // two heavy triangles bridged to a satellite: 7 hangs off cluster A
+  // by ONE weight-10 edge and off cluster B by TWO weight-1 edges
+  private def weightedFixture: DataFrame = {
+    val w10 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 1L)).map { case (u, v) => (u, v, 10L) }
+    val w1 = Seq((7L, 4L), (7L, 5L)).map { case (u, v) => (u, v, 1L) }
+    (w10 ++ w1).toDF("src", "dst", "w")
+  }
+
+  private def symWeighted(df: DataFrame): DataFrame =
+    df.unionAll(df.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+
+  test("weighted LPA: one heavy edge out-votes two light ones") {
+    val sym = symWeighted(weightedFixture)
+    val weighted = communities(LabelPropagation.run(spark, sym,
+      numPartitions = 4, maxIter = 10, weightCol = Some("w")).labels)
+    // 7 follows its weight-10 anchor into {1,2,3}; {4,5,6} stays its own
+    assert(weighted(7L) == 1L)
+    assert(Seq(1L, 2L, 3L).forall(weighted(_) == 1L))
+    assert(Seq(4L, 5L, 6L).forall(weighted(_) == 4L))
+
+    // unweighted on the same topology: the 2-vs-1 neighbor COUNT plus
+    // the tie-to-min cascade merges everything into one community
+    val unweighted = communities(LabelPropagation.run(spark, sym,
+      numPartitions = 4, maxIter = 10).labels)
+    assert(unweighted.values.toSet == Set(1L))
+  }
+
+  test("all-ones weights reproduce the unweighted run exactly") {
+    val sym = GraphOps.symmetrize(edges((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 1L), (2L, 4L), (5L, 6L))).withColumn("w", lit(1L))
+    val a = communities(LabelPropagation.run(spark, sym,
+      numPartitions = 4, maxIter = 5, weightCol = Some("w")).labels)
+    val b = communities(LabelPropagation.run(spark, sym,
+      numPartitions = 4, maxIter = 5).labels)
+    assert(a == b)
+  }
+
+  test("transitivity: triangle + pendant = 3 closed of 5 wedges") {
+    val pairs = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val row = Triangles.transitivity(spark, pairs, numPartitions = 4).first()
+    assert(row.getLong(0) == 5L)   // wedges: 1+1+3+0
+    assert(row.getLong(1) == 3L)   // one triangle closes three
+    assert(math.abs(row.getDouble(2) - 0.6) < 1e-15)
+  }
+
+  test("transitivity: triangle-free graphs and wedge-free graphs") {
+    val path = Triangles.transitivity(spark, edges((1L, 2L), (2L, 3L)),
+      numPartitions = 4).first()
+    assert(path.getLong(1) == 0L && path.getDouble(2) == 0.0)
+
+    val lonePair = Triangles.transitivity(spark, edges((1L, 2L)),
+      numPartitions = 4).first()
+    assert(lonePair.getLong(0) == 0L && lonePair.isNullAt(2))
+  }
+
+  test("transitivity of a clique is 1") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val row = Triangles.transitivity(spark, k4, numPartitions = 4).first()
+    assert(row.getDouble(2) == 1.0)
+  }
+}
