@@ -632,6 +632,11 @@ object SparkEntry {
       Triangles.transitivity(s,
         GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))),
 
+    "induced_sample_sql" -> ((s, d) =>
+      // deterministic 1/3 vertex-induced subgraph (dev-loop sampler);
+      // the twin replays the double-quadratic keep predicate
+      GraphOps.inducedSample(sqlGraphEdges(s), num = 1, den = 3, salt = 42L)),
+
     "temporal_reach_sql_graph" -> ((s, d) => {
       // earliest-arrival over the arithmetic graph with deterministic
       // interaction times 1+(3·src+dst)%20, five seeds active at t=0;
@@ -2098,6 +2103,22 @@ object SparkEntry {
               CASE WHEN wed.w = 0 THEN NULL
                    ELSE CAST(3 * tri.t AS DOUBLE) / wed.w END AS transitivity
        FROM tri CROSS JOIN wed"""
+
+  /** Induced-sample twin: the double-quadratic keep predicate (mod
+    * 2³¹−1, salt 42 in the second pass, bucket mod 3 < 1) replayed in
+    * BIGINT SQL, then the two-sided endpoint filter.
+    */
+  private val inducedSampleSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       k AS (SELECT i AS id,
+               (i % 2147483647) * ((i % 2147483647) + 3) % 2147483647 AS q1
+             FROM range(1500) t(i)),
+       keep AS (SELECT id FROM
+                (SELECT id, (q1 * (q1 + 7 + 42) % 2147483647) % 3 AS b FROM k)
+                WHERE b < 1)
+       SELECT e.src, e.dst FROM e
+       JOIN keep ks ON e.src = ks.id
+       JOIN keep kd ON e.dst = kd.id"""
 
   /** Earliest-arrival twin: the temporal relaxation as a recursive
     * closure — every (vertex, arrival) state the non-decreasing-ts
@@ -4497,6 +4518,7 @@ object SparkEntry {
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
+    "induced_sample_sql" -> inducedSampleSqlOracle,
     "temporal_reach_sql_graph" -> temporalReachSqlOracle,
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,

@@ -490,4 +490,39 @@ object GraphOps {
           coalesce(col("alpha_dst") < alpha, lit(false)) ||
           (col("alpha_src").isNull && col("alpha_dst").isNull)))
   }
+
+  /** Deterministic vertex keep-predicate for [[inducedSample]]: true
+    * for ≈ num/den of all ids, engine-replayable (the [[graft.algo.Mis]]
+    * double-quadratic scramble mod 2³¹−1 with the salt folded into the
+    * second pass — every operand < 2⁶², exact in any 64-bit engine,
+    * and non-monotone on the arithmetic-progression id patterns
+    * structured graphs carry).
+    */
+  def sampleKeep(v: Column, num: Long, den: Long, salt: Long = 0L): Column = {
+    require(num >= 0 && num <= den && den > 0, s"bad fraction $num/$den")
+    val P = 2147483647L // 2^31 - 1
+    val vp = pmod(v, lit(P))
+    val q1 = pmod(vp * (vp + lit(3L)), lit(P))
+    val q2 = pmod(q1 * (q1 + lit(7L) + lit(Math.floorMod(salt, P))), lit(P))
+    pmod(q2, lit(den)) < num
+  }
+
+  /** Vertex-induced subgraph sample at fraction num/den: keep a
+    * deterministic pseudo-random vertex subset, keep an edge iff BOTH
+    * endpoints survive. The dev-loop primitive at 10^12 edges — debug
+    * an algorithm on 1/10⁴ of the graph with the SAME code path, no
+    * side table and no shuffle: the predicate is a codegen'd map-side
+    * filter computed from the ids the scan already carries, and the
+    * same (num, den, salt) reproduces the same subgraph on any cluster
+    * size or partition layout.
+    *
+    * Statistical contract of vertex-induced sampling at rate p: edges
+    * survive ≈ p², wedges ≈ p³ — fine for correctness/debug runs, NOT
+    * an unbiased estimator of global counts (scale back up by the
+    * appropriate power; triangles: p³).
+    */
+  def inducedSample(edges: DataFrame, num: Long, den: Long,
+                    salt: Long = 0L): DataFrame =
+    edges.filter(sampleKeep(col("src"), num, den, salt) &&
+      sampleKeep(col("dst"), num, den, salt))
 }

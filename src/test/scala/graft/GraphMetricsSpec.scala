@@ -78,4 +78,33 @@ class GraphMetricsSpec extends AnyFunSuite {
     val row = Triangles.transitivity(spark, k4, numPartitions = 4).first()
     assert(row.getDouble(2) == 1.0)
   }
+
+  test("induced sample: exactly the edges between kept vertices, deterministically") {
+    val all = (0L until 400L).map(i => (i, (i * 7 + 3) % 400)).filter(p => p._1 != p._2)
+    val e = edges(all: _*)
+    val sampled = GraphOps.inducedSample(e, num = 1, den = 3, salt = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // replay the predicate driver-side: sample = induced closure
+    val kept = spark.range(400)
+      .filter(GraphOps.sampleKeep(col("id"), 1, 3, 42L))
+      .collect().map(_.longValue).toSet
+    val expected = all.filter(p => kept(p._1) && kept(p._2)).toSet
+    assert(sampled == expected)
+    assert(sampled.nonEmpty && sampled.size < all.size)
+
+    // same parameters reproduce the same subgraph; a new salt moves it
+    val again = GraphOps.inducedSample(e, 1, 3, 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sampled)
+    val other = GraphOps.inducedSample(e, 1, 3, 43L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other != sampled)
+  }
+
+  test("induced sample keep-rate tracks num/den") {
+    val kept = spark.range(30000)
+      .filter(GraphOps.sampleKeep(col("id"), 1, 4, 0L)).count()
+    assert(kept > 30000 / 4 * 0.85 && kept < 30000 / 4 * 1.15)
+  }
 }
