@@ -268,6 +268,29 @@ object Bench {
       extra += "tri_incremental_delta" -> triInc.toDouble
       Seq(pairsAll, oldPairs, deltaPairs, prevCc)
         .foreach(Superstep.freeCheckpoint)
+      // weighted/temporal/edge-grain variants over the same graph
+      // (weights and timestamps mod-reduced: entity ids are hashes)
+      bench("edge_betweenness")(
+        algo.Betweenness.edgeScores(spark, sym, lms, P).count())
+      val symW = sym.withColumn("w",
+        lit(1L) + pmod(pmod(col("src"), lit(3L)) + pmod(col("dst"), lit(3L)),
+          lit(3L)))
+      bench("lpa_weighted")(
+        LabelPropagation.run(spark, symW, P, maxIter = 10,
+          weightCol = Some("w")).labels.count())
+      val tEdges = g.edges.withColumn("ts",
+        lit(1L) + pmod(pmod(col("src"), lit(1000003L)) * 7
+          + pmod(col("dst"), lit(1000003L)) * 13, lit(50L)))
+      bench("temporal_reach")(
+        algo.ShortestPaths.earliestArrival(spark, tEdges,
+          sym.select(col("src").as("id")).distinct().orderBy(col("id")).limit(3),
+          startTime = 0L, P).count())
+      val trans = bench[Double]("transitivity")(
+        Triangles.transitivity(spark, GraphOps.undirectedPairs(g.edges), P)
+          .first().getDouble(2))
+      extra += "transitivity_value" -> trans
+      bench("induced_sample")(
+        GraphOps.inducedSample(g.edges, num = 1, den = 10, salt = 7L).count())
     }
 
     // round-3 late additions #2: priority-peel / forest / embedding ops

@@ -39,6 +39,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!phys.contains("Window"), s"window in physical plan:\n$phys")
   }
 
+  test("inducedSample: filter-only plan — no join, no exchange, no window") {
+    val e = (0L until 100L).map(i => (i, (i * 3 + 1) % 100)).toDF("src", "dst")
+    val s = graft.graph.GraphOps.inducedSample(e, num = 1, den = 4, salt = 7L)
+    val phys = s.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join"), s"sampler must not join a side table:\n$phys")
+    assert(!phys.contains("Exchange"), s"sampler must not shuffle:\n$phys")
+    assert(!phys.contains("Window"), s"sampler must not window:\n$phys")
+  }
+
   test("minhash bucket cap plans with no Window (groupBy+broadcast hot-bucket form)") {
     val pairs = Dedup.minHashNearDups(docs, threshold = 0.7)
     assert(logicalWindows(pairs) === 0, "bucket cap must not window-sort the banded entries")
