@@ -648,6 +648,16 @@ object SparkEntry {
         parts(s, d))
     }),
 
+    "temporal_depart_sql_graph" -> ((s, d) => {
+      // the mirror query: latest departure toward the same 5 ids as
+      // TARGETS with deadline 20 (the timestamp ceiling)
+      val te = sqlGraphEdges(s).withColumn("ts",
+        lit(1L) + pmod(col("src") * 3 + col("dst"), lit(20L)))
+      val targets = s.range(5).select((col("id") * 300 + 1).as("id"))
+      algo.ShortestPaths.latestDeparture(s, te, targets, deadline = 20L,
+        parts(s, d))
+    }),
+
     "mod_sql_graph" -> ((s, d) => {
       // A-8 modularity against a DuckDB oracle: same graph, LPA-3
       // communities (themselves oracle-checked), exact integer counts
@@ -2136,6 +2146,22 @@ object SparkEntry {
          JOIN te t ON t.src = r.id AND t.ts >= r.arr
        )
        SELECT id, CAST(min(arr) AS BIGINT) AS arrival
+       FROM reach GROUP BY id"""
+
+  /** Latest-departure twin: the mirrored closure — walk edges
+    * BACKWARD, keep ts ≤ the successor's departure, max per vertex.
+    */
+  private val temporalDepartSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       te AS (SELECT src, dst, 1 + (src * 3 + dst) % 20 AS ts FROM e),
+       reach(id, dep) AS (
+         SELECT CAST(300 * i + 1 AS BIGINT), CAST(20 AS BIGINT)
+         FROM range(5) t(i)
+         UNION
+         SELECT t.src, t.ts FROM reach r
+         JOIN te t ON t.dst = r.id AND t.ts <= r.dep
+       )
+       SELECT id, CAST(max(dep) AS BIGINT) AS departure
        FROM reach GROUP BY id"""
 
   /** Unrolled 2-round Louvain local-move refinement of the LPA-3
@@ -4520,6 +4546,7 @@ object SparkEntry {
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,
     "temporal_reach_sql_graph" -> temporalReachSqlOracle,
+    "temporal_depart_sql_graph" -> temporalDepartSqlOracle,
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,
     "assortativity_sql_graph" -> assortativitySqlOracle,

@@ -243,4 +243,76 @@ object ShortestPaths {
     Superstep.freeCheckpoint(e)
     state
   }
+
+  /** Latest-departure reachability — [[earliestArrival]]'s mirror (the
+    * other half of Wu et al.'s temporal-path quartet): the LATEST time
+    * one can leave each vertex and still reach the target set by
+    * `deadline`. LD(target) = deadline; LD(v) = max ts over edges
+    * (v, u, ts) with ts ≤ LD(u) — departing v at ts arrives at u at ts,
+    * which must not overshoot u's own latest departure. The operational
+    * question for propagation deadlines ("until when can a fix land at
+    * v and still ship by Friday").
+    *
+    * Max-merge label correcting: improvements only INCREASE departures
+    * and increasing LD(u) only WIDENS the feasible edge set, so the
+    * fixed point is the true latest-departure labeling. Exchange budget
+    * identical to [[earliestArrival]], with the edge table partitioned
+    * on dst (the probe side of the reversed traversal).
+    *
+    * @param temporalEdges (src, dst, ts), ts integral
+    * @param targets one column `id` — the destination set
+    * @param deadline arrivals after this instant are too late
+    * @return (id, departure) for every vertex that can reach a target
+    *         in time, targets themselves at `deadline`
+    */
+  def latestDeparture(spark: SparkSession,
+                      temporalEdges: DataFrame,
+                      targets: DataFrame,
+                      deadline: Long,
+                      numPartitions: Int = 32,
+                      maxIter: Int = 512): DataFrame = Superstep.withoutAQE(spark) {
+    val e = Superstep.freshCheckpoint(
+      temporalEdges.select(col("src"), col("dst"), col("ts").cast("long"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(numPartitions, col("dst")), eager = true)
+
+    val init = targets.select(col("id")).distinct()
+      .select(col("id"), lit(deadline).as("departure"))
+      .repartition(numPartitions, col("id"))
+    var state = Superstep.freshCheckpoint(init, eager = true)
+    var frontier = state
+    var frontierSize = frontier.count()
+    var iter = 0
+    val gc = new Superstep.CheckpointGC(spark, keep = 6)
+
+    while (frontierSize > 0 && iter < maxIter) {
+      val candidates = frontier
+        .join(e.hint("shuffle_hash"), frontier("id") === e("dst"))
+        .filter(col("ts") <= col("departure")) // must not overshoot u's LD
+        .select(e("src").as("id"), col("ts").as("departure"))
+        .groupBy(col("id"))
+        .agg(max(col("departure")).as("departure"))
+      val improved = Superstep.freshCheckpoint(
+        candidates
+          .join(state.select(col("id"), col("departure").as("old")),
+            Seq("id"), "left")
+          .filter(col("old").isNull || col("departure") > col("old"))
+          .select(col("id"), col("departure")), eager = false)
+      frontierSize = improved.count() // materializes the lazy checkpoint
+      if (frontierSize > 0) {
+        state = Superstep.freshCheckpoint(
+          state.unionByName(improved)
+            .groupBy(col("id"))
+            .agg(max(col("departure")).as("departure")), eager = true)
+      }
+      frontier = improved
+      gc.tick()
+      iter += 1
+    }
+    require(frontierSize == 0,
+      s"temporal relaxation still improving after $maxIter rounds — raise maxIter")
+    gc.close(keepLatest = 2)
+    Superstep.freeCheckpoint(e)
+    state
+  }
 }

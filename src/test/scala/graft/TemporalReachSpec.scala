@@ -62,4 +62,35 @@ class TemporalReachSpec extends AnyFunSuite {
     assert(a.keySet == Set(1L, 2L, 3L, 4L))
     assert(a(2L) == 5L && a(4L) == 5L)
   }
+
+  // ─────────────── latest departure (the mirror) ───────────────
+
+  test("latest departure: a descending-ts chain blocks the early hop") {
+    // 1 -(t5)-> 2 -(t3)-> 3: leaving 1 arrives at 2 at t5, after 2's
+    // own latest departure (t3) — so 1 cannot reach 3 at all
+    val e = tEdges((1L, 2L, 5L), (2L, 3L, 3L))
+    val d = arrivals(ShortestPaths.latestDeparture(
+      spark, e, seeds(3L), deadline = 10L, numPartitions = 4))
+    assert(d == Map(3L -> 10L, 2L -> 3L))
+  }
+
+  test("latest departure: feasible chain and max-merge over two routes") {
+    val chain = arrivals(ShortestPaths.latestDeparture(
+      spark, tEdges((1L, 2L, 2L), (2L, 3L, 4L)), seeds(3L),
+      deadline = 10L, numPartitions = 4))
+    assert(chain == Map(3L -> 10L, 2L -> 4L, 1L -> 2L))
+
+    // direct (t9) beats the via-2 route (t5): max-merge keeps 9
+    val two = arrivals(ShortestPaths.latestDeparture(
+      spark, tEdges((1L, 3L, 9L), (1L, 2L, 5L), (2L, 3L, 6L)), seeds(3L),
+      deadline = 10L, numPartitions = 4))
+    assert(two == Map(3L -> 10L, 2L -> 6L, 1L -> 9L))
+  }
+
+  test("latest departure: the deadline gates late edges") {
+    val e = tEdges((1L, 3L, 8L), (2L, 3L, 12L))
+    val d = arrivals(ShortestPaths.latestDeparture(
+      spark, e, seeds(3L), deadline = 10L, numPartitions = 4))
+    assert(d == Map(3L -> 10L, 1L -> 8L)) // 2's only edge lands at t12 > deadline
+  }
 }
