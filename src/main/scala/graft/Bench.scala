@@ -291,6 +291,20 @@ object Bench {
       extra += "transitivity_value" -> trans
       bench("induced_sample")(
         GraphOps.inducedSample(g.edges, num = 1, den = 10, salt = 7L).count())
+      // web-graph macro structure, graphlet census, spam defense
+      val bt = bench[DataFrame]("bowtie")(
+        algo.BowTie.decompose(spark, g.edges, P))
+      extra += "bowtie_core" ->
+        bt.filter(col("region") === "CORE").count().toDouble
+      Superstep.freeCheckpoint(bt)
+      bench("motifs4")(
+        algo.Motifs.fourNode(spark, GraphOps.undirectedPairs(g.edges), P)
+          .count())
+      bench("spam_mass")(
+        algo.TrustRank.spamMass(spark, g.edges,
+          sym.select(col("src").as("id")).distinct()
+            .filter(pmod(col("id"), lit(20L)) === 0),
+          P, maxIter = 10).count())
     }
 
     // round-3 late additions #2: priority-peel / forest / embedding ops

@@ -658,6 +658,29 @@ object SparkEntry {
         parts(s, d))
     }),
 
+    "spam_mass_sql_graph" -> ((s, d) => {
+      // TrustRank + spam mass: global vs %20==0-seeded PageRank, the
+      // gap read per vertex; the twin composes the two existing
+      // recurrences and mirrors the round-before-subtract discipline
+      val e = sqlGraphEdges(s)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val trusted = verts.filter(pmod(col("id"), lit(20L)) === 0)
+      algo.TrustRank.spamMass(s, e, trusted, parts(s, d), maxIter = 5)
+    }),
+
+    "motifs4_sql_graph" -> ((s, d) =>
+      // induced 4-node motif spectrum via the Möbius identities; the
+      // twin replays every aggregate and the inversion in SQL
+      algo.Motifs.fourNode(s, GraphOps.undirectedPairs(sqlGraphEdges(s)),
+        parts(s, d))),
+
+    "bowtie_sql_graph" -> ((s, d) =>
+      // Broder bow-tie decomposition over the purpose-built fixture
+      // (every region populated); the oracle replays the region
+      // definitions from the directed + symmetric recursive closures
+      algo.BowTie.decompose(s, bowtieGraphEdges(s), parts(s, d))),
+
     "mod_sql_graph" -> ((s, d) => {
       // A-8 modularity against a DuckDB oracle: same graph, LPA-3
       // communities (themselves oracle-checked), exact integer counts
@@ -1871,6 +1894,60 @@ object SparkEntry {
       .filter(col("dst") < SqlGraphV).distinct()
   }
 
+  /** Bow-tie fixture: a 725-vertex directed graph with every Broder
+    * region populated — a 200-cycle-plus-chords core, an IN shell that
+    * all enters it, an OUT shell it all reaches, tubes (IN→OUT around
+    * the core), both tendril kinds, an OTHER fringe feeding a tendril,
+    * and a disconnected chain+ring. Chord steps keep every BFS/SCC
+    * diameter ≲ 15 so the decomposition converges in few supersteps.
+    */
+  private def bowtieGraphEdges(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Column
+    def rng(lo: Long, hi: Long): DataFrame =
+      s.range(lo, hi).select(col("id").as("a"))
+    def mk(df: DataFrame, dst: Column): DataFrame =
+      df.select(col("a").as("src"), dst.as("dst"))
+    val a = col("a")
+    Seq(
+      mk(rng(0, 200), lit(200L) + pmod(a * 3L, lit(200L))), // IN → core (all)
+      mk(rng(0, 180), a + 19L), // IN internal ascent
+      mk(rng(200, 400), lit(200L) + pmod(a - 200L + 1L, lit(200L))), // core cycle
+      mk(rng(200, 400), lit(200L) + pmod(a - 200L + 17L + lit(4L) * pmod(a, lit(7L)),
+        lit(200L))), // core chords
+      mk(rng(200, 400), lit(400L) + pmod(a * 3L, lit(200L))), // core → OUT (all)
+      mk(rng(400, 580), a + 19L), // OUT internal ascent
+      mk(rng(0, 200).filter(pmod(a, lit(11L)) === 0),
+        lit(600L) + pmod(a, lit(25L))), // IN → tube slots
+      mk(rng(600, 625), lit(400L) + pmod(a * 7L, lit(200L))), // tube → OUT
+      mk(rng(0, 200).filter(pmod(a, lit(13L)) === 0),
+        lit(625L) + pmod(a, lit(25L))), // IN → tendril sinks
+      mk(rng(650, 675), lit(400L) + pmod(a * 3L, lit(200L))), // tendril-out → OUT
+      mk(rng(675, 690), lit(625L) + pmod(a, lit(25L))), // OTHER → tendril sinks
+      mk(rng(690, 700), a + 5L), // disconnected chain → ring
+      mk(rng(700, 725), lit(700L) + pmod(a - 700L + 1L, lit(25L))), // ring
+      mk(rng(700, 725), lit(700L) + pmod(a - 700L + 7L, lit(25L))) // ring chords
+    ).reduce(_.unionAll(_)).filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** DuckDB twin of [[bowtieGraphEdges]]. */
+  private val bowtieCte: String =
+    """bt AS (SELECT DISTINCT src, dst FROM (
+         SELECT i AS src, 200 + (i*3) % 200 AS dst FROM range(200) t(i)
+         UNION ALL SELECT i, i + 19 FROM range(180) t(i)
+         UNION ALL SELECT i, 200 + (i - 200 + 1) % 200 FROM range(200, 400) t(i)
+         UNION ALL SELECT i, 200 + (i - 200 + 17 + 4*(i % 7)) % 200 FROM range(200, 400) t(i)
+         UNION ALL SELECT i, 400 + (i*3) % 200 FROM range(200, 400) t(i)
+         UNION ALL SELECT i, i + 19 FROM range(400, 580) t(i)
+         UNION ALL SELECT i, 600 + i % 25 FROM range(200) t(i) WHERE i % 11 = 0
+         UNION ALL SELECT i, 400 + (i*7) % 200 FROM range(600, 625) t(i)
+         UNION ALL SELECT i, 625 + i % 25 FROM range(200) t(i) WHERE i % 13 = 0
+         UNION ALL SELECT i, 400 + (i*3) % 200 FROM range(650, 675) t(i)
+         UNION ALL SELECT i, 625 + i % 25 FROM range(675, 690) t(i)
+         UNION ALL SELECT i, i + 5 FROM range(690, 700) t(i)
+         UNION ALL SELECT i, 700 + (i - 700 + 1) % 25 FROM range(700, 725) t(i)
+         UNION ALL SELECT i, 700 + (i - 700 + 7) % 25 FROM range(700, 725) t(i)
+       ) WHERE src <> dst)"""
+
   /** DuckDB twin of [[sqlDagEdges]]. */
   private val sqlDagCte: String =
     """dag AS (
@@ -2869,6 +2946,145 @@ object SparkEntry {
     * nontrivial), singletons defaulting to themselves. Pure integer
     * arithmetic — exact parity with the coloring algorithm's labels.
     */
+  /** Spam-mass twin: the global and %20==0-personalized recurrences
+    * (each already rounding to 6dp) composed with the same
+    * round-before-subtract discipline as TrustRank.spamMass.
+    */
+  private def spamMassSqlOracle(iters: Int): String =
+    s"""WITH gpr AS MATERIALIZED (${prSqlOracle(iters)}),
+       tpr AS MATERIALIZED (${pprSqlOracle(iters)})
+       SELECT g.id, g.rank AS pr, coalesce(t.rank, 0.0) AS trust,
+         round(g.rank - coalesce(t.rank, 0.0), 6) AS mass,
+         round((g.rank - coalesce(t.rank, 0.0)) / g.rank, 6) AS rel_mass
+       FROM gpr g LEFT JOIN tpr t ON t.id = g.id"""
+
+  /** Motif-spectrum twin: the same six subgraph aggregates (degree
+    * binomials, edge-degree products, triangle incidences/support,
+    * co-degree diagonal, ordered 4-clique join) and the same Möbius
+    * inversion, all in exact integer SQL.
+    */
+  private val motifs4SqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e),
+       su AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+       deg AS (SELECT a AS id, count(*) AS d FROM su GROUP BY 1),
+       tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+               FROM und e1 JOIN und e2 ON e2.u = e1.v
+               JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       tn AS (SELECT count(*) AS t FROM tri),
+       clawsub AS (SELECT coalesce(sum(d*(d-1)*(d-2)//6), 0) AS c FROM deg),
+       pathraw AS (SELECT coalesce(sum((d1.d-1)*(d2.d-1)), 0) AS p
+                   FROM und JOIN deg d1 ON d1.id = und.u
+                   JOIN deg d2 ON d2.id = und.v),
+       tv AS (SELECT id, count(*) AS t FROM (
+                SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY 1),
+       pawsub AS (SELECT coalesce(sum(tv.t*(deg.d-2)), 0) AS c
+                  FROM tv JOIN deg ON deg.id = tv.id),
+       sup AS (SELECT a, b, count(*) AS s FROM (
+                 SELECT x AS a, y AS b FROM tri UNION ALL SELECT x, z FROM tri
+                 UNION ALL SELECT y, z FROM tri) GROUP BY 1, 2),
+       diasub AS (SELECT coalesce(sum(s*(s-1)//2), 0) AS c FROM sup),
+       codeg AS (SELECT l.b AS u, r.b AS w, count(*) AS cd
+                 FROM su l JOIN su r ON l.a = r.a AND l.b < r.b GROUP BY 1, 2),
+       c4sub AS (SELECT coalesce(sum(cd*(cd-1)), 0) // 4 AS c FROM codeg),
+       k4sub AS (SELECT count(*) AS c FROM tri t1
+                 JOIN tri t2 ON t2.x = t1.x AND t2.y = t1.y AND t2.z > t1.z
+                 JOIN und u4 ON u4.u = t1.z AND u4.v = t2.z),
+       vals AS (SELECT (SELECT c FROM clawsub) AS claw,
+                  (SELECT p FROM pathraw) - 3*(SELECT t FROM tn) AS path4,
+                  (SELECT c FROM pawsub) AS paw,
+                  (SELECT c FROM diasub) AS dia,
+                  (SELECT c FROM c4sub) AS c4,
+                  (SELECT c FROM k4sub) AS k4)
+       SELECT motif, CAST(subgraphs AS BIGINT) AS subgraphs,
+         CAST(induced AS BIGINT) AS induced FROM (
+         SELECT 'path4' AS motif, path4 AS subgraphs,
+           path4 - 2*(paw - 4*(dia-6*k4) - 12*k4)
+             - 4*(c4 - (dia-6*k4) - 3*k4) - 6*(dia-6*k4) - 12*k4 AS induced
+           FROM vals
+         UNION ALL SELECT 'claw', claw,
+           claw - (paw - 4*(dia-6*k4) - 12*k4) - 2*(dia-6*k4) - 4*k4 FROM vals
+         UNION ALL SELECT 'paw', paw, paw - 4*(dia-6*k4) - 12*k4 FROM vals
+         UNION ALL SELECT 'cycle4', c4, c4 - (dia-6*k4) - 3*k4 FROM vals
+         UNION ALL SELECT 'diamond', dia, dia - 6*k4 FROM vals
+         UNION ALL SELECT 'clique4', k4, k4 FROM vals)"""
+
+  /** Bow-tie twin: the directed closure r gives SCC labels (mutual
+    * reachability), the core pick and the IN/OUT/tube/tendril region
+    * gates; a second recursive closure over the symmetrized fixture
+    * separates OTHER (core's weak component) from DISCONNECTED.
+    */
+  private val bowtieSqlOracle: String =
+    s"""WITH RECURSIVE $bowtieCte,
+       r(a, b) AS (
+         SELECT src, dst FROM bt
+         UNION
+         SELECT r.a, bt.dst FROM r JOIN bt ON bt.src = r.b
+       ),
+       -- NB: DuckDB 1.0 executes a non-self-referencing UNION inside
+       -- WITH RECURSIVE as UNION ALL, so set CTEs here dedup explicitly
+       syme AS (SELECT DISTINCT s, d FROM (
+         SELECT src AS s, dst AS d FROM bt
+         UNION ALL SELECT dst, src FROM bt)),
+       rs(a, b) AS (
+         SELECT s, d FROM syme
+         UNION
+         SELECT rs.a, syme.d FROM rs JOIN syme ON syme.s = rs.b
+       ),
+       vts AS MATERIALIZED (SELECT DISTINCT id
+               FROM (SELECT src AS id FROM bt UNION ALL SELECT dst FROM bt)),
+       scc AS MATERIALIZED (SELECT v.id, least(v.id, coalesce(m.mn, v.id)) AS scc
+               FROM vts v LEFT JOIN
+                 (SELECT x.a AS id, min(x.b) AS mn
+                  FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+                  GROUP BY x.a) m ON m.id = v.id),
+       corelab AS MATERIALIZED (SELECT scc
+                   FROM (SELECT scc, count(*) AS n FROM scc GROUP BY 1)
+                   ORDER BY n DESC, scc ASC LIMIT 1),
+       core AS MATERIALIZED (SELECT id FROM scc
+               WHERE scc = (SELECT scc FROM corelab)),
+       fwd AS MATERIALIZED (SELECT DISTINCT id FROM (
+               SELECT id FROM core
+               UNION ALL SELECT r.b FROM r JOIN core c ON r.a = c.id)),
+       bwd AS MATERIALIZED (SELECT DISTINCT id FROM (
+               SELECT id FROM core
+               UNION ALL SELECT r.a FROM r JOIN core c ON r.b = c.id)),
+       outs AS MATERIALIZED (SELECT f.id FROM fwd f
+                WHERE f.id NOT IN (SELECT id FROM core)),
+       ins AS MATERIALIZED (SELECT b.id FROM bwd b
+               WHERE b.id NOT IN (SELECT id FROM core)),
+       rest AS MATERIALIZED (SELECT v.id FROM vts v
+                WHERE v.id NOT IN (SELECT id FROM fwd)
+                  AND v.id NOT IN (SELECT id FROM bwd)),
+       fwdin AS MATERIALIZED (SELECT DISTINCT rest.id FROM rest
+                 JOIN r ON r.b = rest.id JOIN ins i ON r.a = i.id),
+       bwdout AS MATERIALIZED (SELECT DISTINCT rest.id FROM rest
+                  JOIN r ON r.a = rest.id JOIN outs o ON r.b = o.id),
+       wcc AS MATERIALIZED (SELECT v.id, least(v.id, coalesce(m.mn, v.id)) AS comp
+               FROM vts v LEFT JOIN
+                 (SELECT a AS id, min(b) AS mn FROM rs GROUP BY a) m
+                 ON m.id = v.id),
+       corewcc AS MATERIALIZED (SELECT comp FROM wcc
+                 WHERE id = (SELECT scc FROM corelab))
+       SELECT CAST(v.id AS BIGINT) AS id,
+         CASE WHEN c.id IS NOT NULL THEN 'CORE'
+              WHEN i.id IS NOT NULL THEN 'IN'
+              WHEN o.id IS NOT NULL THEN 'OUT'
+              WHEN fi.id IS NOT NULL AND bo.id IS NOT NULL THEN 'TUBE'
+              WHEN fi.id IS NOT NULL THEN 'TENDRIL_IN'
+              WHEN bo.id IS NOT NULL THEN 'TENDRIL_OUT'
+              WHEN w.comp = (SELECT comp FROM corewcc) THEN 'OTHER'
+              ELSE 'DISCONNECTED' END AS region
+       FROM vts v
+       LEFT JOIN core c ON c.id = v.id
+       LEFT JOIN ins i ON i.id = v.id
+       LEFT JOIN outs o ON o.id = v.id
+       LEFT JOIN fwdin fi ON fi.id = v.id
+       LEFT JOIN bwdout bo ON bo.id = v.id
+       JOIN wcc w ON w.id = v.id"""
+
   private val sccSqlOracle: String =
     s"""WITH RECURSIVE $sqlGraphCte,
        r(a, b) AS (
@@ -4546,6 +4762,9 @@ object SparkEntry {
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,
     "temporal_reach_sql_graph" -> temporalReachSqlOracle,
+    "bowtie_sql_graph" -> bowtieSqlOracle,
+    "motifs4_sql_graph" -> motifs4SqlOracle,
+    "spam_mass_sql_graph" -> spamMassSqlOracle(5),
     "temporal_depart_sql_graph" -> temporalDepartSqlOracle,
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,

@@ -228,6 +228,29 @@ class PlanSpec extends AnyFunSuite {
       s"no global sort may appear:\n$phys")
   }
 
+  test("bow-tie reachability superstep: one exchange (the partial distinct), no Window, no SMJ") {
+    Superstep.withoutAQE(spark) {
+      val P = 4
+      val e = (0L until 80L).map(i => (i, (i * 3 + 1) % 80)).toDF("src", "dst")
+        .repartition(P, col("src"))
+      val frontier = (0L until 10L).map(Tuple1(_)).toDF("id")
+        .repartition(P, col("id"))
+      val state = frontier
+      val next = graft.algo.BowTie.expand(e, frontier, state)
+      assert(logicalWindows(next) === 0)
+      val phys = next.queryExecution.executedPlan.toString
+      assert(!phys.contains("SortMergeJoin"),
+        s"no sort-merge in the superstep:\n$phys")
+      // the test inputs are LocalTableScans behind explicit
+      // REPARTITION_BY_NUM nodes (checkpointed RDDs in the real loop),
+      // so only optimizer-inserted exchanges count: exactly one — the
+      // partial distinct's. The anti-join never adds its own shuffle.
+      def count(re: String) = re.r.findAllIn(phys).size
+      assert(count("""ENSURE_REQUIREMENTS""") === 1,
+        s"only the distinct's exchange may shuffle:\n$phys")
+    }
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     // own temp parquet, not the shared testdata file: another suite
     // caching the same read plan would substitute an InMemoryRelation
