@@ -305,6 +305,9 @@ object Bench {
           sym.select(col("src").as("id")).distinct()
             .filter(pmod(col("id"), lit(20L)) === 0),
           P, maxIter = 10).count())
+      bench("pic")(
+        algo.Pic.run(spark, sym, k = 8, iters = 10, numPartitions = P,
+          seedMod = 1000003L).count())
     }
 
     // round-3 late additions #2: priority-peel / forest / embedding ops

@@ -658,6 +658,12 @@ object SparkEntry {
         parts(s, d))
     }),
 
+    "pic_sql_graph" -> ((s, d) =>
+      // power iteration clustering at k=3 over the three-blob fixture;
+      // the twin unrolls the walk and replays the integer-gap split
+      algo.Pic.run(s, GraphOps.symmetrize(picGraphEdges(s)), k = 3,
+        iters = 12, numPartitions = parts(s, d), seedMod = 300L)),
+
     "spam_mass_sql_graph" -> ((s, d) => {
       // TrustRank + spam mass: global vs %20==0-seeded PageRank, the
       // gap read per vertex; the twin composes the two existing
@@ -673,6 +679,12 @@ object SparkEntry {
       // induced 4-node motif spectrum via the Möbius identities; the
       // twin replays every aggregate and the inversion in SQL
       algo.Motifs.fourNode(s, GraphOps.undirectedPairs(sqlGraphEdges(s)),
+        parts(s, d))),
+
+    "motifs4_null_sql_graph" -> ((s, d) =>
+      // motif significance vs the configuration-model null: expected
+      // subgraph counts from falling-factorial degree moments
+      algo.Motifs.nullModelRatios(s, GraphOps.undirectedPairs(sqlGraphEdges(s)),
         parts(s, d))),
 
     "bowtie_sql_graph" -> ((s, d) =>
@@ -1948,6 +1960,45 @@ object SparkEntry {
          UNION ALL SELECT i, 700 + (i - 700 + 7) % 25 FROM range(700, 725) t(i)
        ) WHERE src <> dst)"""
 
+  /** PIC fixture: three 200-vertex expander blobs (4 affine chord
+    * families each, so the walk mixes in-blob within a few rounds)
+    * joined by 6 bridge edges; with the sawtooth-300 seed the blob
+    * means differ by ~33%, so the two split gaps run ~2.2× the largest
+    * in-blob gap — robustly reproducible across engines (measured:
+    * pure 200/200/200 split for every iteration count 10–30).
+    */
+  private def picGraphEdges(s: SparkSession): DataFrame = {
+    val r = s.range(600L).select(col("id").as("a"))
+    val j = pmod(col("a"), lit(200L))
+    val lo = col("a") - j
+    def chord(f: org.apache.spark.sql.Column): DataFrame =
+      r.select(col("a").as("src"), (lo + pmod(f, lit(200L))).as("dst"))
+    val bridge = r.filter(pmod(col("a"), lit(100L)) === 0)
+      .select(col("a").as("src"), pmod(col("a") + 200L, lit(600L)).as("dst"))
+    Seq(chord(j + 1L), chord(j * 3L + 1L), chord(j * 7L + 11L),
+      chord(j * 17L + 5L))
+      .reduce(_.unionAll(_)).unionAll(bridge)
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** DuckDB twin of [[picGraphEdges]] (psym = the symmetrized view). */
+  private val picCte: String =
+    """pg AS (SELECT DISTINCT src, dst FROM (
+         SELECT i AS src, (i - i % 200) + ((i % 200) + 1) % 200 AS dst
+           FROM range(600) t(i)
+         UNION ALL SELECT i, (i - i % 200) + ((i % 200) * 3 + 1) % 200
+           FROM range(600) t(i)
+         UNION ALL SELECT i, (i - i % 200) + ((i % 200) * 7 + 11) % 200
+           FROM range(600) t(i)
+         UNION ALL SELECT i, (i - i % 200) + ((i % 200) * 17 + 5) % 200
+           FROM range(600) t(i)
+         UNION ALL SELECT i, (i + 200) % 600
+           FROM range(600) t(i) WHERE i % 100 = 0
+       ) WHERE src <> dst),
+       psym AS (SELECT DISTINCT s, d FROM (
+         SELECT src AS s, dst AS d FROM pg
+         UNION ALL SELECT dst, src FROM pg))"""
+
   /** DuckDB twin of [[sqlDagEdges]]. */
   private val sqlDagCte: String =
     """dag AS (
@@ -2946,6 +2997,50 @@ object SparkEntry {
     * nontrivial), singletons defaulting to themselves. Pure integer
     * arithmetic — exact parity with the coloring algorithm's labels.
     */
+  /** PIC twin: the seeded walk unrolled (id-arithmetic seed, D⁻¹A
+    * step, L1 normalizer — doubles, same op order), then the
+    * |V|-scaled 6dp integer micro-unit embedding and the k−1
+    * largest-gap split replayed in exact BIGINT (the full-order
+    * window is fine at oracle scale; the engine uses the
+    * range-partitioned form).
+    */
+  private def picSqlOracle(k: Int, iters: Int, seedMod: Long): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $picCte,
+         vts AS (SELECT DISTINCT s AS id FROM psym),
+         dg AS (SELECT s AS id, CAST(count(*) AS DOUBLE) AS d
+                FROM psym GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vts),
+         sd AS (SELECT id, 1.0 + CAST(id % $seedMod AS DOUBLE) AS s FROM vts),
+         st AS (SELECT sum(s) AS t FROM sd),
+         v0 AS (SELECT id, s / (SELECT t FROM st) AS v FROM sd)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      b.append(s""",
+         ux$i AS (SELECT psym.d AS id, sum(v$p.v) AS s
+                  FROM psym JOIN v$p ON v$p.id = psym.s GROUP BY 1),
+         uu$i AS (SELECT ux.id, ux.s / dg.d AS u
+                  FROM ux$i ux JOIN dg ON dg.id = ux.id),
+         l$i AS (SELECT sum(abs(u)) AS l FROM uu$i),
+         v$i AS (SELECT id, u / (SELECT l FROM l$i) AS v FROM uu$i)""")
+    }
+    b.append(s""",
+         emb AS (SELECT id,
+             CAST(round(v * (SELECT n FROM nn) * 1000000, 0) AS BIGINT) AS emb
+           FROM v$iters),
+         gaps AS (SELECT emb - lag(emb) OVER (ORDER BY emb, id) AS gap,
+                    lag(emb) OVER (ORDER BY emb, id) AS lo
+                  FROM emb),
+         ths AS (SELECT lo FROM gaps WHERE gap IS NOT NULL
+                 ORDER BY gap DESC, lo ASC LIMIT ${k - 1})
+       SELECT e.id, e.emb,
+         CAST((SELECT count(*) FROM ths WHERE e.emb > ths.lo) AS INT)
+           AS cluster
+       FROM emb e""")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Spam-mass twin: the global and %20==0-personalized recurrences
     * (each already rounding to 6dp) composed with the same
     * round-before-subtract discipline as TrustRank.spamMass.
@@ -2963,9 +3058,9 @@ object SparkEntry {
     * co-degree diagonal, ordered 4-clique join) and the same Möbius
     * inversion, all in exact integer SQL.
     */
-  private val motifs4SqlOracle: String =
-    s"""WITH $sqlGraphCte,
-       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  /** Shared CTE chain for the motif twins: subgraph aggregates → vals. */
+  private val motifs4CoreCtes: String =
+    s"""und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
                FROM e),
        su AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
        deg AS (SELECT a AS id, count(*) AS d FROM su GROUP BY 1),
@@ -2997,7 +3092,17 @@ object SparkEntry {
                   (SELECT c FROM pawsub) AS paw,
                   (SELECT c FROM diasub) AS dia,
                   (SELECT c FROM c4sub) AS c4,
-                  (SELECT c FROM k4sub) AS k4)
+                  (SELECT c FROM k4sub) AS k4),
+       obs AS (SELECT 'path4' AS motif, path4 AS subgraphs FROM vals
+               UNION ALL SELECT 'claw', claw FROM vals
+               UNION ALL SELECT 'paw', paw FROM vals
+               UNION ALL SELECT 'cycle4', c4 FROM vals
+               UNION ALL SELECT 'diamond', dia FROM vals
+               UNION ALL SELECT 'clique4', k4 FROM vals)"""
+
+  private val motifs4SqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       $motifs4CoreCtes
        SELECT motif, CAST(subgraphs AS BIGINT) AS subgraphs,
          CAST(induced AS BIGINT) AS induced FROM (
          SELECT 'path4' AS motif, path4 AS subgraphs,
@@ -3010,6 +3115,31 @@ object SparkEntry {
          UNION ALL SELECT 'cycle4', c4, c4 - (dia-6*k4) - 3*k4 FROM vals
          UNION ALL SELECT 'diamond', dia, dia - 6*k4 FROM vals
          UNION ALL SELECT 'clique4', k4, k4 FROM vals)"""
+
+  /** Null-model twin: falling-factorial degree moments and the
+    * configuration-model expectation formula in the exact operation
+    * order of Motifs.nullModelRatios (explicit multiply chains — no
+    * pow, whose last-ulp rounding differs per libm).
+    */
+  private val motifs4NullSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       $motifs4CoreCtes,
+       mom AS (SELECT CAST(sum(d) AS DOUBLE) AS m1,
+                 CAST(coalesce(sum(d*(d-1)), 0) AS DOUBLE) AS m2,
+                 CAST(coalesce(sum(d*(d-1)*(d-2)), 0) AS DOUBLE) AS m3
+               FROM deg),
+       exps AS (
+         SELECT 'path4' AS motif, m1*m2*m2*m1/(2.0*m1*m1*m1) AS e FROM mom
+         UNION ALL SELECT 'claw', m1*m1*m1*m3/(6.0*m1*m1*m1) FROM mom
+         UNION ALL SELECT 'paw', m1*m2*m2*m3/(2.0*m1*m1*m1*m1) FROM mom
+         UNION ALL SELECT 'cycle4', m2*m2*m2*m2/(8.0*m1*m1*m1*m1) FROM mom
+         UNION ALL SELECT 'diamond', m2*m2*m3*m3/(4.0*m1*m1*m1*m1*m1) FROM mom
+         UNION ALL SELECT 'clique4',
+           m3*m3*m3*m3/(24.0*m1*m1*m1*m1*m1*m1) FROM mom)
+       SELECT o.motif, CAST(o.subgraphs AS BIGINT) AS subgraphs,
+         round(x.e, 6) AS expected,
+         CASE WHEN x.e > 0 THEN round(o.subgraphs / x.e, 6) END AS ratio
+       FROM obs o JOIN exps x ON x.motif = o.motif"""
 
   /** Bow-tie twin: the directed closure r gives SCC labels (mutual
     * reachability), the core pick and the IN/OUT/tube/tendril region
@@ -4765,6 +4895,8 @@ object SparkEntry {
     "bowtie_sql_graph" -> bowtieSqlOracle,
     "motifs4_sql_graph" -> motifs4SqlOracle,
     "spam_mass_sql_graph" -> spamMassSqlOracle(5),
+    "pic_sql_graph" -> picSqlOracle(3, 12, 300L),
+    "motifs4_null_sql_graph" -> motifs4NullSqlOracle,
     "temporal_depart_sql_graph" -> temporalDepartSqlOracle,
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,

@@ -129,4 +129,65 @@ object Motifs {
       ("clique4", k4, k4i)))
       .toDF("motif", "subgraphs", "induced")
   }
+
+  /** Motif significance against the configuration-model null: the
+    * expected SUBGRAPH count of a shape H with vertex degrees kᵢ,
+    * e(H) edges and aut(H) automorphisms under random degree-
+    * preserving rewiring is, to leading order,
+    *
+    *   E[X_H] ≈ (Π_i m_{kᵢ}) / (aut(H) · M₁^{e(H)})
+    *
+    * with falling-factorial degree moments m_k = Σ_v d(d−1)…(d−k+1)
+    * (M₁ = m₁). The observed/expected ratio is the classic motif
+    * profile (Milo et al.): ≫1 = the wiring concentrates the shape
+    * (triadic closure, bipartite cores), ≈1 = degree sequence alone
+    * explains it. `claw` is the built-in sanity row: its observed
+    * subgraph count IS m₃/6, so its ratio is exactly 1.
+    *
+    * One extra pass over the degree table (three map-side-combinable
+    * DECIMAL moment sums); observed counts ride [[fourNode]]. The
+    * formula arithmetic runs on exact integer moments in the same
+    * operation order in both engines, so ratios are bit-stable.
+    */
+  def nullModelRatios(spark: SparkSession,
+                      undirectedPairs: DataFrame,
+                      numPartitions: Int = 32,
+                      maxCenterDegree: Long = 0,
+                      maxEdgeTriangles: Long = 0): DataFrame = {
+    val observed = fourNode(spark, undirectedPairs, numPartitions,
+      maxCenterDegree, maxEdgeTriangles)
+    val pairs = undirectedPairs.select(
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val sym = pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("d"))
+    val m = deg.agg(
+      sum(col("d")).as("m1"),
+      sum(expr("d * (d - 1)").cast("decimal(38,0)")).as("m2"),
+      sum(expr("d * (d - 1) * (d - 2)").cast("decimal(38,0)")).as("m3"))
+      .first()
+    val m1 = m.getDecimal(0).doubleValue()
+    val m2 = if (m.isNullAt(1)) 0.0 else m.getDecimal(1).doubleValue()
+    val m3 = if (m.isNullAt(2)) 0.0 else m.getDecimal(2).doubleValue()
+
+    // (degrees kᵢ; e(H); aut(H)) per shape, expectation in the same
+    // op order both engines replay: products left-to-right, one divide
+    val expected: Map[String, Double] = Map(
+      "path4" -> m1 * m2 * m2 * m1 / (2.0 * m1 * m1 * m1), // (1,2,2,1) e=3 aut=2
+      "claw" -> m1 * m1 * m1 * m3 / (6.0 * m1 * m1 * m1), // (1,1,1,3) e=3 aut=6
+      "paw" -> m1 * m2 * m2 * m3 / (2.0 * m1 * m1 * m1 * m1), // (1,2,2,3) e=4 aut=2
+      "cycle4" -> m2 * m2 * m2 * m2 / (8.0 * m1 * m1 * m1 * m1), // (2,2,2,2) e=4 aut=8
+      "diamond" -> m2 * m2 * m3 * m3 / (4.0 * m1 * m1 * m1 * m1 * m1), // (2,2,3,3) e=5 aut=4
+      "clique4" -> m3 * m3 * m3 * m3 / (24.0 * m1 * m1 * m1 * m1 * m1 * m1)) // (3,3,3,3) e=6 aut=24
+
+    val expCol = expected.foldLeft(lit(Double.NaN)) { case (acc, (name, e)) =>
+      when(col("motif") === name, lit(e)).otherwise(acc)
+    }
+    observed.select(col("motif"), col("subgraphs"),
+      round(expCol, 6).as("expected"),
+      when(expCol > 0.0, round(col("subgraphs") / expCol, 6)).as("ratio"))
+  }
 }

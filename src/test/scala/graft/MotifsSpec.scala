@@ -116,6 +116,19 @@ class MotifsSpec extends AnyFunSuite {
     }
   }
 
+  test("null-model ratios: claw is the exact-identity sanity row") {
+    val es = (for (a <- 1L to 6L; b <- a + 1 to 6L) yield (a, b)) ++
+      Seq((6L, 7L), (7L, 8L), (8L, 9L)) // K6 + a tail
+    val rows = Motifs.nullModelRatios(spark, edges(es: _*), numPartitions = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // claw's observed subgraph count IS m3/6 — ratio exactly 1
+    assert(rows("claw")._2 == 1.0)
+    // a clique concentrates closed shapes far beyond degree chance
+    assert(rows("clique4")._2 > 5.0, s"K6 clique4 ratio: ${rows("clique4")}")
+    assert(rows("diamond")._2 > 1.0)
+  }
+
   test("triangle-free graph: paw/diamond/clique4 all zero") {
     // 6-cycle
     val es = (1L to 6L).map(i => (i, if (i == 6) 1L else i + 1))
