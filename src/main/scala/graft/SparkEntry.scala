@@ -664,6 +664,34 @@ object SparkEntry {
       algo.Pic.run(s, GraphOps.symmetrize(picGraphEdges(s)), k = 3,
         iters = 12, numPartitions = parts(s, d), seedMod = 300L)),
 
+    "wl_sql_graph" -> ((s, d) =>
+      // 1-WL color refinement, 4 rounds; the twin replays the exact
+      // two-channel modular recurrence on the same degree seed
+      algo.Wl.refine(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        rounds = 4, numPartitions = parts(s, d))),
+
+    "cascade_sql_graph" -> ((s, d) => {
+      // k=2 bootstrap percolation from the %9==0 seeds plus the one
+      // degree-0 vertex (850 — reported at round 0, spreads nothing):
+      // 11 rounds to fixed point, 1482/1500 activate (the rest stall
+      // below k). The twin recomputes each round's active set
+      // monotonically and takes the min round per vertex.
+      val seeds = s.range(SqlGraphV).toDF()
+        .filter(pmod(col("id"), lit(9L)) === 0 || col("id") === 850L)
+      algo.Cascade.run(s, GraphOps.symmetrize(sqlGraphEdges(s)), seeds,
+        k = 2, maxRounds = 50, numPartitions = parts(s, d))
+    }),
+
+    "cascade_frac_sql_graph" -> ((s, d) => {
+      // linear-threshold cascade: activate at ⌈deg/3⌉ active
+      // neighbors, same seeds — exact BIGINT ceil-division both
+      // sides; 7 rounds to fixed point, 1499/1500 activate
+      val seeds = s.range(SqlGraphV).toDF()
+        .filter(pmod(col("id"), lit(9L)) === 0 || col("id") === 850L)
+      algo.Cascade.runFraction(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        seeds, num = 1, den = 3, maxRounds = 50, numPartitions = parts(s, d))
+    }),
+
     "spam_mass_sql_graph" -> ((s, d) => {
       // TrustRank + spam mass: global vs %20==0-seeded PageRank, the
       // gap read per vertex; the twin composes the two existing
@@ -3041,6 +3069,76 @@ object SparkEntry {
     b.toString.replace(" AS (", " AS MATERIALIZED (")
   }
 
+  /** 1-WL twin: the two-channel modular color recurrence unrolled —
+    * degree seed, per-neighbor mix a·c+b summed (HUGEINT, then mod),
+    * own-color fold (u·c + s + v) mod p — identical integer arithmetic
+    * to Wl.refine at every step.
+    */
+  private def wlSqlOracle(rounds: Int): String = {
+    val p1 = algo.Wl.P1; val p2 = algo.Wl.P2
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         dg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+         c0 AS (SELECT id, d % $p1 AS c1, d % $p2 AS c2 FROM dg)""")
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      b.append(s""",
+         s$i AS (SELECT sym.dst AS id,
+             CAST(sum(c.c1 * 1000003 + 17) % $p1 AS BIGINT) AS s1,
+             CAST(sum(c.c2 * 1000033 + 29) % $p2 AS BIGINT) AS s2
+           FROM sym JOIN c$p c ON c.id = sym.src GROUP BY 1),
+         c$i AS (SELECT c.id,
+             (c.c1 * 999983 + s.s1 + 101) % $p1 AS c1,
+             (c.c2 * 999979 + s.s2 + 131) % $p2 AS c2
+           FROM c$p c JOIN s$i s ON s.id = c.id)""")
+    }
+    b.append(s"""
+       SELECT id, c1, c2, c1 * $p2 + c2 AS color FROM c$rounds""")
+    // MATERIALIZED stops DuckDB inlining each c$i into both its
+    // consumers — inlined, the round chain recomputes exponentially
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** Cascade twin: the monotone recompute form — a_i = a_{i-1} ∪
+    * {v : |N(v) ∩ a_{i-1}| ≥ need(v)} — unrolled past the fixture's
+    * convergence; activation round = first appearance. Equivalent to
+    * the engine's incremental frontier form BECAUSE activation is
+    * monotone (the running count equals the recount).
+    *
+    * @param needSql threshold over `deg` in DuckDB syntax (`//` =
+    *                exact integer floor-division)
+    */
+  private def cascadeSqlOracle(rounds: Int, needSql: String): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         dg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+         nd AS (SELECT id, CAST($needSql AS BIGINT) AS need FROM dg),
+         sd AS (SELECT i AS id FROM range($SqlGraphV) t(i)
+                WHERE i % 9 = 0 OR i = 850),
+         a0 AS (SELECT id FROM sd)""")
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      b.append(s""",
+         a$i AS (SELECT id FROM a$p UNION
+           SELECT n.id FROM nd n
+           JOIN sym ON sym.dst = n.id
+           JOIN a$p a ON a.id = sym.src
+           GROUP BY n.id, n.need HAVING count(*) >= n.need)""")
+    }
+    b.append(s""",
+         allr AS (SELECT id, 0 AS r FROM a0""")
+    for (i <- 1 to rounds) b.append(s"""
+           UNION ALL SELECT id, $i FROM a$i""")
+    b.append("""
+       )
+       SELECT id, CAST(min(r) AS INT) AS round FROM allr GROUP BY id""")
+    // each a$i is read twice (carry-forward + join) — without
+    // MATERIALIZED the unrolled chain inlines 2^rounds times
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Spam-mass twin: the global and %20==0-personalized recurrences
     * (each already rounding to 6dp) composed with the same
     * round-before-subtract discipline as TrustRank.spamMass.
@@ -4896,6 +4994,11 @@ object SparkEntry {
     "motifs4_sql_graph" -> motifs4SqlOracle,
     "spam_mass_sql_graph" -> spamMassSqlOracle(5),
     "pic_sql_graph" -> picSqlOracle(3, 12, 300L),
+    "wl_sql_graph" -> wlSqlOracle(4),
+    // unroll past the measured fixed points (11 and 7 rounds on this
+    // fixture); extra recompute rounds are no-ops on a monotone process
+    "cascade_sql_graph" -> cascadeSqlOracle(12, "2"),
+    "cascade_frac_sql_graph" -> cascadeSqlOracle(8, "(deg + 2) // 3"),
     "motifs4_null_sql_graph" -> motifs4NullSqlOracle,
     "temporal_depart_sql_graph" -> temporalDepartSqlOracle,
     "mod_sql_graph" -> modSqlOracle,
