@@ -308,6 +308,15 @@ object Bench {
       bench("pic")(
         algo.Pic.run(spark, sym, k = 8, iters = 10, numPartitions = P,
           seedMod = 1000003L).count())
+      bench("wl_refine")(
+        algo.Wl.refine(spark, sym, rounds = 4, numPartitions = P).count())
+      val cascadeSeeds = sym.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(20L)) === 0)
+      val casc = bench[DataFrame]("cascade")(
+        algo.Cascade.run(spark, sym, cascadeSeeds, k = 2, maxRounds = 50,
+          numPartitions = P))
+      extra += "cascade_activated" -> casc.count().toDouble
+      Superstep.freeCheckpoint(casc)
     }
 
     // round-3 late additions #2: priority-peel / forest / embedding ops
