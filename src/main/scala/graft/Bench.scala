@@ -285,6 +285,10 @@ object Bench {
         algo.ShortestPaths.earliestArrival(spark, tEdges,
           sym.select(col("src").as("id")).distinct().orderBy(col("id")).limit(3),
           startTime = 0L, P).count())
+      bench("temporal_fastest")(
+        algo.ShortestPaths.fastestDuration(spark, tEdges,
+          sym.select(col("src").as("id")).distinct().orderBy(col("id")).limit(3),
+          startTime = 0L, P).count())
       val trans = bench[Double]("transitivity")(
         Triangles.transitivity(spark, GraphOps.undirectedPairs(g.edges), P)
           .first().getDouble(2))

@@ -658,6 +658,18 @@ object SparkEntry {
         parts(s, d))
     }),
 
+    "temporal_fastest_sql_graph" -> ((s, d) => {
+      // the quartet's last member: min elapsed (arrival − departure)
+      // per vertex from the same 5 seeds; the oracle closes over ALL
+      // feasible (departure, arrival) labels — the engine's Pareto
+      // prune must be invisible in the min
+      val te = sqlGraphEdges(s).withColumn("ts",
+        lit(1L) + pmod(col("src") * 3 + col("dst"), lit(20L)))
+      val seeds = s.range(5).select((col("id") * 300 + 1).as("id"))
+      algo.ShortestPaths.fastestDuration(s, te, seeds, startTime = 0L,
+        parts(s, d))
+    }),
+
     "pic_sql_graph" -> ((s, d) =>
       // power iteration clustering at k=3 over the three-blob fixture;
       // the twin unrolls the walk and replays the integer-gap split
@@ -2319,6 +2331,29 @@ object SparkEntry {
        )
        SELECT id, CAST(max(dep) AS BIGINT) AS departure
        FROM reach GROUP BY id"""
+
+  /** Fastest-duration twin: the closure of ALL feasible (departure,
+    * arrival) labels — hop 0 departs on a seed out-edge's ts, each
+    * relaxation extends a label along an edge with ts ≥ arrival — then
+    * min(a − d) per vertex with seeds at 0. No Pareto prune here: the
+    * engine's dominance pruning must not change the minimum (dominated
+    * labels only ever extend to dominated labels). UNION dedup bounds
+    * the recursion by the finite (id, d, a) space.
+    */
+  private val temporalFastestSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       te AS (SELECT src, dst, 1 + (src * 3 + dst) % 20 AS ts FROM e),
+       sd AS (SELECT CAST(300 * i + 1 AS BIGINT) AS id FROM range(5) t(i)),
+       lab(id, d, a) AS (
+         SELECT t.dst, t.ts, t.ts FROM te t JOIN sd ON t.src = sd.id
+         WHERE t.ts >= 0
+         UNION
+         SELECT t.dst, l.d, t.ts FROM lab l
+         JOIN te t ON t.src = l.id AND t.ts >= l.a
+       ),
+       alldur AS (SELECT id, CAST(a - d AS BIGINT) AS duration FROM lab
+                  UNION ALL SELECT id, CAST(0 AS BIGINT) FROM sd)
+       SELECT id, min(duration) AS duration FROM alldur GROUP BY id"""
 
   /** Unrolled 2-round Louvain local-move refinement of the LPA-3
     * partition, mirroring ModularityRefine.run's exact integer-score
@@ -5001,6 +5036,7 @@ object SparkEntry {
     "cascade_frac_sql_graph" -> cascadeSqlOracle(8, "(deg + 2) // 3"),
     "motifs4_null_sql_graph" -> motifs4NullSqlOracle,
     "temporal_depart_sql_graph" -> temporalDepartSqlOracle,
+    "temporal_fastest_sql_graph" -> temporalFastestSqlOracle,
     "mod_sql_graph" -> modSqlOracle,
     "community_profile_sql_graph" -> communityProfileSqlOracle,
     "assortativity_sql_graph" -> assortativitySqlOracle,

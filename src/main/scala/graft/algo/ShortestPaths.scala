@@ -1,6 +1,7 @@
 package graft.algo
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-source BFS: hop distance from every vertex to each of a small
@@ -314,5 +315,110 @@ object ShortestPaths {
     gc.close(keepLatest = 2)
     Superstep.freeCheckpoint(e)
     state
+  }
+
+  /** Fastest-duration reachability — the remaining half of Wu et al.'s
+    * temporal-path quartet: the MINIMUM elapsed time (arrival −
+    * departure) over all time-respecting paths from the seed set to
+    * each vertex. Earliest-arrival greedily departs as soon as
+    * possible and can badly overestimate duration (departing later may
+    * catch a direct connection); the fastest path needs BOTH endpoints
+    * of the interval, so the per-vertex state is a PARETO FRONTIER of
+    * (departure d, arrival a) labels — keep (d, a) unless some (d′,
+    * a′) has d′ ≥ d AND a′ ≤ a. Dominance composes: any extension of a
+    * dominated label (edge ts ≥ a₂ ≥ a₁) is feasible from its
+    * dominator with the same arrival and a no-earlier departure, so
+    * pruning is exact, and an evicted label can never re-enter (its
+    * dominator is only ever replaced by transitively-stronger labels).
+    * Each feasible (id, d, a) triple therefore enters the frontier at
+    * most once — the label-correcting loop terminates on the finite
+    * label space, in practice after temporal-hop-diameter rounds.
+    *
+    * Scale shape: per round one frontier⨝edges shuffle-hash join whose
+    * output is map-side min-combined at (id, d) grain, one per-VERTEX
+    * window prune (partitions are single vertices; frame = the Pareto
+    * set, bounded by the vertex's distinct incident timestamps — never
+    * a global sort), and one co-partitioned anti-join for the new
+    * frontier. Label volume per vertex ≤ min(distinct seed-side
+    * departure times, distinct arrival timestamps) — on event streams
+    * with coarse time grain this is small; a pathological
+    * every-edge-unique-ts hub pays its in-degree, the inherent size of
+    * the exact answer (Wu et al. §4).
+    *
+    * @param temporalEdges (src, dst, ts), ts integral
+    * @param seeds one column `id` — the source set (dedup'd here)
+    * @param startTime departures before this instant are forbidden
+    * @return (id, duration) — seeds at 0; a non-seed vertex appears
+    *         iff temporally reachable, with the min elapsed time
+    */
+  def fastestDuration(spark: SparkSession,
+                      temporalEdges: DataFrame,
+                      seeds: DataFrame,
+                      startTime: Long,
+                      numPartitions: Int = 32,
+                      maxIter: Int = 512): DataFrame = Superstep.withoutAQE(spark) {
+    val e = Superstep.freshCheckpoint(
+      temporalEdges.select(col("src"), col("dst"), col("ts").cast("long"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(numPartitions, col("src")), eager = true)
+
+    // Pareto prune: per (id, d) keep min a, then per id in descending-d
+    // order keep a label iff its arrival beats every larger-departure
+    // arrival strictly (equal arrivals → the later departure wins)
+    def pareto(labels: DataFrame): DataFrame = {
+      val byD = labels.groupBy(col("id"), col("d")).agg(min(col("a")).as("a"))
+      val w = Window.partitionBy(col("id")).orderBy(col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byD.withColumn("bestA", min(col("a")).over(w))
+        .filter(col("bestA").isNull || col("a") < col("bestA"))
+        .drop("bestA")
+    }
+
+    val sd = Superstep.freshCheckpoint(
+      seeds.select(col("id")).distinct()
+        .repartition(numPartitions, col("id")), eager = true)
+
+    // round 0: one hop out of the seeds — departure = the first edge's
+    // ts (the whole point: the path's clock starts at its first edge)
+    val hop0 = sd.join(e.hint("shuffle_hash"), sd("id") === e("src"))
+      .filter(col("ts") >= startTime)
+      .select(e("dst").as("id"), col("ts").as("d"), col("ts").as("a"))
+    var state = Superstep.freshCheckpoint(
+      pareto(hop0).repartition(numPartitions, col("id")), eager = true)
+    var frontier = state
+    var frontierSize = frontier.count()
+    var iter = 0
+    val gc = new Superstep.CheckpointGC(spark, keep = 6)
+
+    while (frontierSize > 0 && iter < maxIter) {
+      val candidates = frontier
+        .join(e.hint("shuffle_hash"), frontier("id") === e("src"))
+        .filter(col("ts") >= col("a")) // the temporal gate
+        .select(e("dst").as("id"), col("d"), col("ts").as("a"))
+        .groupBy(col("id"), col("d"))
+        .agg(min(col("a")).as("a"))
+      val merged = Superstep.freshCheckpoint(
+        pareto(state.unionByName(candidates))
+          .repartition(numPartitions, col("id")), eager = true)
+      val improved = Superstep.freshCheckpoint(
+        merged.join(state.hint("shuffle_hash"), Seq("id", "d", "a"),
+          "left_anti"), eager = false)
+      frontierSize = improved.count() // materializes the lazy checkpoint
+      state = merged
+      frontier = improved
+      gc.tick()
+      iter += 1
+    }
+    require(frontierSize == 0,
+      s"temporal relaxation still improving after $maxIter rounds — raise maxIter")
+
+    val out = Superstep.freshCheckpoint(
+      state.select(col("id"), (col("a") - col("d")).as("duration"))
+        .unionByName(sd.select(col("id"), lit(0L).as("duration")))
+        .groupBy(col("id")).agg(min(col("duration")).as("duration")),
+      eager = true)
+    gc.close(keepLatest = 1) // `out` is the newest loop-scope checkpoint
+    Seq(e, sd).foreach(Superstep.freeCheckpoint)
+    out
   }
 }
