@@ -312,6 +312,8 @@ object Bench {
       bench("pic")(
         algo.Pic.run(spark, sym, k = 8, iters = 10, numPartitions = P,
           seedMod = 1000003L).count())
+      bench("triad_census")(
+        algo.TriadCensus.run(spark, g.edges, None, P).count())
       bench("wl_refine")(
         algo.Wl.refine(spark, sym, rounds = 4, numPartitions = P).count())
       val cascadeSeeds = sym.select(col("src").as("id")).distinct()

@@ -676,6 +676,13 @@ object SparkEntry {
       algo.Pic.run(s, GraphOps.symmetrize(picGraphEdges(s)), k = 3,
         iters = 12, numPartitions = parts(s, d), seedMod = 300L)),
 
+    "triad_census_sql" -> ((s, d) =>
+      // 16-type Holland–Leinhardt census over the mutual-rich 300-
+      // vertex fixture; the twin literally classifies all C(300,3)
+      // triples — a fully independent formulation
+      algo.TriadCensus.run(s, triadGraphEdges(s),
+        Some(s.range(300L).toDF("id")), parts(s, d))),
+
     "wl_sql_graph" -> ((s, d) =>
       // 1-WL color refinement, 4 rounds; the twin replays the exact
       // two-channel modular recurrence on the same degree seed
@@ -2039,6 +2046,80 @@ object SparkEntry {
          SELECT src AS s, dst AS d FROM pg
          UNION ALL SELECT dst, src FROM pg))"""
 
+  /** Triad-census fixture: a 300-vertex digraph with every dyad flavor
+    * — a sawtooth ring (asym), a quadratic scatter (asym, some
+    * reciprocations), ten fully-mutual vertex triples (300s), twenty
+    * mutual long-range pairs, and twenty planted directed 3-cycles —
+    * so all 16 Holland–Leinhardt classes are populated.
+    */
+  private def triadGraphEdges(s: SparkSession): DataFrame = {
+    val r = s.range(300L)
+    val e1 = r.select(col("id").as("src"),
+      pmod(col("id") + 1 + pmod(col("id"), lit(5L)), lit(300L)).as("dst"))
+    val e2 = r.filter(pmod(col("id"), lit(4L)) === 1)
+      .select(col("id").as("src"),
+        pmod(col("id") * col("id") + 3, lit(300L)).as("dst"))
+    val e3 = s.range(10L).select(explode(array(
+        Seq((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)).map { case (a, b) =>
+          struct((col("id") * 30 + a).as("src"), (col("id") * 30 + b).as("dst"))
+        }: _*)).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val m = r.filter(pmod(col("id"), lit(15L)) === 0)
+    val e4 = m.select(col("id").as("src"),
+        pmod(col("id") + 150, lit(300L)).as("dst"))
+      .unionAll(m.select(pmod(col("id") + 150, lit(300L)).as("src"),
+        col("id").as("dst")))
+    val c = s.range(20L)
+    val e5 = c.select(col("id").as("src"), (col("id") + 100).as("dst"))
+      .unionAll(c.select((col("id") + 100).as("src"), (col("id") + 200).as("dst")))
+      .unionAll(c.select((col("id") + 200).as("src"), col("id").as("dst")))
+    // mixed mutual+asym plants so 120D/120U/120C/210 are populated:
+    // around the i↔i+150 pairs, a third vertex that sends to both
+    // (120D), receives from both (120U), or one of each (120C); and
+    // five 2-mutual+1-asym triples (210) next to the mutual triples
+    val p0 = r.filter(pmod(col("id"), lit(30L)) === 0)
+    // z = i+9 is untouched by the sawtooth around i (i→i+1 there), so
+    // both planted dyads stay asymmetric and the triple reads 120D
+    val f1 = p0.select((col("id") + 9).as("src"), col("id").as("dst"))
+      .unionAll(p0.select((col("id") + 9).as("src"),
+        pmod(col("id") + 150, lit(300L)).as("dst")))
+    val p15 = r.filter(pmod(col("id"), lit(30L)) === 15)
+    val f2 = p15.select(col("id").as("src"), pmod(col("id") + 3, lit(300L)).as("dst"))
+      .unionAll(p15.select(pmod(col("id") + 150, lit(300L)).as("src"),
+        pmod(col("id") + 3, lit(300L)).as("dst")))
+    val f3 = p0.select(col("id").as("src"), pmod(col("id") + 7, lit(300L)).as("dst"))
+      .unionAll(p0.select(pmod(col("id") + 7, lit(300L)).as("src"),
+        pmod(col("id") + 150, lit(300L)).as("dst")))
+    val q = s.range(5L)
+    val f4 = Seq((5, 6), (6, 5), (6, 7), (7, 6), (5, 7)).map { case (a, b) =>
+      q.select((col("id") * 30 + a).as("src"), (col("id") * 30 + b).as("dst"))
+    }.reduce(_.unionAll(_))
+    Seq(e1, e2, e3, e4, e5, f1, f2, f3, f4).reduce(_.unionAll(_))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** DuckDB twin of [[triadGraphEdges]]. */
+  private val triadCte: String =
+    """tg AS (SELECT DISTINCT src, dst FROM (
+         SELECT i AS src, (i + 1 + i % 5) % 300 AS dst FROM range(300) t(i)
+         UNION ALL SELECT i, (i*i + 3) % 300 FROM range(300) t(i) WHERE i % 4 = 1
+         UNION ALL SELECT 30*g + a, 30*g + b FROM range(10) t(g),
+           (VALUES (0,1),(1,0),(0,2),(2,0),(1,2),(2,1)) v(a,b)
+         UNION ALL SELECT i, (i + 150) % 300 FROM range(300) t(i) WHERE i % 15 = 0
+         UNION ALL SELECT (i + 150) % 300, i FROM range(300) t(i) WHERE i % 15 = 0
+         UNION ALL SELECT g, g + 100 FROM range(20) t(g)
+         UNION ALL SELECT g + 100, g + 200 FROM range(20) t(g)
+         UNION ALL SELECT g + 200, g FROM range(20) t(g)
+         UNION ALL SELECT i + 9, i FROM range(300) t(i) WHERE i % 30 = 0
+         UNION ALL SELECT i + 9, (i + 150) % 300 FROM range(300) t(i) WHERE i % 30 = 0
+         UNION ALL SELECT i, (i + 3) % 300 FROM range(300) t(i) WHERE i % 30 = 15
+         UNION ALL SELECT (i + 150) % 300, (i + 3) % 300 FROM range(300) t(i) WHERE i % 30 = 15
+         UNION ALL SELECT i, (i + 7) % 300 FROM range(300) t(i) WHERE i % 30 = 0
+         UNION ALL SELECT (i + 7) % 300, (i + 150) % 300 FROM range(300) t(i) WHERE i % 30 = 0
+         UNION ALL SELECT 30*g + a, 30*g + b FROM range(5) t(g),
+           (VALUES (5,6),(6,5),(6,7),(7,6),(5,7)) w(a,b)
+       ) WHERE src <> dst)"""
+
   /** DuckDB twin of [[sqlDagEdges]]. */
   private val sqlDagCte: String =
     """dag AS (
@@ -2331,6 +2412,79 @@ object SparkEntry {
        )
        SELECT id, CAST(max(dep) AS BIGINT) AS departure
        FROM reach GROUP BY id"""
+
+  /** Triad-census twin: a LITERAL classification of every one of the
+    * C(300,3) = 4,455,100 vertex triples — the engine never enumerates
+    * triples (closed types ride the triangle enumeration, wedge types
+    * are degree arithmetic minus per-corner corrections, 012/102/003
+    * are dyad-grain algebra), so the brute force here is a genuinely
+    * independent formulation of the same 16 MAN classes.
+    */
+  private val TriadCensusTypes = algo.TriadCensus.AllTypes
+
+  private val triadCensusSqlOracle: String = {
+    def flip(x: String) =
+      s"(CASE WHEN $x=3 OR $x=0 THEN $x ELSE 3-$x END)"
+    def wedge(p: String, q: String) =
+      s"""(CASE WHEN $p=3 AND $q=3 THEN '201'
+            WHEN $p=3 OR $q=3 THEN
+              (CASE WHEN ((CASE WHEN $p=3 THEN $q ELSE $p END) & 1) <> 0
+                    THEN '111U' ELSE '111D' END)
+            WHEN ($p & 1) <> 0 AND ($q & 1) <> 0 THEN '021D'
+            WHEN ($p & 2) <> 0 AND ($q & 2) <> 0 THEN '021U'
+            ELSE '021C' END)"""
+    val values = TriadCensusTypes.map(t => s"('$t')").mkString(",")
+    s"""WITH $triadCte,
+       cds AS (SELECT least(src,dst) AS u, greatest(src,dst) AS v,
+           max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+           + max(CASE WHEN src > dst THEN 2 ELSE 0 END) AS code
+         FROM tg GROUP BY 1, 2),
+       t2 AS (SELECT coalesce(x.code,0) AS ab, coalesce(y.code,0) AS ac,
+           coalesce(z.code,0) AS bc
+         FROM (SELECT ta.i AS a, tb.i AS b, tc.i AS c
+               FROM range(300) ta(i), range(300) tb(i), range(300) tc(i)
+               WHERE ta.i < tb.i AND tb.i < tc.i) tr
+         LEFT JOIN cds x ON x.u = tr.a AND x.v = tr.b
+         LEFT JOIN cds y ON y.u = tr.a AND y.v = tr.c
+         LEFT JOIN cds z ON z.u = tr.b AND z.v = tr.c),
+       t3 AS (SELECT ab, ac, bc,
+           (CASE WHEN ab>0 THEN 1 ELSE 0 END + CASE WHEN ac>0 THEN 1 ELSE 0 END
+            + CASE WHEN bc>0 THEN 1 ELSE 0 END) AS conn,
+           (CASE WHEN ab=3 THEN 1 ELSE 0 END + CASE WHEN ac=3 THEN 1 ELSE 0 END
+            + CASE WHEN bc=3 THEN 1 ELSE 0 END) AS nm
+         FROM t2),
+       lab AS (SELECT (CASE
+           WHEN conn = 0 THEN '003'
+           WHEN conn = 1 THEN (CASE WHEN nm = 1 THEN '102' ELSE '012' END)
+           WHEN conn = 2 THEN
+             (CASE WHEN bc = 0 THEN ${wedge("ab", "ac")}
+                   WHEN ac = 0 THEN ${wedge(flip("ab"), "bc")}
+                   ELSE ${wedge(flip("ac"), flip("bc"))} END)
+           WHEN nm = 3 THEN '300'
+           WHEN nm = 2 THEN '210'
+           WHEN nm = 1 THEN
+             (CASE WHEN ab = 3 THEN
+                (CASE WHEN (ac&2)<>0 AND (bc&2)<>0 THEN '120D'
+                      WHEN (ac&1)<>0 AND (bc&1)<>0 THEN '120U'
+                      ELSE '120C' END)
+               WHEN ac = 3 THEN
+                (CASE WHEN (ab&2)<>0 AND (bc&1)<>0 THEN '120D'
+                      WHEN (ab&1)<>0 AND (bc&2)<>0 THEN '120U'
+                      ELSE '120C' END)
+               ELSE
+                (CASE WHEN (ab&1)<>0 AND (ac&1)<>0 THEN '120D'
+                      WHEN (ab&2)<>0 AND (ac&2)<>0 THEN '120U'
+                      ELSE '120C' END) END)
+           WHEN ((ab&1)<>0 AND (bc&1)<>0 AND (ac&2)<>0)
+             OR ((ac&1)<>0 AND (bc&2)<>0 AND (ab&2)<>0) THEN '030C'
+           ELSE '030T' END) AS triad
+         FROM t3),
+       cnts AS (SELECT triad, count(*) AS c FROM lab GROUP BY 1)
+       SELECT t.triad, CAST(coalesce(c.c, 0) AS HUGEINT) AS cnt
+       FROM (VALUES $values) t(triad)
+       LEFT JOIN cnts c ON c.triad = t.triad"""
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
 
   /** Fastest-duration twin: the closure of ALL feasible (departure,
     * arrival) labels — hop 0 departs on a seed out-edge's ts, each
@@ -5029,6 +5183,7 @@ object SparkEntry {
     "motifs4_sql_graph" -> motifs4SqlOracle,
     "spam_mass_sql_graph" -> spamMassSqlOracle(5),
     "pic_sql_graph" -> picSqlOracle(3, 12, 300L),
+    "triad_census_sql" -> triadCensusSqlOracle,
     "wl_sql_graph" -> wlSqlOracle(4),
     // unroll past the measured fixed points (11 and 7 rounds on this
     // fixture); extra recompute rounds are no-ops on a monotone process
