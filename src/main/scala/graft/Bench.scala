@@ -312,6 +312,11 @@ object Bench {
       bench("pic")(
         algo.Pic.run(spark, sym, k = 8, iters = 10, numPartitions = P,
           seedMod = 1000003L).count())
+      bench("hitting_time")(
+        algo.HittingTime.run(spark, sym,
+          sym.select(col("src").as("id")).distinct()
+            .filter(pmod(col("id"), lit(20L)) === 0),
+          iters = 15, numPartitions = P).count())
       bench("triad_census")(
         algo.TriadCensus.run(spark, g.edges, None, P).count())
       bench("wl_refine")(

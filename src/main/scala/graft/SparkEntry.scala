@@ -676,6 +676,13 @@ object SparkEntry {
       algo.Pic.run(s, GraphOps.symmetrize(picGraphEdges(s)), k = 3,
         iters = 12, numPartitions = parts(s, d), seedMod = 300L)),
 
+    "hitting_sql_graph" -> ((s, d) =>
+      // expected hitting time of the 5 %300==0 targets, 10 Jacobi
+      // sweeps; the twin unrolls the identical recurrence
+      algo.HittingTime.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        s.range(5).select((col("id") * 300).as("id")), iters = 10,
+        numPartitions = parts(s, d))),
+
     "triad_census_sql" -> ((s, d) =>
       // 16-type Holland–Leinhardt census over the mutual-rich 300-
       // vertex fixture; the twin literally classifies all C(300,3)
@@ -2420,6 +2427,36 @@ object SparkEntry {
     * are dyad-grain algebra), so the brute force here is a genuinely
     * independent formulation of the same 16 MAN classes.
     */
+  /** Hitting-time twin: the monotone Jacobi recurrence unrolled —
+    * h₀ ≡ 0, h_{t+1}(v) = 0 for targets else 1 + (Σ_{u∈N(v)} h_t(u)) /
+    * deg(v) — identical double arithmetic, 6dp round at the end only.
+    */
+  private def hittingSqlOracle(iters: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         dg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+         tgt AS (SELECT CAST(300 * i AS BIGINT) AS id FROM range(5) t(i)),
+         vt AS (SELECT coalesce(dg.id, tgt.id) AS id,
+                  coalesce(dg.deg, 0) AS deg,
+                  tgt.id IS NOT NULL AS ist
+                FROM dg FULL OUTER JOIN tgt ON dg.id = tgt.id),
+         h0 AS (SELECT id, 0.0::DOUBLE AS h FROM vt)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      b.append(s""",
+         s$i AS (SELECT sym.dst AS id, sum(h.h) AS nh
+           FROM h$p h JOIN sym ON sym.src = h.id GROUP BY 1),
+         h$i AS (SELECT v.id,
+             CASE WHEN v.ist THEN 0.0::DOUBLE
+                  ELSE 1.0 + coalesce(s.nh, 0.0) / v.deg END AS h
+           FROM vt v LEFT JOIN s$i s ON s.id = v.id)""")
+    }
+    b.append(s"""
+       SELECT id, round(h, 6) AS h FROM h$iters""")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   private val TriadCensusTypes = algo.TriadCensus.AllTypes
 
   private val triadCensusSqlOracle: String = {
@@ -5183,6 +5220,7 @@ object SparkEntry {
     "motifs4_sql_graph" -> motifs4SqlOracle,
     "spam_mass_sql_graph" -> spamMassSqlOracle(5),
     "pic_sql_graph" -> picSqlOracle(3, 12, 300L),
+    "hitting_sql_graph" -> hittingSqlOracle(10),
     "triad_census_sql" -> triadCensusSqlOracle,
     "wl_sql_graph" -> wlSqlOracle(4),
     // unroll past the measured fixed points (11 and 7 rounds on this

@@ -1,0 +1,83 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Expected hitting time of a target set under the uniform random walk
+  * — "how many clicks from here to the docs hub, on average": for
+  * targets h = 0, otherwise h(v) = 1 + (1/deg v)·Σ_{u∈N(v)} h(u).
+  * The random-walk distance behind proximity ranking and
+  * recommendation diversity; unlike hop distance it is volume-
+  * sensitive (a vertex behind a thin bridge is far even at 2 hops).
+  *
+  * Jacobi iteration from h₀ ≡ 0: every sweep applies the fixed-point
+  * operator, and because the operator is monotone and h₀ is below the
+  * solution, iterates increase monotonically toward the true expected
+  * hitting time (exactly ∞ for vertices in components with no target —
+  * their iterates grow without bound, which is why the result carries
+  * the iterate, not a claim of convergence; callers pick `iters` ≈
+  * the mixing scale or watch the reported max delta). Per sweep: one
+  * state⨝edges shuffle-hash join with a map-side partial SUM, one
+  * co-partitioned join against the degree table — the PageRank
+  * superstep budget exactly.
+  *
+  * Reference analogue: the read API's neighborhood expansion
+  * (api/read.py strategy 3) ranks by hops; hitting time is the same
+  * question asked of the walk rather than the shortest path.
+  */
+object HittingTime {
+
+  /** @param symEdges  symmetrized edges (src, dst) — the walk steps on
+    *                  the undirected neighborhood
+    * @param targets   one column `id` — the absorbing set
+    * @param iters     Jacobi sweeps (iterates increase toward the true
+    *                  value; geometric convergence on target-reachable
+    *                  components)
+    * @return (id, h) for every vertex with degree ≥ 1 plus the
+    *         targets; targets at exactly 0.0
+    */
+  def run(spark: SparkSession,
+          symEdges: DataFrame,
+          targets: DataFrame,
+          iters: Int = 30,
+          numPartitions: Int = 32): DataFrame = Superstep.withoutAQE(spark) {
+    require(iters >= 0, "iters must be >= 0")
+    val e = Superstep.freshCheckpoint(
+      symEdges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(numPartitions, col("src")), eager = true)
+    val tg = Superstep.freshCheckpoint(
+      targets.select(col("id")).distinct()
+        .withColumn("isT", lit(true))
+        .repartition(numPartitions, col("id")), eager = true)
+
+    // vertex table: degree + absorbing flag (degree-0 targets still
+    // appear — they absorb at 0 and send nothing)
+    val verts = Superstep.freshCheckpoint(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .join(tg.hint("shuffle_hash"), Seq("id"), "full")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("isT"), lit(false)).as("isT"))
+        .repartition(numPartitions, col("id")), eager = true)
+
+    var state = Superstep.freshCheckpoint(
+      verts.select(col("id"), lit(0.0).as("h")), eager = true)
+    val gc = new Superstep.CheckpointGC(spark, keep = 3)
+    for (_ <- 1 to iters) {
+      val sums = state.join(e.hint("shuffle_hash"), state("id") === e("src"))
+        .groupBy(e("dst").as("id")).agg(sum(col("h")).as("nh"))
+      state = Superstep.freshCheckpoint(
+        verts.join(sums.hint("shuffle_hash"), Seq("id"), "left")
+          .select(col("id"),
+            when(col("isT"), 0.0) // degree-0 non-targets never enter `verts`
+              .otherwise(lit(1.0) + coalesce(col("nh"), lit(0.0)) / col("deg"))
+              .as("h")), eager = true)
+      gc.tick()
+    }
+    val out = Superstep.freshCheckpoint(
+      state.withColumn("h", round(col("h"), 6)), eager = true)
+    gc.close(keepLatest = 1)
+    Seq(e, tg, verts).foreach(Superstep.freeCheckpoint)
+    out
+  }
+}
