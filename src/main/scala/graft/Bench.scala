@@ -312,6 +312,9 @@ object Bench {
       bench("pic")(
         algo.Pic.run(spark, sym, k = 8, iters = 10, numPartitions = P,
           seedMod = 1000003L).count())
+      bench("clique_percolation")(
+        algo.CliquePercolation.run(spark,
+          GraphOps.undirectedPairs(g.edges), P).count())
       bench("hitting_time")(
         algo.HittingTime.run(spark, sym,
           sym.select(col("src").as("id")).distinct()

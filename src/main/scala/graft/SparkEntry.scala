@@ -676,6 +676,13 @@ object SparkEntry {
       algo.Pic.run(s, GraphOps.symmetrize(picGraphEdges(s)), k = 3,
         iters = 12, numPartitions = parts(s, d), seedMod = 300L)),
 
+    "clique_perc_sql_graph" -> ((s, d) =>
+      // k=3 clique percolation: overlapping communities labeled by
+      // their min member edge; the twin closes over the
+      // packed-edge-key clique graph
+      algo.CliquePercolation.run(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))),
+
     "hitting_sql_graph" -> ((s, d) =>
       // expected hitting time of the 5 %300==0 targets, 10 Jacobi
       // sweeps; the twin unrolls the identical recurrence
@@ -2427,6 +2434,36 @@ object SparkEntry {
     * are dyad-grain algebra), so the brute force here is a genuinely
     * independent formulation of the same 16 MAN classes.
     */
+  /** Clique-percolation twin: triangles a<b<c by a 3-way join over
+    * canonical pairs, clique-graph edges between the PACKED edge keys
+    * u·1500+v (three per triangle), the component closure in the
+    * cc_sql_graph pattern, labels decoded back to the min member edge.
+    */
+  private val cliquePercSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       prs AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e),
+       tr AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
+              FROM prs p1
+              JOIN prs p2 ON p2.u = p1.u AND p2.v > p1.v
+              JOIN prs p3 ON p3.u = p1.v AND p3.v = p2.v),
+       tedges AS (
+         SELECT a*1500 + b AS s, a*1500 + c AS d FROM tr
+         UNION SELECT a*1500 + b, b*1500 + c FROM tr
+         UNION SELECT a*1500 + c, b*1500 + c FROM tr),
+       tsym AS (SELECT s, d FROM tedges UNION SELECT d, s FROM tedges),
+       reach(id, comp) AS (
+         SELECT DISTINCT s, s FROM tsym
+         UNION
+         SELECT t.d, r.comp FROM reach r JOIN tsym t ON t.s = r.id
+       ),
+       lab AS (SELECT id, min(comp) AS lb FROM reach GROUP BY id),
+       mem AS (SELECT id // 1500 AS u, id % 1500 AS v, lb FROM lab)
+       SELECT DISTINCT CAST(vid AS BIGINT) AS id,
+         CAST(lb // 1500 AS BIGINT) AS cu, CAST(lb % 1500 AS BIGINT) AS cv
+       FROM (SELECT u AS vid, lb FROM mem
+             UNION ALL SELECT v, lb FROM mem)"""
+
   /** Hitting-time twin: the monotone Jacobi recurrence unrolled —
     * h₀ ≡ 0, h_{t+1}(v) = 0 for targets else 1 + (Σ_{u∈N(v)} h_t(u)) /
     * deg(v) — identical double arithmetic, 6dp round at the end only.
@@ -5220,6 +5257,7 @@ object SparkEntry {
     "motifs4_sql_graph" -> motifs4SqlOracle,
     "spam_mass_sql_graph" -> spamMassSqlOracle(5),
     "pic_sql_graph" -> picSqlOracle(3, 12, 300L),
+    "clique_perc_sql_graph" -> cliquePercSqlOracle,
     "hitting_sql_graph" -> hittingSqlOracle(10),
     "triad_census_sql" -> triadCensusSqlOracle,
     "wl_sql_graph" -> wlSqlOracle(4),
