@@ -676,6 +676,14 @@ object SparkEntry {
       algo.Pic.run(s, GraphOps.symmetrize(picGraphEdges(s)), k = 3,
         iters = 12, numPartitions = parts(s, d), seedMod = 300L)),
 
+    "absorb_sql_graph" -> ((s, d) =>
+      // harmonic voltage: probability of hitting the %300==0 set
+      // before the %300==7 set, 10 Jacobi sweeps, twin unrolled
+      algo.HittingTime.absorption(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        s.range(5).select((col("id") * 300).as("id")),
+        s.range(5).select((col("id") * 300 + 7).as("id")),
+        iters = 10, numPartitions = parts(s, d))),
+
     "clique_perc_sql_graph" -> ((s, d) =>
       // k=3 clique percolation: overlapping communities labeled by
       // their min member edge; the twin closes over the
@@ -2434,6 +2442,39 @@ object SparkEntry {
     * are dyad-grain algebra), so the brute force here is a genuinely
     * independent formulation of the same 16 MAN classes.
     */
+  /** Absorption twin: p₀ = [id ∈ A], p_{t+1} = 1 on A, 0 on B, else
+    * (Σ neighbor p_t)/deg — identical double recurrence, 6dp at end.
+    */
+  private def absorbSqlOracle(iters: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         dg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+         pa AS (SELECT CAST(300 * i AS BIGINT) AS id FROM range(5) t(i)),
+         pb AS (SELECT CAST(300 * i + 7 AS BIGINT) AS id FROM range(5) t(i)),
+         vt AS (SELECT coalesce(dg.id, pa.id, pb.id) AS id,
+                  coalesce(dg.deg, 0) AS deg,
+                  pa.id IS NOT NULL AS isa, pb.id IS NOT NULL AS isb
+                FROM dg FULL OUTER JOIN pa ON dg.id = pa.id
+                FULL OUTER JOIN pb ON coalesce(dg.id, pa.id) = pb.id),
+         p0 AS (SELECT id, CASE WHEN isa THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS p
+                FROM vt)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      b.append(s""",
+         s$i AS (SELECT sym.dst AS id, sum(h.p) AS np
+           FROM p$p h JOIN sym ON sym.src = h.id GROUP BY 1),
+         p$i AS (SELECT v.id,
+             CASE WHEN v.isa THEN 1.0::DOUBLE
+                  WHEN v.isb THEN 0.0::DOUBLE
+                  ELSE coalesce(s.np, 0.0) / v.deg END AS p
+           FROM vt v LEFT JOIN s$i s ON s.id = v.id)""")
+    }
+    b.append(s"""
+       SELECT id, round(p, 6) AS p FROM p$iters""")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Clique-percolation twin: triangles a<b<c by a 3-way join over
     * canonical pairs, clique-graph edges between the PACKED edge keys
     * u·1500+v (three per triangle), the component closure in the
@@ -5257,6 +5298,7 @@ object SparkEntry {
     "motifs4_sql_graph" -> motifs4SqlOracle,
     "spam_mass_sql_graph" -> spamMassSqlOracle(5),
     "pic_sql_graph" -> picSqlOracle(3, 12, 300L),
+    "absorb_sql_graph" -> absorbSqlOracle(10),
     "clique_perc_sql_graph" -> cliquePercSqlOracle,
     "hitting_sql_graph" -> hittingSqlOracle(10),
     "triad_census_sql" -> triadCensusSqlOracle,

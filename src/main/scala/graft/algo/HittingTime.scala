@@ -80,4 +80,68 @@ object HittingTime {
     Seq(e, tg, verts).foreach(Superstep.freeCheckpoint)
     out
   }
+
+  /** Absorption probability / harmonic voltage: the probability the
+    * uniform walk hits the POSITIVE set before the NEGATIVE one —
+    * equivalently the voltage when A is wired to 1 V and B to ground
+    * (effective-resistance view), and exactly the Zhu–Ghahramani
+    * harmonic function for semi-supervised binary classification with
+    * clamped seeds. p = 1 on A, p = 0 on B, p(v) = mean of neighbor p
+    * elsewhere. The soft, calibrated sibling of
+    * [[LabelPropagation.seeded]] (which spreads HARD labels).
+    *
+    * Jacobi from p₀ = 0 off-A: the operator is monotone and p₀ is
+    * below the harmonic solution, so iterates increase toward it;
+    * vertices with no path to A converge to exactly 0 (correct:
+    * they never hit A). Same superstep budget as [[run]].
+    *
+    * @return (id, p) over vertices with degree ≥ 1 plus both target
+    *         sets, 6dp; A at exactly 1.0, B at exactly 0.0
+    */
+  def absorption(spark: SparkSession,
+                 symEdges: DataFrame,
+                 positives: DataFrame,
+                 negatives: DataFrame,
+                 iters: Int = 30,
+                 numPartitions: Int = 32): DataFrame = Superstep.withoutAQE(spark) {
+    require(iters >= 0, "iters must be >= 0")
+    val e = Superstep.freshCheckpoint(
+      symEdges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(numPartitions, col("src")), eager = true)
+    val pos = positives.select(col("id")).distinct().withColumn("isA", lit(true))
+    val neg = negatives.select(col("id")).distinct().withColumn("isB", lit(true))
+
+    val verts = Superstep.freshCheckpoint(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .join(pos.hint("shuffle_hash"), Seq("id"), "full")
+        .join(neg.hint("shuffle_hash"), Seq("id"), "full")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("isA"), lit(false)).as("isA"),
+          coalesce(col("isB"), lit(false)).as("isB"))
+        .repartition(numPartitions, col("id")), eager = true)
+    require(verts.filter(col("isA") && col("isB")).isEmpty,
+      "positive and negative target sets must be disjoint")
+
+    var state = Superstep.freshCheckpoint(
+      verts.select(col("id"),
+        when(col("isA"), 1.0).otherwise(0.0).as("p")), eager = true)
+    val gc = new Superstep.CheckpointGC(spark, keep = 3)
+    for (_ <- 1 to iters) {
+      val sums = state.join(e.hint("shuffle_hash"), state("id") === e("src"))
+        .groupBy(e("dst").as("id")).agg(sum(col("p")).as("np"))
+      state = Superstep.freshCheckpoint(
+        verts.join(sums.hint("shuffle_hash"), Seq("id"), "left")
+          .select(col("id"),
+            when(col("isA"), 1.0).when(col("isB"), 0.0)
+              .otherwise(coalesce(col("np"), lit(0.0)) / col("deg"))
+              .as("p")), eager = true)
+      gc.tick()
+    }
+    val out = Superstep.freshCheckpoint(
+      state.withColumn("p", round(col("p"), 6)), eager = true)
+    gc.close(keepLatest = 1)
+    Seq(e, verts).foreach(Superstep.freeCheckpoint)
+    out
+  }
 }

@@ -67,4 +67,28 @@ class HittingTimeSpec extends AnyFunSuite {
     val b = ht(sym(es: _*), Seq(1L), iters = 40, parts = 8)
     assert(a == b)
   }
+
+  def absorb(edges: DataFrame, a: Seq[Long], b: Seq[Long],
+             iters: Int = 80): Map[Long, Double] =
+    HittingTime.absorption(spark, edges, a.toDF("id"), b.toDF("id"),
+      iters, 4).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("absorption: voltage divider on the path 1-2-3-4") {
+    val got = absorb(sym((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L), Seq(4L))
+    assert(got(1L) == 1.0 && got(4L) == 0.0)
+    assert(math.abs(got(2L) - 2.0 / 3) < 1e-4)
+    assert(math.abs(got(3L) - 1.0 / 3) < 1e-4)
+  }
+
+  test("absorption: component with no positive converges to 0") {
+    val got = absorb(sym((1L, 2L), (5L, 6L)), Seq(1L), Seq(6L))
+    assert(got(2L) == 1.0) // only route is into A
+    assert(got(5L) == 0.0)
+  }
+
+  test("absorption: overlapping target sets are rejected") {
+    intercept[IllegalArgumentException] {
+      absorb(sym((1L, 2L)), Seq(1L), Seq(1L))
+    }
+  }
 }
