@@ -676,6 +676,16 @@ object SparkEntry {
       algo.Pic.run(s, GraphOps.symmetrize(picGraphEdges(s)), k = 3,
         iters = 12, numPartitions = parts(s, d), seedMod = 300L)),
 
+    "assort_mix_sql_graph" -> ((s, d) =>
+      // Newman's four directed degree-mixing coefficients; the twin
+      // replays the exact-integer Pearson moments
+      graph.DegreeMixing.assortativity(s, sqlGraphEdges(s), parts(s, d))),
+
+    "knn_sql_graph" -> ((s, d) =>
+      // average-neighbor-degree curve over the symmetric graph
+      graph.DegreeMixing.avgNeighborDegree(s,
+        GraphOps.symmetrize(sqlGraphEdges(s)), parts(s, d))),
+
     "absorb_sql_graph" -> ((s, d) =>
       // harmonic voltage: probability of hitting the %300==0 set
       // before the %300==7 set, 10 Jacobi sweeps, twin unrolled
@@ -2442,6 +2452,55 @@ object SparkEntry {
     * are dyad-grain algebra), so the brute force here is a genuinely
     * independent formulation of the same 16 MAN classes.
     */
+  /** Degree-mixing twin: the four Pearson coefficients from the same
+    * exact-integer moments (DuckDB sums to HUGEINT), the same final
+    * double op order num/(√dx·√dy), 6dp.
+    */
+  private val assortMixSqlOracle: String = {
+    def mode(name: String, x: String, y: String, xy: String): String =
+      s"""SELECT '$name' AS mode,
+           CASE WHEN m*s${x}2 - s$x*s$x = 0 OR m*s${y}2 - s$y*s$y = 0
+                THEN NULL
+                ELSE round(CAST(m*$xy - s$x*s$y AS DOUBLE)
+                  / (sqrt(CAST(m*s${x}2 - s$x*s$x AS DOUBLE))
+                     * sqrt(CAST(m*s${y}2 - s$y*s$y AS DOUBLE))), 6)
+           END AS r FROM agg"""
+    s"""WITH $sqlGraphCte,
+       od AS (SELECT src AS id, count(*) AS od FROM e GROUP BY 1),
+       idg AS (SELECT dst AS id, count(*) AS idg FROM e GROUP BY 1),
+       j AS (SELECT coalesce(o1.od, 0) AS ou, coalesce(i1.idg, 0) AS iu,
+               coalesce(o2.od, 0) AS ov, coalesce(i2.idg, 0) AS iv
+             FROM e LEFT JOIN od o1 ON o1.id = e.src
+                    LEFT JOIN idg i1 ON i1.id = e.src
+                    LEFT JOIN od o2 ON o2.id = e.dst
+                    LEFT JOIN idg i2 ON i2.id = e.dst),
+       agg AS (SELECT count(*) AS m,
+           sum(ou) AS sou, sum(ou*ou) AS sou2,
+           sum(iu) AS siu, sum(iu*iu) AS siu2,
+           sum(ov) AS sov, sum(ov*ov) AS sov2,
+           sum(iv) AS siv, sum(iv*iv) AS siv2,
+           sum(ou*iv) AS xoi, sum(ou*ov) AS xoo,
+           sum(iu*iv) AS xii, sum(iu*ov) AS xio
+         FROM j)
+       ${mode("out-in", "ou", "iv", "xoi")}
+       UNION ALL ${mode("out-out", "ou", "ov", "xoo")}
+       UNION ALL ${mode("in-in", "iu", "iv", "xii")}
+       UNION ALL ${mode("in-out", "iu", "ov", "xio")}"""
+  }
+
+  /** knn(k) twin: identical constant-k factoring — exact integer
+    * numerator per class, one double division.
+    */
+  private val knnSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       dg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+       ns AS (SELECT sym.src AS id, sum(d2.deg) AS nsum
+              FROM sym JOIN dg d2 ON d2.id = sym.dst GROUP BY 1)
+       SELECT d.deg AS k, count(*) AS vertices,
+         round(CAST(sum(n.nsum) AS DOUBLE)
+           / (CAST(d.deg AS DOUBLE) * count(*)), 6) AS knn
+       FROM dg d JOIN ns n ON n.id = d.id GROUP BY d.deg"""
+
   /** Absorption twin: p₀ = [id ∈ A], p_{t+1} = 1 on A, 0 on B, else
     * (Σ neighbor p_t)/deg — identical double recurrence, 6dp at end.
     */
@@ -5298,6 +5357,8 @@ object SparkEntry {
     "motifs4_sql_graph" -> motifs4SqlOracle,
     "spam_mass_sql_graph" -> spamMassSqlOracle(5),
     "pic_sql_graph" -> picSqlOracle(3, 12, 300L),
+    "assort_mix_sql_graph" -> assortMixSqlOracle,
+    "knn_sql_graph" -> knnSqlOracle,
     "absorb_sql_graph" -> absorbSqlOracle(10),
     "clique_perc_sql_graph" -> cliquePercSqlOracle,
     "hitting_sql_graph" -> hittingSqlOracle(10),
