@@ -721,6 +721,15 @@ object SparkEntry {
       algo.Wl.refine(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         rounds = 4, numPartitions = parts(s, d))),
 
+    "wl_quotient_sql_graph" -> ((s, d) => {
+      // structural compression: the 4-round WL colors folded to the
+      // class-grain super-graph with edge multiplicities
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val colors = algo.Wl.refine(s, sym, rounds = 4,
+        numPartitions = parts(s, d))
+      algo.Wl.quotient(colors, GraphOps.undirectedPairs(sqlGraphEdges(s)))
+    }),
+
     "cascade_sql_graph" -> ((s, d) => {
       // k=2 bootstrap percolation from the %9==0 seeds plus the one
       // degree-0 vertex (850 — reported at round 0, spreads nothing):
@@ -3437,11 +3446,14 @@ object SparkEntry {
     * own-color fold (u·c + s + v) mod p — identical integer arithmetic
     * to Wl.refine at every step.
     */
-  private def wlSqlOracle(rounds: Int): String = {
+  /** Shared WL round chain (everything between WITH and the caller's
+    * final SELECT) — used by the color and quotient twins.
+    */
+  private def wlChainSql(rounds: Int): String = {
     val p1 = algo.Wl.P1; val p2 = algo.Wl.P2
     val b = new StringBuilder
     b.append(
-      s"""WITH $sqlGraphCte,
+      s"""$sqlGraphCte,
          dg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
          c0 AS (SELECT id, d % $p1 AS c1, d % $p2 AS c2 FROM dg)""")
     for (i <- 1 to rounds) {
@@ -3456,12 +3468,29 @@ object SparkEntry {
              (c.c2 * 999979 + s.s2 + 131) % $p2 AS c2
            FROM c$p c JOIN s$i s ON s.id = c.id)""")
     }
-    b.append(s"""
-       SELECT id, c1, c2, c1 * $p2 + c2 AS color FROM c$rounds""")
+    b.toString
+  }
+
+  private def wlSqlOracle(rounds: Int): String =
     // MATERIALIZED stops DuckDB inlining each c$i into both its
     // consumers — inlined, the round chain recomputes exponentially
-    b.toString.replace(" AS (", " AS MATERIALIZED (")
-  }
+    s"""WITH ${wlChainSql(rounds)}
+       SELECT id, c1, c2, c1 * ${algo.Wl.P2} + c2 AS color FROM c$rounds"""
+      .replace(" AS (", " AS MATERIALIZED (")
+
+  /** WL-quotient twin: the same round chain, colors combined and
+    * folded over the canonical pair table.
+    */
+  private def wlQuotientSqlOracle(rounds: Int): String =
+    s"""WITH ${wlChainSql(rounds)},
+       cl AS (SELECT id, c1 * ${algo.Wl.P2} + c2 AS color FROM c$rounds),
+       pr AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM sym WHERE src <> dst)
+       SELECT least(a.color, b.color) AS ca, greatest(a.color, b.color) AS cb,
+         count(*) AS edges
+       FROM pr JOIN cl a ON a.id = pr.u JOIN cl b ON b.id = pr.v
+       GROUP BY 1, 2"""
+      .replace(" AS (", " AS MATERIALIZED (")
 
   /** Cascade twin: the monotone recompute form — a_i = a_{i-1} ∪
     * {v : |N(v) ∩ a_{i-1}| ≥ need(v)} — unrolled past the fixture's
@@ -5364,6 +5393,7 @@ object SparkEntry {
     "hitting_sql_graph" -> hittingSqlOracle(10),
     "triad_census_sql" -> triadCensusSqlOracle,
     "wl_sql_graph" -> wlSqlOracle(4),
+    "wl_quotient_sql_graph" -> wlQuotientSqlOracle(4),
     // unroll past the measured fixed points (11 and 7 rounds on this
     // fixture); extra recompute rounds are no-ops on a monotone process
     "cascade_sql_graph" -> cascadeSqlOracle(12, "2"),

@@ -128,4 +128,33 @@ object Wl {
   def colorClasses(colors: DataFrame): DataFrame =
     colors.groupBy(col("color"))
       .agg(count(lit(1)).as("size"), min(col("id")).as("rep"))
+
+  /** Quotient (super-)graph by WL color class: one super-vertex per
+    * color, super-edge (ca ≤ cb) with multiplicity = undirected edges
+    * between the classes (within-class edges become a loop row). The
+    * structural-compression read of the refinement — templated page
+    * families (mirrors, boilerplate repo scaffolds) collapse to one
+    * super-vertex each, and downstream algorithms can run on the
+    * quotient at a fraction of the size. Two vertex-keyed label joins
+    * + one class-grain aggregate; output is |classes|²-bounded but in
+    * practice tracks the role count, not |E|.
+    *
+    * @param colors (id, …, color) from [[refine]]
+    * @param undirectedPairs one row per undirected edge
+    * @return (ca, cb, edges), ca ≤ cb
+    */
+  def quotient(colors: DataFrame, undirectedPairs: DataFrame): DataFrame = {
+    val cl = colors.select(col("id"), col("color"))
+    undirectedPairs
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .join(cl.select(col("id").as("u"), col("color").as("colU"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(cl.select(col("id").as("v"), col("color").as("colV"))
+        .hint("shuffle_hash"), Seq("v"))
+      .select(least(col("colU"), col("colV")).as("ca"),
+        greatest(col("colU"), col("colV")).as("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("edges"))
+  }
 }

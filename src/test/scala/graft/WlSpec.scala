@@ -63,6 +63,23 @@ class WlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("quotient: P3 folds to one cross-class super-edge of weight 2") {
+    val g = sym((1L, 2L), (2L, 3L))
+    val cdf = Wl.refine(spark, g, rounds = 3, numPartitions = 2)
+    val q = Wl.quotient(cdf, Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q.length == 1 && q.head._3 == 2L)
+    assert(q.head._1 != q.head._2) // ends vs middle
+  }
+
+  test("quotient: K3 folds to a single same-class loop of weight 3") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val cdf = Wl.refine(spark, sym(es: _*), rounds = 3, numPartitions = 2)
+    val q = Wl.quotient(cdf, es.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q.length == 1 && q.head._1 == q.head._2 && q.head._3 == 3L)
+  }
+
   test("colorClasses: sizes sum to |V|, reps are class minima") {
     val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L))
     val cdf = Wl.refine(spark, sym(es: _*), rounds = 3, numPartitions = 4)
