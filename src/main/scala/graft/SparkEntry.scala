@@ -899,6 +899,14 @@ object SparkEntry {
         .select(col("id"), col("degree"), col("triangles"),
           round(col("coeff"), 6).as("coeff"))),
 
+    "ego_features_sql_graph" -> ((s, d) =>
+      // OddBall ego-net anomaly features — closed-form E_ego = d + T,
+      // same shared enumeration as clustering
+      Triangles.egoNetFeatures(s, GraphOps.undirectedPairs(sqlGraphEdges(s)),
+          parts(s, d))
+        .select(col("id"), col("nbrs"), col("ego_edges"),
+          round(col("ego_density"), 6).as("ego_density"))),
+
     "sssp_weighted_sql_graph" -> ((s, d) => {
       // Bellman-Ford weighted distances to landmarks {1,2,3} with the
       // deterministic symmetric weight 1 + (src+dst) % 3
@@ -3374,6 +3382,28 @@ object SparkEntry {
            END, 6) AS coeff
        FROM deg d LEFT JOIN tv ON tv.id = d.id"""
 
+  /** OddBall ego-net twin: the clustering twin's wedge machinery with
+    * the closed-form finish E_ego = d + T and the C(d+1,2) density.
+    */
+  private val egoFeaturesSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM und e1 JOIN und e2 ON e1.v = e2.u
+             JOIN und e3 ON e2.v = e3.v AND e1.u = e3.u),
+       deg AS (SELECT id, count(*) AS degree FROM (
+                 SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+               GROUP BY id),
+       tv AS (SELECT id, count(*) AS triangles FROM (
+                SELECT a AS id FROM t UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t)
+              GROUP BY id)
+       SELECT d.id, CAST(d.degree AS BIGINT) AS nbrs,
+         CAST(d.degree + coalesce(tv.triangles, 0) AS BIGINT) AS ego_edges,
+         round(2.0 * (d.degree + coalesce(tv.triangles, 0))
+           / ((d.degree + 1) * d.degree), 6) AS ego_density
+       FROM deg d LEFT JOIN tv ON tv.id = d.id"""
+
   /** Weighted-SSSP twin: cost-accumulating recursive walk with the
     * same deterministic weight, min-reduced per pair. The 70 cap
     * bounds the recursion (distinct (lm, id, cost) triples) without
@@ -5539,6 +5569,7 @@ object SparkEntry {
     "scc_sql_graph" -> sccSqlOracle,
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,
     "clustering_sql_graph" -> clusteringSqlOracle,
+    "ego_features_sql_graph" -> egoFeaturesSqlOracle,
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,
     "betweenness_sql_graph" -> betweennessSqlOracle(20),

@@ -207,6 +207,36 @@ object Triangles {
             (col("degree") * (col("degree") - 1))))
   }
 
+  /** OddBall ego-net features (Akoglu–McGlohon–Faloutsos, PAKDD 2010)
+    * — the per-vertex anomaly surface for link-spam / bot detection:
+    * the ego-net of v is v plus its neighbors, and its edge count is
+    * a CLOSED FORM over pieces this module already computes,
+    * E_ego(v) = d(v) + T(v) (every neighbor–neighbor edge closes a
+    * triangle through v — no ego subgraph is ever materialized, which
+    * is what makes the feature computable at 10¹² edges). Near-clique
+    * egos (E ≈ N²/2, link farms) and near-star egos (E ≈ N, spam
+    * hubs) sit at the two ends of `ego_density` = E_ego / C(d+1, 2);
+    * OddBall's power-law fit E ∝ N^α is a driver-side regression over
+    * this frame, deliberately left to the caller.
+    *
+    * Budget = the [[clustering]] plan exactly: one shared
+    * degree-oriented enumeration + one degree agg + one left join;
+    * the density is a single fp division of exact BIGINTs.
+    *
+    * @return (id, nbrs = d(v), ego_edges = d(v)+T(v), ego_density)
+    */
+  def egoNetFeatures(spark: SparkSession, undirectedPairs: DataFrame,
+                     numPartitions: Int = 32): DataFrame = {
+    val pairs = undirectedPairs.select(col("src"), col("dst"))
+    val deg = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("nbrs"))
+    deg.join(perVertex(spark, pairs, numPartitions), Seq("id"), "left")
+      .select(col("id"), col("nbrs"),
+        (col("nbrs") + coalesce(col("triangles"), lit(0L))).as("ego_edges"))
+      .withColumn("ego_density",
+        lit(2.0) * col("ego_edges") / ((col("nbrs") + 1) * col("nbrs")))
+  }
+
   /** Incremental triangle-count delta after an ADDITIVE snapshot diff:
     * the number of NEW triangles, i.e. count(G_new) − count(G_old)
     * where G_new = G_old ∪ Δ — without re-enumerating the historic

@@ -107,4 +107,33 @@ class GraphMetricsSpec extends AnyFunSuite {
       .filter(GraphOps.sampleKeep(col("id"), 1, 4, 0L)).count()
     assert(kept > 30000 / 4 * 0.85 && kept < 30000 / 4 * 1.15)
   }
+
+  test("ego features: K4 + pendant hand values, E_ego = d + T") {
+    val pairs = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val rows = Triangles.egoNetFeatures(spark, pairs, numPartitions = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 1's ego-net IS the whole graph: 5 vertices, 7 edges
+    assert(rows(1L) == (4L, 7L, 2.0 * 7 / (5 * 4)))
+    // a K4 corner's ego-net is K4 itself — perfect near-clique
+    assert(rows(2L) == (3L, 6L, 1.0))
+    assert(rows(3L) == rows(2L) && rows(4L) == rows(2L))
+    // the pendant's ego-net is a single edge (density 1 trivially)
+    assert(rows(5L) == (1L, 1L, 1.0))
+  }
+
+  test("ego features: near-clique vs near-star density split") {
+    val star = Triangles.egoNetFeatures(spark,
+      edges((10L, 11L), (10L, 12L), (10L, 13L)), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // star center: E_ego = N − 1 → density 0.5 at d = 3, falling as
+    // 2/(d+1) with degree — the OddBall near-star signature
+    assert(star(10L) == 0.5)
+    val k4 = Triangles.egoNetFeatures(spark,
+      edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(k4(_) == 1.0))
+  }
 }
