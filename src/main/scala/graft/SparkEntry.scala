@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, Modularity, ModularityRefine, PageRank, Triangles}
+import graft.algo.{ConnectedComponents, LabelPropagation, Leiden, Louvain, Modularity, ModularityRefine, PageRank, Robustness, Triangles}
 import graft.corpus.CorpusGen
 import graft.curation.{Curation, Quantiles}
 import graft.dedup.Dedup
@@ -729,6 +729,19 @@ object SparkEntry {
         numPartitions = parts(s, d))
       algo.Wl.quotient(colors, GraphOps.undirectedPairs(sqlGraphEdges(s)))
     }),
+
+    "percolation_sql_graph" -> ((s, d) =>
+      // Albert–Barabási random-failure curve: deterministic bond
+      // percolation at 20% / 50% / 90% keep + the star-loop CC per point
+      Robustness.bondPercolation(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)),
+        Seq((1L, 5L), (1L, 2L), (9L, 10L)), salt = 7L, parts(s, d))),
+
+    "attack_sql_graph" -> ((s, d) =>
+      // targeted-attack curve: hubs removed by absolute degree cutoff
+      // (6 drops the deg-6/7 core, 7 only the five deg-7 vertices)
+      Robustness.degreeAttack(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), Seq(6L, 7L), parts(s, d))),
 
     "cascade_sql_graph" -> ((s, d) => {
       // k=2 bootstrap percolation from the %9==0 seeds plus the one
@@ -3404,6 +3417,89 @@ object SparkEntry {
            / ((d.degree + 1) * d.degree), 6) AS ego_density
        FROM deg d LEFT JOIN tv ON tv.id = d.id"""
 
+  /** Bond-percolation twin: the sampleKeep double-quadratic scramble
+    * replayed in BIGINT over the canonical-pair fold u·1000003 + v
+    * (all operands non-negative, products < 2⁶² — no overflow either
+    * engine), then one full-vertex-seeded reachability closure and a
+    * component-grain rollup per keep rate.
+    */
+  private def percolationSqlOracle(rates: Seq[(Long, Long)],
+                                   salt: Long): String = {
+    val P = 2147483647L
+    val s = Math.floorMod(salt, P)
+    val shared =
+      s"""$sqlGraphCte,
+       und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       verts AS MATERIALIZED (
+         SELECT DISTINCT u AS id FROM und UNION SELECT v FROM und),
+       keyed AS MATERIALIZED (
+         SELECT u, v,
+           ((((u * 1000003 + v) % $P) * (((u * 1000003 + v) % $P) + 3)) % $P)
+             AS q1
+         FROM und),
+       scr AS MATERIALIZED (
+         SELECT u, v, ((q1 * (q1 + 7 + $s)) % $P) AS q2 FROM keyed)"""
+    val perRate = rates.zipWithIndex.map { case ((num, den), i) =>
+      s""",
+       kept$i AS MATERIALIZED (SELECT u, v FROM scr WHERE (q2 % $den) < $num),
+       sym$i AS MATERIALIZED (
+         SELECT u AS src, v AS dst FROM kept$i
+         UNION SELECT v, u FROM kept$i),
+       reach$i(id, comp) AS (
+         SELECT id, id FROM verts
+         UNION
+         SELECT sy.dst, r.comp FROM reach$i r JOIN sym$i sy ON sy.src = r.id),
+       lab$i AS (SELECT id, min(comp) AS comp FROM reach$i GROUP BY id),
+       row$i AS (
+         SELECT CAST($num AS BIGINT) AS num, CAST($den AS BIGINT) AS den,
+           (SELECT count(*) FROM kept$i) AS kept_edges,
+           count(*) AS components, max(cnt) AS giant
+         FROM (SELECT comp, count(*) AS cnt FROM lab$i GROUP BY comp))"""
+    }.mkString
+    val unioned = rates.indices
+      .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
+    s"WITH RECURSIVE $shared$perRate\n       $unioned"
+  }
+
+  /** Degree-attack twin: symmetric degrees, survivors deg < cutoff,
+    * induced kept pairs, survivor-seeded closure, same rollup.
+    */
+  private def attackSqlOracle(cutoffs: Seq[Long]): String = {
+    val shared =
+      s"""$sqlGraphCte,
+       und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       deg AS MATERIALIZED (
+         SELECT id, count(*) AS d FROM (
+           SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         GROUP BY id)"""
+    val perCut = cutoffs.zipWithIndex.map { case (cutoff, i) =>
+      s""",
+       sv$i AS MATERIALIZED (SELECT id FROM deg WHERE d < $cutoff),
+       kept$i AS MATERIALIZED (
+         SELECT u, v FROM und
+         WHERE u IN (SELECT id FROM sv$i) AND v IN (SELECT id FROM sv$i)),
+       sym$i AS MATERIALIZED (
+         SELECT u AS src, v AS dst FROM kept$i
+         UNION SELECT v, u FROM kept$i),
+       reach$i(id, comp) AS (
+         SELECT id, id FROM sv$i
+         UNION
+         SELECT sy.dst, r.comp FROM reach$i r JOIN sym$i sy ON sy.src = r.id),
+       lab$i AS (SELECT id, min(comp) AS comp FROM reach$i GROUP BY id),
+       row$i AS (
+         SELECT CAST($cutoff AS BIGINT) AS cutoff,
+           (SELECT count(*) FROM deg) - (SELECT count(*) FROM sv$i) AS removed,
+           (SELECT count(*) FROM kept$i) AS kept_edges,
+           count(*) AS components, max(cnt) AS giant
+         FROM (SELECT comp, count(*) AS cnt FROM lab$i GROUP BY comp))"""
+    }.mkString
+    val unioned = cutoffs.indices
+      .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
+    s"WITH RECURSIVE $shared$perCut\n       $unioned"
+  }
+
   /** Weighted-SSSP twin: cost-accumulating recursive walk with the
     * same deterministic weight, min-reduced per pair. The 70 cap
     * bounds the recursion (distinct (lm, id, cost) triples) without
@@ -5570,6 +5666,9 @@ object SparkEntry {
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,
     "clustering_sql_graph" -> clusteringSqlOracle,
     "ego_features_sql_graph" -> egoFeaturesSqlOracle,
+    "percolation_sql_graph" ->
+      percolationSqlOracle(Seq((1L, 5L), (1L, 2L), (9L, 10L)), salt = 7L),
+    "attack_sql_graph" -> attackSqlOracle(Seq(6L, 7L)),
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,
     "betweenness_sql_graph" -> betweennessSqlOracle(20),
