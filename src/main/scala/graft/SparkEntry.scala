@@ -953,6 +953,18 @@ object SparkEntry {
         numPartitions = parts(s, d))
     }),
 
+    "dirichlet_sql_graph" -> ((s, d) => {
+      // graph-signal smoothness of the sawtooth feature id % 16 —
+      // exact BIGINT energy, one division per vertex at the end
+      val pairs = GraphOps.undirectedPairs(sqlGraphEdges(s))
+      val feats = pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst").as("id"))).distinct()
+        .select(col("id"), pmod(col("id"), lit(16L)).as("x"))
+      graph.FeatureProp.dirichlet(s, pairs, feats, parts(s, d))
+        .select(col("id"), col("degree"), col("local_var"),
+          round(col("smoothness"), 6).as("smoothness"))
+    }),
+
     "katz_sql_graph" -> ((s, d) => {
       // Katz centrality, 5 fixed iterations, β=1 — walk counting
       // without degree normalization, vs the unrolled twin. α = 1/16:
@@ -3417,6 +3429,21 @@ object SparkEntry {
            / ((d.degree + 1) * d.degree), 6) AS ego_density
        FROM deg d LEFT JOIN tv ON tv.id = d.id"""
 
+  /** Dirichlet-energy twin: per-edge squared diffs of the sawtooth
+    * signal, summed at vertex grain in BIGINT, one division at the end.
+    */
+  private val dirichletSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       pe AS (SELECT u, v, (u % 16 - v % 16) * (u % 16 - v % 16) AS d2 FROM und),
+       vg AS (SELECT id, count(*) AS degree, sum(d2) AS local_var FROM (
+                SELECT u AS id, d2 FROM pe UNION ALL SELECT v, d2 FROM pe)
+              GROUP BY id)
+       SELECT id, CAST(degree AS BIGINT) AS degree,
+         CAST(local_var AS BIGINT) AS local_var,
+         round(CAST(local_var AS DOUBLE) / degree, 6) AS smoothness
+       FROM vg"""
+
   /** Bond-percolation twin: the sampleKeep double-quadratic scramble
     * replayed in BIGINT over the canonical-pair fold u·1000003 + v
     * (all operands non-negative, products < 2⁶² — no overflow either
@@ -5668,6 +5695,7 @@ object SparkEntry {
     "ego_features_sql_graph" -> egoFeaturesSqlOracle,
     "percolation_sql_graph" ->
       percolationSqlOracle(Seq((1L, 5L), (1L, 2L), (9L, 10L)), salt = 7L),
+    "dirichlet_sql_graph" -> dirichletSqlOracle,
     "attack_sql_graph" -> attackSqlOracle(Seq(6L, 7L)),
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,

@@ -63,4 +63,47 @@ object FeatureProp {
     Superstep.freeCheckpoint(e)
     out
   }
+
+  /** Graph-signal smoothness — the Dirichlet energy of a vertex
+    * feature, decomposed per vertex: local_var(v) = Σ_{u∼v}
+    * (x_v − x_u)², the quadratic form x'Lx restricted to v's edges
+    * (global energy = Σ_v local_var / 2). The homophily probe for a
+    * feature column before spending on propagation or GNN training —
+    * a signal with low energy is already explained by the graph, a
+    * vertex whose `smoothness` = local_var/degree towers over its
+    * peers disagrees with its whole neighborhood (label-noise /
+    * anomaly read).
+    *
+    * All-integer aggregation (the neighborSums discipline): diffs and
+    * squares stay in BIGINT — exact for |x| < 2³¹ — and the one fp
+    * division per vertex happens after the aggregate. Budget: two
+    * vertex-keyed shuffle-hash feature joins onto the canonical pair
+    * table, one ≤2-row-per-edge explode, one map-side-combinable
+    * vertex-grain sum.
+    *
+    * @param undirectedPairs one row per undirected edge, src < dst
+    * @param features (id, x: long) — missing vertices default to 0
+    * @return (id, degree, local_var, smoothness)
+    */
+  def dirichlet(spark: SparkSession,
+                undirectedPairs: DataFrame,
+                features: DataFrame,
+                numPartitions: Int = 32): DataFrame = {
+    val f = features.select(col("id"), col("x"))
+    val perEdge = undirectedPairs.select(col("src"), col("dst"))
+      .join(f.select(col("id").as("src"), col("x").as("xu"))
+        .hint("shuffle_hash"), Seq("src"), "left")
+      .join(f.select(col("id").as("dst"), col("x").as("xv"))
+        .hint("shuffle_hash"), Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        (coalesce(col("xu"), lit(0L)) - coalesce(col("xv"), lit(0L)))
+          .as("diff"))
+      .select(col("src"), col("dst"), (col("diff") * col("diff")).as("d2"))
+    perEdge
+      .select(explode(array(col("src"), col("dst"))).as("id"), col("d2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"), sum(col("d2")).as("local_var"))
+      .withColumn("smoothness",
+        col("local_var").cast("double") / col("degree"))
+  }
 }

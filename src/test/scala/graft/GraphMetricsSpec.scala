@@ -108,6 +108,34 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(kept > 30000 / 4 * 0.85 && kept < 30000 / 4 * 1.15)
   }
 
+  test("dirichlet: path-graph hand energies, halved global sum") {
+    import spark.implicits._
+    val feats = Seq((1L, 0L), (2L, 4L), (3L, 4L)).toDF("id", "x")
+    val rows = graph.FeatureProp.dirichlet(spark,
+        edges((1L, 2L), (2L, 3L)), feats, numPartitions = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == (1L, 16L, 16.0))
+    assert(rows(2L) == (2L, 16L, 8.0))
+    assert(rows(3L) == (1L, 0L, 0.0))
+    // global Dirichlet energy = sum of local variations / 2
+    assert(rows.values.map(_._2).sum / 2 == 16L)
+  }
+
+  test("dirichlet: constant signals are energy-free, missing ids are 0") {
+    import spark.implicits._
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "x")
+    val z = graph.FeatureProp.dirichlet(spark,
+      edges((1L, 2L), (2L, 3L)), const, numPartitions = 2)
+    assert(z.agg(sum(col("local_var"))).first().getLong(0) == 0L)
+    // vertex 3 missing from features → treated as x = 0
+    val part = Seq((1L, 5L), (2L, 5L)).toDF("id", "x")
+    val rows = graph.FeatureProp.dirichlet(spark,
+        edges((1L, 2L), (2L, 3L)), part, numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(3L) == 25L && rows(2L) == 25L && rows(1L) == 0L)
+  }
+
   test("ego features: K4 + pendant hand values, E_ego = d + T") {
     val pairs = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (1L, 5L))
