@@ -887,6 +887,28 @@ object SparkEntry {
       // Newman degree assortativity (exact BIGINT moments)
       GraphOps.graphSummary(GraphOps.symmetrize(sqlGraphEdges(s)))),
 
+    "nf_curve_sql_graph" -> ((s, d) =>
+      // ANF distance distribution over the 150-landmark id%10==1
+      // sample — the exact-BFS sibling of hyperball's sketch curve
+      algo.ShortestPaths.distanceDistribution(s,
+        GraphOps.symmetrize(sqlGraphEdges(s)),
+        (0 until 150).map(i => 10L * i + 1), parts(s, d))),
+
+    "eff_diameter_sql_graph" -> ((s, d) => {
+      // interpolated 90% effective diameter + sampled diameter from
+      // the same curve; the interpolation runs on the collected
+      // O(diameter)-row histogram
+      val curve = algo.ShortestPaths.distanceDistribution(s,
+          GraphOps.symmetrize(sqlGraphEdges(s)),
+          (0 until 150).map(i => 10L * i + 1), parts(s, d))
+        .orderBy(col("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val eff = algo.ShortestPaths.effectiveDiameter(curve, 0.9)
+      import s.implicits._
+      Seq((eff, curve.last._1)).toDF("e", "diameter")
+        .select(round(col("e"), 6).as("eff90"), col("diameter"))
+    }),
+
     "hyperball_sql_graph" -> ((s, d) => {
       // HyperBall neighborhood function → reachable / sum-of-distances
       // / harmonic centrality. k=2048 exceeds every ball on this graph
@@ -3429,6 +3451,46 @@ object SparkEntry {
            / ((d.degree + 1) * d.degree), 6) AS ego_density
        FROM deg d LEFT JOIN tv ON tv.id = d.id"""
 
+  /** ANF curve twin: the hyperball BFS closure widened to the full
+    * 150-landmark sample, histogrammed and cumulated at dist grain.
+    */
+  private val nfCurveBfsSql: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       verts AS (SELECT DISTINCT src AS id FROM sym),
+       b(src, id, dist) AS (
+         SELECT id, id, 0 FROM verts WHERE id % 10 = 1
+         UNION
+         SELECT b.src, s.dst, b.dist + 1
+         FROM b JOIN sym s ON s.src = b.id WHERE b.dist < 24
+       ),
+       d AS (SELECT src, id, min(dist) AS dist FROM b GROUP BY 1, 2),
+       curve AS (SELECT dist AS t, count(*) AS cnt FROM d GROUP BY 1),
+       cum AS (SELECT t, cnt, sum(cnt) OVER (ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS nf FROM curve)"""
+
+  private val nfCurveSqlOracle: String =
+    s"""$nfCurveBfsSql
+       SELECT CAST(t AS BIGINT) AS t, CAST(cnt AS BIGINT) AS cnt,
+         CAST(nf AS BIGINT) AS nf FROM cum"""
+
+  /** Effective-diameter twin: the same interpolation arithmetic
+    * (identical IEEE op order) over the cumulated curve.
+    */
+  private val effDiameterSqlOracle: String =
+    s"""$nfCurveBfsSql,
+       tot AS (SELECT max(nf) AS total, max(t) AS diameter FROM cum),
+       lagged AS (SELECT t, nf,
+           lag(t) OVER (ORDER BY t) AS pt, lag(nf) OVER (ORDER BY t) AS pn
+         FROM cum),
+       hit AS (SELECT l.t, l.nf, l.pt, l.pn FROM lagged l, tot
+         WHERE l.nf >= 0.9 * tot.total ORDER BY l.t LIMIT 1)
+       SELECT round(CASE WHEN hit.pn IS NULL THEN CAST(hit.t AS DOUBLE)
+           ELSE hit.pt + (0.9 * tot.total - hit.pn)
+             / CAST(hit.nf - hit.pn AS DOUBLE) * (hit.t - hit.pt)
+           END, 6) AS eff90,
+         CAST(tot.diameter AS BIGINT) AS diameter
+       FROM hit, tot"""
+
   /** Dirichlet-energy twin: per-edge squared diffs of the sawtooth
     * signal, summed at vertex grain in BIGINT, one division at the end.
     */
@@ -5696,6 +5758,8 @@ object SparkEntry {
     "percolation_sql_graph" ->
       percolationSqlOracle(Seq((1L, 5L), (1L, 2L), (9L, 10L)), salt = 7L),
     "dirichlet_sql_graph" -> dirichletSqlOracle,
+    "nf_curve_sql_graph" -> nfCurveSqlOracle,
+    "eff_diameter_sql_graph" -> effDiameterSqlOracle,
     "attack_sql_graph" -> attackSqlOracle(Seq(6L, 7L)),
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,

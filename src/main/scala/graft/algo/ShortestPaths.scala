@@ -421,4 +421,49 @@ object ShortestPaths {
     Seq(e, sd).foreach(Superstep.freeCheckpoint)
     out
   }
+
+  /** Exact distance distribution over a landmark sample — the
+    * ANF-style readout (Palmer–Gibbons–Faloutsos) whose interpolated
+    * 90%-quantile is the standard "effective diameter" of a web
+    * graph. nf(t) counts (landmark, vertex) pairs within distance t,
+    * landmark self-pairs at t = 0 included; with landmarks = a
+    * uniform vertex sample this estimates the global neighborhood
+    * function, and [[Hyperball]] is the sketch path to the same curve
+    * when no exact per-pair BFS is affordable.
+    *
+    * Budget: the [[run]] frontier expansion + one dist-grain
+    * map-side-combinable count; the cumulative window runs over the
+    * ≤ diameter+1-row histogram — never over data (the sweep-cut
+    * K-row-frame discipline).
+    *
+    * @return (t, cnt, nf) — pairs AT distance t and within t, one row
+    *         per occupied distance, ascending
+    */
+  def distanceDistribution(spark: SparkSession,
+                           symEdges: DataFrame,
+                           landmarks: Seq[Long],
+                           numPartitions: Int = 32): DataFrame = {
+    val d = run(spark, symEdges, landmarks, numPartitions)
+    d.groupBy(col("dist").as("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("nf", sum(col("cnt")).over(
+        Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t"), col("cnt"), col("nf"))
+  }
+
+  /** Interpolated effective diameter from a (t, nf) curve (ascending
+    * t): the radius within which fraction q of all reachable pairs
+    * lies. Same interpolation as [[Hyperball.Result.effectiveDiameter]],
+    * generalized to non-contiguous t values.
+    */
+  def effectiveDiameter(curve: Seq[(Long, Long)], q: Double = 0.9): Double = {
+    require(q > 0 && q <= 1, s"quantile q must be in (0, 1], got $q")
+    require(curve.nonEmpty, "empty distance curve")
+    val target = q * curve.last._2
+    val i = curve.indexWhere(_._2 >= target)
+    if (i <= 0) curve.head._1.toDouble
+    else {
+      val (t0, n0) = curve(i - 1); val (t1, n1) = curve(i)
+      t0 + (target - n0) / (n1 - n0).toDouble * (t1 - t0)
+    }
+  }
 }

@@ -378,6 +378,29 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == want) // 10/11 unreachable → absent, no +inf rows
   }
 
+  test("distanceDistribution + effectiveDiameter: P4 hand curve") {
+    // path 1-2-3-4, landmark 1: distances 0,1,2,3, one vertex each
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val curve = graft.algo.ShortestPaths
+      .distanceDistribution(spark, GraphOps.symmetrize(und),
+        landmarks = Seq(1L), numPartitions = 4)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(curve == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L)))
+    val nf = curve.map(c => (c._1, c._3))
+    // target 3.6 falls between nf(2)=3 and nf(3)=4 → 2.6
+    assert(graft.algo.ShortestPaths.effectiveDiameter(nf, 0.9) == 2.6)
+    assert(graft.algo.ShortestPaths.effectiveDiameter(nf, 1.0) == 3.0)
+    // a target inside the first bucket returns the head radius
+    assert(graft.algo.ShortestPaths.effectiveDiameter(nf, 0.1) == 0.0)
+    // two symmetric landmarks double every count
+    val both = graft.algo.ShortestPaths
+      .distanceDistribution(spark, GraphOps.symmetrize(und),
+        landmarks = Seq(1L, 4L), numPartitions = 4)
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(both == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("Hyperball: path + disjoint edge, geometric centralities exact below k") {
     // path 0-1-2-3 plus a disjoint edge 10-11; k=64 > every ball → exact
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
