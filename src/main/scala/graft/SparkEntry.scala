@@ -1548,6 +1548,14 @@ object SparkEntry {
       Curation.decontaminate(train, holdout, n = 5)
     }),
 
+    "cur_repeated_spans" -> ((s, d) =>
+      // ExactSubstr self-dedup signal: 8-token windows repeated
+      // verbatim anywhere in the corpus (planted near-dups guarantee
+      // a populated repeated set)
+      Curation.repeatedSpans(s.read.parquet(t(d, "documents")), n = 8)
+        .select(col("doc_id"), col("n_windows"), col("n_repeated"),
+          round(col("repeated_frac"), 6).as("repeated_frac"))),
+
     "cur_pack_sequences" -> ((s, d) =>
       Curation.packSequences(s.read.parquet(t(d, "documents")),
         budget = 256, bucketSize = 64)),
@@ -5975,6 +5983,32 @@ object SparkEntry {
 
     // Gram matching on raw strings ≡ the Spark side's xxhash64'd grams
     // (injective at these set sizes — same argument as n-gram Jaccard)
+    "cur_repeated_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS l
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             CASE WHEN len(l) >= 8 THEN
+               list_transform(generate_series(1, len(l) - 7),
+                 i -> array_to_string(l[i:i+7], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS w
+           FROM toks),
+         wg AS (SELECT doc_id, unnest(w) AS gram FROM w),
+         rep AS (SELECT gram FROM wg GROUP BY 1 HAVING count(*) > 1),
+         pd AS (
+           SELECT wg.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+           FROM wg LEFT JOIN rep r USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(pd.n_repeated, 0) AS BIGINT) AS n_repeated,
+           round(CASE WHEN coalesce(pd.n_windows, 0) = 0 THEN 0.0
+             ELSE CAST(pd.n_repeated AS DOUBLE) / pd.n_windows END, 6)
+             AS repeated_frac
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""",
+
     "cur_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,

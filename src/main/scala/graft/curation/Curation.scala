@@ -67,6 +67,60 @@ object Curation {
         (coalesce(col("n_matched"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** ── Repeated-span detection (ExactSubstr self-dedup signal) ──────
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better") strip substrings that occur VERBATIM more than
+    * once across the corpus — memorization fuel document-level
+    * near-dup passes structurally miss (a boilerplate license block
+    * inside otherwise-distinct files, a quoted paragraph). Their
+    * suffix array is replaced by the distributed-friendly equivalent:
+    * every n-token window at stride `stride` is hashed, and a window
+    * is a repeated span iff its hash occurs > 1 time corpus-wide
+    * (same doc or another — ExactSubstr semantics). Returns one row
+    * per doc: (doc_id, n_windows, n_repeated, repeated_frac) — the
+    * filter/trim decision stays with the caller.
+    *
+    * Scale shape: window generation is a stateless per-doc map (the
+    * token-scale explode IS the honest cost — a suffix array is
+    * token-scale too; `stride` > 1 trades span-boundary resolution
+    * for a 1/stride row cut). Hashes are 8-byte longs end-to-end;
+    * the duplicate-hash table comes from ONE map-side-combinable
+    * count, and the per-doc rollup is one hash-keyed left join +
+    * one doc-grain agg. The window frame is scanned twice (once for
+    * the global count, once for the rollup) — both stateless maps
+    * over the doc scan, no materialization.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, stride: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"window must be >= 1 token, got $n")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val tk = TextOps.tokens(col(textCol))
+    val wins = docs.select(col(idCol),
+        when(size(tk) >= n,
+          transform(sequence(lit(0),
+              ((size(tk) - n) / stride).cast("int")),
+            j => concat_ws(" ", slice(tk, j * stride + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("w"))
+      .select(col(idCol), explode(col("w")).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
+    val rep = wins.groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"), lit(1).as("r"))
+    val perDoc = wins
+      .join(rep.hint("shuffle_hash"), Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("r"), lit(0))).cast("long").as("n_repeated"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_repeated").cast("double") / col("n_windows")))
+  }
+
   /** ── Sequence packing ─────────────────────────────────────────────
     * Assigns each document (in doc_id order) a pack id so concatenated
     * packs hold ~`budget` tokens: pack_id = ⌊prefix_tokens / budget⌋

@@ -101,4 +101,38 @@ class CurationSpec extends AnyFunSuite {
       .collect()
     assert(byDoc.forall(r => r.getLong(2) == r.getLong(1) - 1))
   }
+
+  // ── repeated spans (ExactSubstr) ───────────────────────────────────
+
+  test("repeatedSpans flags cross-doc shared windows, not unique ones") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x"), // 2 windows; [a..h] shared with doc 2
+      (2L, "a b c d e f g h y"),
+      (3L, "one two three four five six seven eight nine"), // all unique
+      (4L, "too short")          // < 8 tokens → zero windows
+    ).toDF("doc_id", "text")
+    val out = Curation.repeatedSpans(docs, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (2L, 1L, 0.5))
+    assert(out(2L) == (2L, 1L, 0.5))
+    assert(out(3L) == (2L, 0L, 0.0))
+    assert(out(4L) == (0L, 0L, 0.0))
+  }
+
+  test("repeatedSpans: WITHIN-doc repetition counts (ExactSubstr semantics)") {
+    val docs = Seq((3L, "p q p q p q p q p q")).toDF("doc_id", "text")
+    val out = Curation.repeatedSpans(docs, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 7 windows, every one a repeat of "p q p q" or "q p q p"
+    assert(out(3L) == (7L, 7L, 1.0))
+  }
+
+  test("repeatedSpans: stride thins the window set") {
+    val docs = Seq((1L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val s1 = Curation.repeatedSpans(docs, n = 8, stride = 1).first().getLong(1)
+    val s2 = Curation.repeatedSpans(docs, n = 8, stride = 2).first().getLong(1)
+    assert(s1 == 5L && s2 == 3L) // starts 0..4 vs 0,2,4
+  }
 }
