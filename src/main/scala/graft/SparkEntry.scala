@@ -743,6 +743,19 @@ object SparkEntry {
       Robustness.degreeAttack(s,
         GraphOps.undirectedPairs(sqlGraphEdges(s)), Seq(6L, 7L), parts(s, d))),
 
+    "site_percolation_sql_graph" -> ((s, d) =>
+      // random-NODE-failure half of the robustness picture: vertices
+      // survive at 50% / 80%, edges need both endpoints
+      Robustness.sitePercolation(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)),
+        Seq((1L, 2L), (4L, 5L)), salt = 11L, parts(s, d))),
+
+    "voronoi_sql_graph" -> ((s, d) =>
+      // graph Voronoi cells of landmarks {1,2,3}: nearest-landmark
+      // assignment by lexicographic (dist, landmark) argmin
+      algo.ShortestPaths.nearestLandmark(s,
+        GraphOps.symmetrize(sqlGraphEdges(s)), Seq(1L, 2L, 3L), parts(s, d))),
+
     "cascade_sql_graph" -> ((s, d) => {
       // k=2 bootstrap percolation from the %9==0 seeds plus the one
       // degree-0 vertex (850 — reported at round 0, spreads nothing):
@@ -3529,7 +3542,8 @@ object SparkEntry {
        und AS MATERIALIZED (
          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
        verts AS MATERIALIZED (
-         SELECT DISTINCT u AS id FROM und UNION SELECT v FROM und),
+         SELECT DISTINCT id FROM (
+           SELECT u AS id FROM und UNION ALL SELECT v FROM und)),
        keyed AS MATERIALIZED (
          SELECT u, v,
            ((((u * 1000003 + v) % $P) * (((u * 1000003 + v) % $P) + 3)) % $P)
@@ -3558,6 +3572,68 @@ object SparkEntry {
       .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
     s"WITH RECURSIVE $shared$perRate\n       $unioned"
   }
+
+  /** Site-percolation twin: the vertex-keyed sampleKeep scramble
+    * replayed in BIGINT, survivor-seeded closure per rate.
+    */
+  private def sitePercolationSqlOracle(rates: Seq[(Long, Long)],
+                                       salt: Long): String = {
+    val P = 2147483647L
+    val s = Math.floorMod(salt, P)
+    val shared =
+      s"""$sqlGraphCte,
+       und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       verts AS MATERIALIZED (
+         SELECT DISTINCT id FROM (
+           SELECT u AS id FROM und UNION ALL SELECT v FROM und)),
+       vk AS MATERIALIZED (
+         SELECT id, (((id % $P) * ((id % $P) + 3)) % $P) AS q1 FROM verts),
+       sc AS MATERIALIZED (
+         SELECT id, ((q1 * (q1 + 7 + $s)) % $P) AS q2 FROM vk)"""
+    val perRate = rates.zipWithIndex.map { case ((num, den), i) =>
+      s""",
+       sv$i AS MATERIALIZED (SELECT id FROM sc WHERE (q2 % $den) < $num),
+       kept$i AS MATERIALIZED (
+         SELECT u, v FROM und
+         WHERE u IN (SELECT id FROM sv$i) AND v IN (SELECT id FROM sv$i)),
+       sym$i AS MATERIALIZED (
+         SELECT u AS src, v AS dst FROM kept$i
+         UNION SELECT v, u FROM kept$i),
+       reach$i(id, comp) AS (
+         SELECT id, id FROM sv$i
+         UNION
+         SELECT sy.dst, r.comp FROM reach$i r JOIN sym$i sy ON sy.src = r.id),
+       lab$i AS (SELECT id, min(comp) AS comp FROM reach$i GROUP BY id),
+       row$i AS (
+         SELECT CAST($num AS BIGINT) AS num, CAST($den AS BIGINT) AS den,
+           (SELECT count(*) FROM sv$i) AS surviving,
+           (SELECT count(*) FROM kept$i) AS kept_edges,
+           count(*) AS components, max(cnt) AS giant
+         FROM (SELECT comp, count(*) AS cnt FROM lab$i GROUP BY comp))"""
+    }.mkString
+    val unioned = rates.indices
+      .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
+    s"WITH RECURSIVE $shared$perRate\n       $unioned"
+  }
+
+  /** Voronoi twin: the SSSP closure finished with a lexicographic
+    * (dist, landmark) argmin — encoded dist·1000 + landmark, exact
+    * for landmarks < 1000 and dists < the recursion cap.
+    */
+  private val voronoiSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       b(landmark, id, dist) AS (
+         SELECT lm, lm, 0 FROM (VALUES (1),(2),(3)) t(lm)
+         UNION
+         SELECT b.landmark, s.dst, b.dist + 1
+         FROM b JOIN sym s ON s.src = b.id WHERE b.dist < 40
+       ),
+       d AS (SELECT landmark, id, min(dist) AS dist FROM b GROUP BY 1, 2)
+       SELECT CAST(id AS BIGINT) AS id,
+         CAST(arg_min(landmark, dist * 1000 + landmark) AS BIGINT) AS landmark,
+         CAST(min(dist) AS BIGINT) AS dist
+       FROM d GROUP BY id"""
 
   /** Degree-attack twin: symmetric degrees, survivors deg < cutoff,
     * induced kept pairs, survivor-seeded closure, same rollup.
@@ -5769,6 +5845,9 @@ object SparkEntry {
     "nf_curve_sql_graph" -> nfCurveSqlOracle,
     "eff_diameter_sql_graph" -> effDiameterSqlOracle,
     "attack_sql_graph" -> attackSqlOracle(Seq(6L, 7L)),
+    "site_percolation_sql_graph" ->
+      sitePercolationSqlOracle(Seq((1L, 2L), (4L, 5L)), salt = 11L),
+    "voronoi_sql_graph" -> voronoiSqlOracle,
     "scc_condensation_sql_graph" -> sccCondensationSqlOracle,
     "recommend_sql_graph" -> recommendSqlOracle,
     "betweenness_sql_graph" -> betweennessSqlOracle(20),

@@ -95,6 +95,56 @@ object Robustness {
       spark.sparkContext.parallelize(rows, 1), outSchema)
   }
 
+  private val siteSchema = StructType(Seq(
+    StructField("num", LongType, nullable = false),
+    StructField("den", LongType, nullable = false),
+    StructField("surviving", LongType, nullable = false),
+    StructField("kept_edges", LongType, nullable = false),
+    StructField("components", LongType, nullable = false),
+    StructField("giant", LongType, nullable = false)))
+
+  /** Site-percolation curve: each VERTEX survives independently at
+    * num/den (the [[GraphOps.sampleKeep]] predicate — the same one
+    * behind [[GraphOps.inducedSample]]), an edge needs both
+    * endpoints. Components are measured over the SURVIVING vertex
+    * set: removed vertices are gone, edge-stripped survivors are
+    * singletons. The random-NODE-failure half of the
+    * Albert–Barabási picture ([[bondPercolation]] is the link half).
+    *
+    * The scramble is deterministic, not unbiased: at very small
+    * denominators (den = 2) the realized keep rate on structured id
+    * ranges can drift from num/den by tens of percent — read the
+    * `surviving` column, not the nominal rate, when plotting the
+    * curve (same caveat as [[GraphOps.inducedSample]]).
+    *
+    * @return (num, den, surviving, kept_edges, components, giant)
+    */
+  def sitePercolation(spark: SparkSession, undirectedPairs: DataFrame,
+                      rates: Seq[(Long, Long)], salt: Long = 0L,
+                      numPartitions: Int = 32): DataFrame = {
+    val pairs = undirectedPairs.select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val vertices = pairs.select(col("src").as("id"))
+      .union(pairs.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val rows = rates.map { case (num, den) =>
+      val survivors = vertices.filter(
+        GraphOps.sampleKeep(col("id"), num, den, salt))
+      val surviving = survivors.count()
+      val kept = pairs.filter(
+        GraphOps.sampleKeep(col("src"), num, den, salt) &&
+        GraphOps.sampleKeep(col("dst"), num, den, salt))
+      val keptEdges = kept.count()
+      val (comps, giant) =
+        if (surviving == 0) (0L, 0L)
+        else summarize(ConnectedComponents.run(spark, kept, Some(survivors),
+          numPartitions))
+      Row(num, den, surviving, keptEdges, comps, giant)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), siteSchema)
+  }
+
   /** Targeted-attack curve: one row per degree cutoff D — every
     * vertex with degree ≥ D is removed, components are measured over
     * the SURVIVING vertex set (attack survivors left edge-free are

@@ -422,6 +422,26 @@ object ShortestPaths {
     out
   }
 
+  /** Graph Voronoi cells: every vertex assigned to its NEAREST
+    * landmark (ties → smallest landmark id) — proximity-based
+    * sharding / seed-expansion cluster assignment, and the discrete
+    * Voronoi diagram behind landmark routing schemes. One
+    * map-side-combinable lexicographic argmin over the [[run]]
+    * distance table; vertices unreachable from every landmark are
+    * absent (same contract as [[run]]).
+    *
+    * @return (id, landmark, dist)
+    */
+  def nearestLandmark(spark: SparkSession,
+                      symEdges: DataFrame,
+                      landmarks: Seq[Long],
+                      numPartitions: Int = 32): DataFrame =
+    run(spark, symEdges, landmarks, numPartitions)
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("landmark"))).as("m"))
+      .select(col("id"), col("m.landmark").as("landmark"),
+        col("m.dist").as("dist"))
+
   /** Exact distance distribution over a landmark sample — the
     * ANF-style readout (Palmer–Gibbons–Faloutsos) whose interpolated
     * 90%-quantile is the standard "effective diameter" of a web

@@ -378,6 +378,25 @@ class AlgoFixtureSpec extends AnyFunSuite {
     assert(got == want) // 10/11 unreachable → absent, no +inf rows
   }
 
+  test("nearestLandmark: Voronoi cells, min-landmark tie-break, absent unreachable") {
+    // path 0-1-2-3 plus a disjoint edge 10-11
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.algo.ShortestPaths
+      .nearestLandmark(spark, GraphOps.symmetrize(und),
+        landmarks = Seq(0L, 3L), numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      0L -> (0L, 0L), 1L -> (0L, 1L), // 1 is 1 hop from 0, 2 from 3
+      2L -> (3L, 1L), 3L -> (3L, 0L)))  // 10/11 unreachable → absent
+    // equidistant vertex goes to the smaller landmark id
+    val tie = graft.algo.ShortestPaths
+      .nearestLandmark(spark,
+        GraphOps.symmetrize(Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")),
+        landmarks = Seq(2L, 0L), numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tie(1L) == 0L)
+  }
+
   test("distanceDistribution + effectiveDiameter: P4 hand curve") {
     // path 1-2-3-4, landmark 1: distances 0,1,2,3, one vertex each
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")

@@ -62,6 +62,35 @@ class RobustnessSpec extends AnyFunSuite {
     assert(rows(2L) == (4L, 0L, 5L, 1L))
   }
 
+  test("site percolation: keep-all/keep-none brackets, survivors counted") {
+    val rows = Robustness.sitePercolation(spark, twoTriangles,
+        Seq((1L, 1L), (0L, 1L)), salt = 5L, numPartitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows((1L, 1L)) == (6L, 6L, 2L, 3L))
+    // all vertices gone: empty row, no phantom singletons
+    assert(rows((0L, 1L)) == (0L, 0L, 0L, 0L))
+  }
+
+  test("site percolation: partition-invariant and exactly the replayed predicate") {
+    import graft.graph.GraphOps
+    val ringPairs = (0L until 400L).map(i => (i, (i + 1) % 400))
+    val ring = edges(ringPairs: _*)
+    val a = Robustness.sitePercolation(spark, ring, Seq((1L, 2L)),
+      salt = 9L, numPartitions = 4).collect()(0)
+    val b = Robustness.sitePercolation(spark, ring, Seq((1L, 2L)),
+      salt = 9L, numPartitions = 2).collect()(0)
+    assert(a.getLong(2) == b.getLong(2) && a.getLong(3) == b.getLong(3) &&
+      a.getLong(5) == b.getLong(5))
+    // replay the predicate driver-side: survivors and induced edges exact
+    val kept = spark.range(400)
+      .filter(GraphOps.sampleKeep(col("id"), 1, 2, 9L))
+      .collect().map(_.longValue).toSet
+    assert(a.getLong(2) == kept.size.toLong)
+    assert(a.getLong(3) ==
+      ringPairs.count(p => kept(p._1) && kept(p._2)).toLong)
+  }
+
   test("attack: removing every vertex yields the empty row") {
     val r = Robustness.degreeAttack(spark, edges((1L, 2L)), Seq(1L),
       numPartitions = 2).collect()(0)
