@@ -251,6 +251,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("egoNetFeatures / dirichlet / repeatedSpans plan with no Window") {
+    val e = (0L until 100L).map(i => (i, (i * 3 + 1) % 100)).toDF("src", "dst")
+    val pairs = e.selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst").distinct()
+    assert(logicalWindows(
+      graft.algo.Triangles.egoNetFeatures(spark, pairs, 4)) === 0)
+    val feats = (0L until 100L).map(i => (i, i % 16)).toDF("id", "x")
+    assert(logicalWindows(
+      graft.graph.FeatureProp.dirichlet(spark, pairs, feats, 4)) === 0)
+    assert(logicalWindows(
+      graft.curation.Curation.repeatedSpans(docs, n = 5)) === 0)
+  }
+
+  test("repeatedSpans: window generation is map-side, no join before the gram agg") {
+    // the duplicate-hash table must come from a plain hash aggregate
+    // over the exploded windows — a sort anywhere before the per-doc
+    // rollup would put the token-scale frame through a comparator
+    val out = graft.curation.Curation.repeatedSpans(docs, n = 5)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("SortMergeJoin"),
+      s"gram join must stay hash-based:\n$phys")
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     // own temp parquet, not the shared testdata file: another suite
     // caching the same read plan would substitute an InMemoryRelation
