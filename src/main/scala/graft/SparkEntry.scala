@@ -876,6 +876,22 @@ object SparkEntry {
       Louvain.run(s, sym, parts(s, d), maxLevels = 2, roundsPerLevel = 2).labels
     }),
 
+    "ppr_batch_sql_graph" -> ((s, d) => {
+      // batched PPR: two seed sets ride ONE superstep loop on sparse
+      // (id, sid) state; the dense DuckDB twin's zero-rank rows are
+      // exactly the engine's absent rows (teleport AND dangling mass
+      // both go to the seed distribution)
+      val e = sqlGraphEdges(s)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val seeds = verts.filter(pmod(col("id"), lit(100L)) === 1)
+        .select(lit(1L).as("sid"), col("id"))
+        .unionAll(verts.filter(pmod(col("id"), lit(100L)) === 2)
+          .select(lit(2L).as("sid"), col("id")))
+      PageRank.batchPersonalized(s, e, seeds, parts(s, d), iters = 5)
+        .select(col("sid"), col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
     "ppr_sql_graph" -> ((s, d) => {
       // personalized PageRank: teleport mass restricted to the %20==0
       // seed vertices, 5 fixed supersteps vs the unrolled recurrence
@@ -3157,6 +3173,53 @@ object SparkEntry {
     * on the %20==0 seed distribution s_i = 1/|S| instead of 1/n —
     * exactly PageRank.run's `seeds` arithmetic, doubles throughout.
     */
+  /** Batched-PPR twin: the pprSqlOracle recurrence at (sid, id) grain
+    * over a DENSE state (every sid × vertex), finished with
+    * `WHERE rank <> 0` — in PPR the teleport and the dangling mass
+    * both go to the seed distribution, so the dense twin's zero rows
+    * are exactly the sparse engine's absent rows, and the added
+    * 0.0-valued contribution terms cannot perturb any double.
+    */
+  private def pprBatchSqlOracle(iters: Int): String = {
+    val head =
+      s"""WITH $sqlGraphCte,
+         ew AS (SELECT src, dst, 1.0 AS w FROM e),
+         deg AS (
+           SELECT id, sum(od) AS outdeg FROM (
+             SELECT src AS id, w AS od FROM ew
+             UNION ALL SELECT dst, 0.0 FROM ew) GROUP BY id),
+         sds AS (SELECT 1 AS sid, id FROM deg WHERE id % 100 = 1
+                 UNION ALL SELECT 2, id FROM deg WHERE id % 100 = 2),
+         sm AS (SELECT sid, count(*) AS m FROM sds GROUP BY 1),
+         sv AS (SELECT g.id, g.outdeg, t.sid,
+                  CASE WHEN sd.id IS NOT NULL THEN 1.0 / t.m ELSE 0.0 END AS s
+                FROM deg g CROSS JOIN sm t
+                LEFT JOIN sds sd ON sd.sid = t.sid AND sd.id = g.id),
+         r0 AS (SELECT sid, id, outdeg, s AS rank FROM sv)"""
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+         d$k AS (SELECT sid,
+             sum(CASE WHEN outdeg = 0 THEN rank ELSE 0.0 END) AS dang
+           FROM r$p GROUP BY sid),
+         r$k AS (
+           SELECT g.sid, g.id, g.outdeg,
+             (1.0 - 0.85) * g.s +
+               0.85 * (coalesce(c.contrib, 0.0) + d.dang * g.s) AS rank
+           FROM sv g
+           LEFT JOIN (SELECT e.dst AS id, r.sid,
+                        sum(r.rank / r.outdeg * e.w) AS contrib
+                      FROM ew e JOIN r$p r ON e.src = r.id
+                      WHERE r.outdeg > 0 GROUP BY e.dst, r.sid) c
+             ON g.id = c.id AND g.sid = c.sid
+           JOIN d$k d ON d.sid = g.sid)"""
+    }.mkString
+    s"""$head$steps
+       SELECT CAST(sid AS BIGINT) AS sid, id, round(rank, 6) AS rank
+       FROM r$iters WHERE rank <> 0"""
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
+
   private def pprSqlOracle(iters: Int, over: String = "e"): String = {
     val si = "CASE WHEN g.id % 20 = 0 THEN 1.0 / sc.m ELSE 0.0 END"
     val head =
@@ -5717,6 +5780,7 @@ object SparkEntry {
     "ari_sql_graph" -> ariSqlOracle,
     "graph_diff_degree_sql" -> graphDiffDegreeSqlOracle,
     "ppr_sql_graph" -> pprSqlOracle(5),
+    "ppr_batch_sql_graph" -> pprBatchSqlOracle(5),
     "sweep_cut_sql_graph" -> sweepSqlOracle(64),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "scan_sql_graph" -> scanSqlOracle(2, 5, 3),

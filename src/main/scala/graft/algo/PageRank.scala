@@ -229,4 +229,88 @@ object PageRank {
     gc.close()
     Result(state.select(col("id"), col("rank")), step, converged, edgeCount)
   }
+
+  /** Batched personalized PageRank: one superstep loop computes PPR
+    * for MANY seed sets at once — the GraphRAG "relevance to every
+    * topic/community" pass, where looping [[run]] over S seed sets
+    * would scan and join the edge table S times per iteration. State
+    * is keyed (id, sid) and kept SPARSE: in PPR both the teleport and
+    * the dangling mass go to the seed distribution, so a vertex
+    * unreached from a seed set has rank EXACTLY 0 and simply has no
+    * row — per-set state grows with the seed set's reachable ball,
+    * not |V|·S.
+    *
+    * Per iteration: one edges⨝state shuffle-hash join feeding a
+    * map-side partial (dst, sid) sum, one full-outer merge with the
+    * (tiny, checkpointed) seed distribution, one broadcast of the
+    * S-row dangling table, one co-partitioned degree join. Fixed
+    * `iters` with no convergence action (the oracle mode, like
+    * [[Hits]] at tol = 0).
+    *
+    * @param seedSets (sid, id) — every id must be a graph vertex
+    * @return (sid, id, rank), only rows with rank > 0
+    */
+  def batchPersonalized(spark: SparkSession,
+                        edges: DataFrame,
+                        seedSets: DataFrame,
+                        numPartitions: Int,
+                        iters: Int = 5,
+                        damping: Double = 0.85): DataFrame = Superstep.withoutAQE(spark) {
+    val e = Superstep.freshCheckpoint(
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+        .repartition(numPartitions, col("src")), eager = true)
+    val deg = Superstep.freshCheckpoint(
+      e.select(col("src").as("id"), lit(1.0).as("od"))
+        .unionAll(e.select(col("dst").as("id"), lit(0.0).as("od")))
+        .groupBy(col("id")).agg(sum(col("od")).as("outDeg"))
+        .repartition(numPartitions, col("id")), eager = true)
+
+    val sd = seedSets.select(col("sid"), col("id")).distinct().localCheckpoint(true)
+    val cnts = sd.groupBy(col("sid")).agg(count(lit(1)).as("m"))
+    val seedDist = sd.join(broadcast(cnts), Seq("sid"))
+      .select(col("sid"), col("id"), (lit(1.0) / col("m")).as("s"))
+      .localCheckpoint(true)
+    val missing = seedDist.join(deg, Seq("id"), "left_anti").count()
+    require(missing == 0, s"$missing seed rows are not graph vertices")
+
+    var state = Superstep.freshCheckpoint(
+      seedDist.join(deg.hint("shuffle_hash"), Seq("id"))
+        .select(col("id"), col("sid"), col("outDeg"), col("s").as("rank"))
+        .repartition(numPartitions, col("id")), eager = true)
+    val gc = new Superstep.CheckpointGC(spark, keep = 4)
+    for (_ <- 1 to iters) {
+      val dgl = state.filter(col("outDeg") === 0)
+        .groupBy(col("sid")).agg(sum(col("rank")).as("dang"))
+      val contribs = e
+        .join(state.filter(col("outDeg") > 0)
+            .select(col("id").as("src"), col("sid"),
+              (col("rank") / col("outDeg")).as("c"))
+            .hint("shuffle_hash"),
+          Seq("src"))
+        .groupBy(col("dst").as("id"), col("sid"))
+        .agg(sum(col("c")).as("contrib"))
+      // full-outer merge keeps seed rows alive with zero in-flow; the
+      // expression mirrors the run()/oracle op order exactly
+      val merged = contribs
+        .join(seedDist.select(col("id"), col("sid"), col("s")),
+          Seq("id", "sid"), "full_outer")
+        .join(broadcast(dgl), Seq("sid"), "left")
+        .select(col("id"), col("sid"),
+          (lit(1.0 - damping) * coalesce(col("s"), lit(0.0)) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              coalesce(col("dang"), lit(0.0)) * coalesce(col("s"), lit(0.0))))
+            .as("rank"))
+      val next = Superstep.freshCheckpoint(
+        merged.join(deg.hint("shuffle_hash"), Seq("id"))
+          .select(col("id"), col("sid"), col("outDeg"), col("rank"))
+          .repartition(numPartitions, col("id")), eager = true)
+      state = next
+      gc.tick()
+    }
+    val out = state.select(col("sid"), col("id"), col("rank"))
+      .localCheckpoint(true)
+    gc.close(keepLatest = 1) // `out` is the newest loop-scope checkpoint
+    Seq(e, deg).foreach(Superstep.freeCheckpoint)
+    out
+  }
 }

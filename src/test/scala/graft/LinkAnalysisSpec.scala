@@ -198,4 +198,57 @@ class LinkAnalysisSpec extends AnyFunSuite {
       numPartitions = 4, maxCenterOutDegree = 5).scores
     assert(s2.count() == 0)
   }
+
+  // ─────────────────────── batched PPR ───────────────────────────
+
+  test("batchPersonalized: directed cycle hand values, sparse frontier") {
+    // 1→2→3→1, seed {1}: rank spreads one hop per iteration
+    val cyc = edges((1L, 2L), (2L, 3L), (3L, 1L))
+    val seeds = Seq((1L, 1L)).toDF("sid", "id")
+    val d = 0.85
+    val r2 = PageRank.batchPersonalized(spark, cyc, seeds,
+        numPartitions = 2, iters = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // rank reaches v3 only at iter 2; v1 sees no in-flow before iter 3
+    assert(r2(1L) == (1.0 - d) * 1.0)
+    assert(r2(2L) == d * ((1.0 - d) * 1.0))
+    assert(r2(3L) == d * (d * 1.0))
+    assert(r2.size == 3)
+  }
+
+  test("batchPersonalized: per-sid ranks match single-seed-set run()") {
+    // two triangles bridged by one edge; seed sets on either side
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L))
+    val seeds = Seq((1L, 1L), (2L, 5L)).toDF("sid", "id")
+    val batch = PageRank.batchPersonalized(spark, g, seeds,
+        numPartitions = 4, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((sid, seed) <- Seq((1L, 1L), (2L, 5L))) {
+      val single = PageRank.run(spark, g, numPartitions = 4, tol = 0.0,
+          maxIter = 5, seeds = Some(Seq(seed).toDF("id")))
+        .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for ((id, r) <- single)
+        if (r == 0.0) assert(!batch.contains((sid, id)))
+        else assert(math.abs(batch((sid, id)) - r) < 1e-12,
+          s"sid=$sid id=$id batch=${batch.get((sid, id))} single=$r")
+    }
+  }
+
+  test("batchPersonalized: disjoint components never bleed across sets") {
+    val g = edges((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val seeds = Seq((1L, 1L), (2L, 10L)).toDF("sid", "id")
+    val out = PageRank.batchPersonalized(spark, g, seeds,
+        numPartitions = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (1L, 2L), (2L, 10L), (2L, 11L)))
+  }
+
+  test("batchPersonalized rejects seeds that are not vertices") {
+    val g = edges((1L, 2L))
+    val bad = Seq((1L, 99L)).toDF("sid", "id")
+    assertThrows[IllegalArgumentException] {
+      PageRank.batchPersonalized(spark, g, bad, numPartitions = 2, iters = 1)
+    }
+  }
 }
