@@ -892,6 +892,21 @@ object SparkEntry {
         .select(col("sid"), col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "ppr_classify_sql_graph" -> ((s, d) => {
+      // PPR multi-class labeling: argmax seed-set mass per vertex
+      // (ties -> smaller sid), composed on the batch runner
+      val e = sqlGraphEdges(s)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val seeds = verts.filter(pmod(col("id"), lit(100L)) === 1)
+        .select(lit(1L).as("sid"), col("id"))
+        .unionAll(verts.filter(pmod(col("id"), lit(100L)) === 2)
+          .select(lit(2L).as("sid"), col("id")))
+      PageRank.classify(
+          PageRank.batchPersonalized(s, e, seeds, parts(s, d), iters = 5))
+        .select(col("id"), col("label"), round(col("rank"), 6).as("rank"))
+    }),
+
     "ppr_sql_graph" -> ((s, d) => {
       // personalized PageRank: teleport mass restricted to the %20==0
       // seed vertices, 5 fixed supersteps vs the unrolled recurrence
@@ -3180,7 +3195,7 @@ object SparkEntry {
     * are exactly the sparse engine's absent rows, and the added
     * 0.0-valued contribution terms cannot perturb any double.
     */
-  private def pprBatchSqlOracle(iters: Int): String = {
+  private def pprBatchChainSql(iters: Int): String = {
     val head =
       s"""WITH $sqlGraphCte,
          ew AS (SELECT src, dst, 1.0 AS w FROM e),
@@ -3212,13 +3227,32 @@ object SparkEntry {
                       FROM ew e JOIN r$p r ON e.src = r.id
                       WHERE r.outdeg > 0 GROUP BY e.dst, r.sid) c
              ON g.id = c.id AND g.sid = c.sid
-           JOIN d$k d ON d.sid = g.sid)"""
+           JOIN d$k d ON d.sid = g.sid),
+         sparse$k AS (SELECT sid, id, rank FROM r$k WHERE rank <> 0)"""
     }.mkString
-    s"""$head$steps
-       SELECT CAST(sid AS BIGINT) AS sid, id, round(rank, 6) AS rank
-       FROM r$iters WHERE rank <> 0"""
-      .replace(" AS (", " AS MATERIALIZED (")
+    s"$head$steps"
   }
+
+  private def pprBatchSqlOracle(iters: Int): String =
+    s"""${pprBatchChainSql(iters)}
+       SELECT CAST(sid AS BIGINT) AS sid, id, round(rank, 6) AS rank
+       FROM sparse$iters"""
+      .replace(" AS (", " AS MATERIALIZED (")
+
+  /** PPR-classifier twin: exact argmax over the batch — max rank per
+    * vertex, ties to the smaller sid; ranks are bit-identical across
+    * engines (the batch twin proves it), so the double equality in
+    * the tie join is sound.
+    */
+  private def pprClassifySqlOracle(iters: Int): String =
+    s"""${pprBatchChainSql(iters)},
+       b AS (SELECT * FROM sparse$iters),
+       mx AS (SELECT id, max(rank) AS mr FROM b GROUP BY id)
+       SELECT b.id, CAST(min(b.sid) AS BIGINT) AS label,
+         round(mx.mr, 6) AS rank
+       FROM b JOIN mx ON b.id = mx.id AND b.rank = mx.mr
+       GROUP BY b.id, mx.mr"""
+      .replace(" AS (", " AS MATERIALIZED (")
 
   private def pprSqlOracle(iters: Int, over: String = "e"): String = {
     val si = "CASE WHEN g.id % 20 = 0 THEN 1.0 / sc.m ELSE 0.0 END"
@@ -5781,6 +5815,7 @@ object SparkEntry {
     "graph_diff_degree_sql" -> graphDiffDegreeSqlOracle,
     "ppr_sql_graph" -> pprSqlOracle(5),
     "ppr_batch_sql_graph" -> pprBatchSqlOracle(5),
+    "ppr_classify_sql_graph" -> pprClassifySqlOracle(5),
     "sweep_cut_sql_graph" -> sweepSqlOracle(64),
     "ktruss_sql_graph" -> kTrussSqlOracle(3, 3),
     "scan_sql_graph" -> scanSqlOracle(2, 5, 3),

@@ -313,4 +313,22 @@ object PageRank {
     Seq(e, deg).foreach(Superstep.freeCheckpoint)
     out
   }
+
+  /** Multi-class node classification from [[batchPersonalized]]:
+    * label(v) = the seed set with the most PPR mass at v, ties to the
+    * smaller sid — the calibrated multi-class sibling of
+    * [[HittingTime.absorption]]'s binary harmonic classifier, and the
+    * standard PPR-seeded semi-supervised labeling. One
+    * map-side-combinable lexicographic argmax; vertices unreached by
+    * every seed set have no row (label them however the application
+    * defaults).
+    *
+    * @param batchRanks (sid, id, rank) from [[batchPersonalized]]
+    * @return (id, label, rank) — rank = the winning PPR mass
+    */
+  def classify(batchRanks: DataFrame): DataFrame =
+    batchRanks.groupBy(col("id"))
+      .agg(max(struct(col("rank"), (-col("sid")).as("negSid"))).as("m"))
+      .select(col("id"), (-col("m.negSid")).as("label"),
+        col("m.rank").as("rank"))
 }

@@ -244,6 +244,19 @@ class LinkAnalysisSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L), (1L, 2L), (2L, 10L), (2L, 11L)))
   }
 
+  test("classify: argmax with min-sid tie-break on the batch output") {
+    val ranks = Seq(
+      (1L, 10L, 0.4), (2L, 10L, 0.6),   // clear winner sid 2
+      (1L, 11L, 0.5), (2L, 11L, 0.5),   // tie -> sid 1
+      (2L, 12L, 0.3)                     // only one set reaches 12
+    ).toDF("sid", "id", "rank")
+    val got = PageRank.classify(ranks)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L) == (2L, 0.6))
+    assert(got(11L) == (1L, 0.5))
+    assert(got(12L) == (2L, 0.3))
+  }
+
   test("batchPersonalized rejects seeds that are not vertices") {
     val g = edges((1L, 2L))
     val bad = Seq((1L, 99L)).toDF("sid", "id")
