@@ -986,6 +986,12 @@ object SparkEntry {
         .select(col("id"), col("nbrs"), col("ego_edges"),
           round(col("ego_density"), 6).as("ego_density"))),
 
+    "forman_sql_graph" -> ((s, d) =>
+      // augmented Forman–Ricci edge curvature: bridge detector at
+      // triangle-support cost, exact BIGINT
+      Triangles.formanCurvature(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))),
+
     "sssp_weighted_sql_graph" -> ((s, d) => {
       // Bellman-Ford weighted distances to landmarks {1,2,3} with the
       // deterministic symmetric weight 1 + (src+dst) % 3
@@ -3670,6 +3676,32 @@ object SparkEntry {
     s"WITH RECURSIVE $shared$perRate\n       $unioned"
   }
 
+  /** Forman-curvature twin: wedge-join triangles → per-edge support,
+    * degrees, and the closed form 4 − du − dv + 3·t.
+    */
+  private val formanSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM und e1 JOIN und e2 ON e1.v = e2.u
+             JOIN und e3 ON e2.v = e3.v AND e1.u = e3.u),
+       es AS (SELECT x, y, count(*) AS support FROM (
+                SELECT a AS x, b AS y FROM t
+                UNION ALL SELECT a, c FROM t
+                UNION ALL SELECT b, c FROM t)
+              GROUP BY x, y),
+       deg AS (SELECT id, count(*) AS d FROM (
+                 SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+               GROUP BY id)
+       SELECT p.u AS src, p.v AS dst,
+         CAST(coalesce(es.support, 0) AS BIGINT) AS support,
+         CAST(4 - du.d - dv.d + 3 * coalesce(es.support, 0) AS BIGINT)
+           AS curvature
+       FROM und p
+       LEFT JOIN es ON es.x = p.u AND es.y = p.v
+       JOIN deg du ON du.id = p.u
+       JOIN deg dv ON dv.id = p.v"""
+
   /** Site-percolation twin: the vertex-keyed sampleKeep scramble
     * replayed in BIGINT, survivor-seeded closure per rate.
     */
@@ -5938,6 +5970,7 @@ object SparkEntry {
     "sssp_weighted_sql_graph" -> ssspWeightedSqlOracle,
     "clustering_sql_graph" -> clusteringSqlOracle,
     "ego_features_sql_graph" -> egoFeaturesSqlOracle,
+    "forman_sql_graph" -> formanSqlOracle,
     "percolation_sql_graph" ->
       percolationSqlOracle(Seq((1L, 5L), (1L, 2L), (9L, 10L)), salt = 7L),
     "dirichlet_sql_graph" -> dirichletSqlOracle,

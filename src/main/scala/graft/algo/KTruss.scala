@@ -28,7 +28,7 @@ object KTruss {
   /** Per-edge triangle support of an undirected (u<v distinct) pair
     * set: (a, b, support), rows only for edges in ≥1 triangle.
     */
-  private def edgeSupport(pairs: DataFrame, numPartitions: Int): DataFrame = {
+  private[graft] def edgeSupport(pairs: DataFrame, numPartitions: Int): DataFrame = {
     val tri = Triangles.enumerate(pairs, numPartitions)
     tri.select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),

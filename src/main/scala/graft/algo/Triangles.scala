@@ -237,6 +237,41 @@ object Triangles {
         lit(2.0) * col("ego_edges") / ((col("nbrs") + 1) * col("nbrs")))
   }
 
+  /** Augmented Forman–Ricci curvature per edge (Samal et al., "Com-
+    * parative analysis of two discretizations of Ricci curvature for
+    * complex networks", 2018): F#(u,v) = 4 − d(u) − d(v) + 3·t(u,v)
+    * — the network-geometry read of an edge's role. Strongly negative
+    * curvature marks BRIDGES between dense regions (high degrees, no
+    * shared triangles — where Girvan–Newman betweenness points, at a
+    * tiny fraction of the cost); non-negative curvature marks edges
+    * inside well-knit neighborhoods. The cheap combinatorial sibling
+    * of Ollivier–Ricci (whose per-edge optimal transport does not
+    * distribute), over pieces this module already pays for: the
+    * shared enumeration's per-edge support + two degree joins —
+    * exact BIGINT arithmetic end-to-end.
+    *
+    * @param undirectedPairs one row per undirected edge, src < dst
+    * @return (src, dst, support, curvature)
+    */
+  def formanCurvature(spark: SparkSession, undirectedPairs: DataFrame,
+                      numPartitions: Int = 32): DataFrame = {
+    val pairs = undirectedPairs.select(col("src"), col("dst"))
+    val deg = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val sup = KTruss.edgeSupport(pairs, numPartitions)
+      .select(col("a").as("src"), col("b").as("dst"), col("support"))
+    pairs
+      .join(sup, Seq("src", "dst"), "left")
+      .join(deg.select(col("id").as("src"), col("d").as("du"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("dv"))
+        .hint("shuffle_hash"), Seq("dst"))
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        (lit(4L) - col("du") - col("dv") +
+          lit(3L) * coalesce(col("support"), lit(0L))).as("curvature"))
+  }
+
   /** Incremental triangle-count delta after an ADDITIVE snapshot diff:
     * the number of NEW triangles, i.e. count(G_new) − count(G_old)
     * where G_new = G_old ∪ Δ — without re-enumerating the historic

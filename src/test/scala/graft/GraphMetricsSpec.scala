@@ -108,6 +108,33 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(kept > 30000 / 4 * 0.85 && kept < 30000 / 4 * 1.15)
   }
 
+  test("forman curvature: barbell bridge most negative, clique edges flat") {
+    // two K4s joined by a bridge 4–5
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val pairs = edges((k4a ++ k4b :+ (4L, 5L)): _*)
+    val rows = Triangles.formanCurvature(spark, pairs, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // bridge: degrees 4 and 4, no triangles → 4 − 4 − 4 + 0 = −4
+    assert(rows((4L, 5L)) == (0L, -4L))
+    // inner K4 edge (2,3): degrees 3,3, support 2 → 4 − 6 + 6 = 4
+    assert(rows((2L, 3L)) == (2L, 4L))
+    // the bridge has the strictly lowest curvature in the graph
+    val minEdge = rows.minBy(_._2._2)
+    assert(minEdge._1 == (4L, 5L))
+  }
+
+  test("forman curvature: pendant edge and triangle hand values") {
+    // triangle {1,2,3} + pendant 4 on 3
+    val rows = Triangles.formanCurvature(spark,
+        edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), numPartitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(rows((1L, 2L)) == 4L - 2L - 2L + 3L)   // support 1
+    assert(rows((1L, 3L)) == 4L - 2L - 3L + 3L)
+    assert(rows((3L, 4L)) == 4L - 3L - 1L)        // support 0
+  }
+
   test("dirichlet: path-graph hand energies, halved global sum") {
     import spark.implicits._
     val feats = Seq((1L, 0L), (2L, 4L), (3L, 4L)).toDF("id", "x")
