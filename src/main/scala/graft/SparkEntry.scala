@@ -992,6 +992,24 @@ object SparkEntry {
       Triangles.formanCurvature(s,
         GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))),
 
+    "fiedler_sql_graph" -> ((s, d) =>
+      // deflated power iteration toward the Fiedler vector, 5 fixed
+      // rounds vs the unrolled twin (6dp parity like eigen/hits)
+      algo.Fiedler.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+          parts(s, d), iters = 5)
+        .vector.select(col("id"), round(col("f"), 6).as("f"))),
+
+    "lambda2_sql_graph" -> ((s, d) => {
+      // algebraic connectivity: the Rayleigh quotient of the round-5
+      // iterate (an upper bound on the true λ2 — the per-round
+      // convergence is in FiedlerSpec, the twin proves engine parity)
+      val r = algo.Fiedler.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        parts(s, d), iters = 5)
+      import s.implicits._
+      Seq((r.lambda2, r.c)).toDF("l", "c")
+        .select(round(col("l"), 6).as("lambda2"), col("c"))
+    }),
+
     "sssp_weighted_sql_graph" -> ((s, d) => {
       // Bellman-Ford weighted distances to landmarks {1,2,3} with the
       // deterministic symmetric weight 1 + (src+dst) % 3
@@ -3676,6 +3694,50 @@ object SparkEntry {
     s"WITH RECURSIVE $shared$perRate\n       $unioned"
   }
 
+  /** Fiedler twin: the deflated power iteration unrolled with the
+    * engine's exact op order — center (sum/n), normalize (√Σx²),
+    * one neighbor sum, (c − d)·x + s. Shared by the vector and λ₂
+    * finishers.
+    */
+  private def fiedlerChainSql(iters: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""$sqlGraphCte,
+       deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+       nn AS (SELECT count(*) AS n, CAST(2 * max(d) AS DOUBLE) AS c FROM deg),
+       x0 AS (SELECT id, d, CAST(id % 16 + 1 AS DOUBLE) AS x FROM deg)""")
+    for (k <- 1 to iters + 1) {
+      val p = k - 1
+      b.append(s""",
+       m$k AS (SELECT sum(x) / (SELECT n FROM nn) AS mu FROM x$p),
+       ce$k AS (SELECT id, d, x - (SELECT mu FROM m$k) AS x FROM x$p),
+       nr$k AS (SELECT sqrt(sum(x * x)) AS nrm FROM ce$k),
+       y$k AS (SELECT id, d, x / (SELECT nrm FROM nr$k) AS x FROM ce$k)""")
+      if (k <= iters) b.append(s""",
+       s$k AS (SELECT sy.dst AS id, sum(y.x) AS s
+               FROM sym sy JOIN y$k y ON sy.src = y.id GROUP BY sy.dst),
+       x$k AS (SELECT g.id, g.d,
+           ((SELECT c FROM nn) - g.d) * g.x + coalesce(s.s, 0.0) AS x
+         FROM y$k g LEFT JOIN s$k s ON s.id = g.id)""")
+    }
+    b.toString
+  }
+
+  private def fiedlerSqlOracle(iters: Int): String =
+    s"""WITH ${fiedlerChainSql(iters)}
+       SELECT id, round(x, 6) AS f FROM y${iters + 1}"""
+      .replace(" AS (", " AS MATERIALIZED (")
+
+  private def lambda2SqlOracle(iters: Int): String =
+    s"""WITH ${fiedlerChainSql(iters)},
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM sym WHERE src <> dst)
+       SELECT round(sum((a.x - b.x) * (a.x - b.x)), 6) AS lambda2,
+         CAST((SELECT 2 * max(d) FROM deg) AS BIGINT) AS c
+       FROM und JOIN y${iters + 1} a ON a.id = und.u
+       JOIN y${iters + 1} b ON b.id = und.v"""
+      .replace(" AS (", " AS MATERIALIZED (")
+
   /** Forman-curvature twin: wedge-join triangles → per-edge support,
     * degrees, and the closed form 4 − du − dv + 3·t.
     */
@@ -5971,6 +6033,8 @@ object SparkEntry {
     "clustering_sql_graph" -> clusteringSqlOracle,
     "ego_features_sql_graph" -> egoFeaturesSqlOracle,
     "forman_sql_graph" -> formanSqlOracle,
+    "fiedler_sql_graph" -> fiedlerSqlOracle(5),
+    "lambda2_sql_graph" -> lambda2SqlOracle(5),
     "percolation_sql_graph" ->
       percolationSqlOracle(Seq((1L, 5L), (1L, 2L), (9L, 10L)), salt = 7L),
     "dirichlet_sql_graph" -> dirichletSqlOracle,
