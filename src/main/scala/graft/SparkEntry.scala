@@ -466,6 +466,17 @@ object SparkEntry {
       streaming.StreamingOps.streamingDegrees(s, dir, s"sdeg_${dirTag(d)}")
     }),
 
+    "stream_inc_cc_sql_graph" -> ((s, d) => {
+      // continuous ingestion + incremental CC maintenance: one
+      // micro-batch per file, each folded into the running labeling;
+      // incremental ≡ fresh on any split, so the oracle is the plain
+      // batch closure
+      val dir = s"/tmp/graft_stream_cc_${dirTag(d)}"
+      sqlGraphEdges(s).repartition(4).write.mode("overwrite").parquet(dir)
+      streaming.StreamingOps.streamingIncrementalCC(
+        s, dir, s"scc_${dirTag(d)}", parts(s, d))
+    }),
+
     "sessionize" -> ((s, d) => {
       // gap-based sessionization (30-min inactivity): lag + running sum,
       // the batch twin of Structured Streaming's session_window
@@ -6021,6 +6032,7 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
            SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
          GROUP BY id""",
+    "stream_inc_cc_sql_graph" -> ccSqlOracle,
     "hits_sql_graph" -> hitsSqlOracle(5),
     "pr_warm_sql_graph" -> prSqlOracle(5, warm = true),
     "backbone_sql_graph" -> backboneSqlOracle,
