@@ -1003,6 +1003,14 @@ object SparkEntry {
       Triangles.formanCurvature(s,
         GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))),
 
+    "oddball_scores" -> ((s, d) =>
+      // OddBall anomaly finish: power-law fit + residual score —
+      // transcendental (log/exp) surface, spec-verified; rows-only here
+      Triangles.oddballScores(s,
+          GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))
+        .select(col("id"), col("nbrs"), col("ego_edges"),
+          round(col("score"), 6).as("score"))),
+
     "fiedler_sql_graph" -> ((s, d) =>
       // deflated power iteration toward the Fiedler vector, 5 fixed
       // rounds vs the unrolled twin (6dp parity like eigen/hits)

@@ -237,6 +237,52 @@ object Triangles {
         lit(2.0) * col("ego_edges") / ((col("nbrs") + 1) * col("nbrs")))
   }
 
+  /** OddBall anomaly scores — the power-law-residual finish over
+    * [[egoNetFeatures]]: fit log E = α·log N + β by least squares
+    * over all vertices with N ≥ 2 (the paper's EDPL law; N = 1 egos
+    * have E = 1 identically and would drag the fit), then score each
+    * vertex by its out-of-pattern factor
+    * score = max(E, Ê)/min(E, Ê) · |log E − log Ê| (Akoglu et al.
+    * 2010 eq. 3) — near-cliques and near-stars both surface because
+    * the deviation is measured from the GRAPH'S OWN fitted law, not
+    * an absolute threshold.
+    *
+    * The fit is five driver-side moments from ONE
+    * map-side-combinable aggregate; the score pass is a stateless
+    * map with the two fitted constants inlined as literals. Log
+    * residuals are transcendental, so this surface is spec-verified
+    * rather than oracle-hashed (the PMI ln lesson: libm last-ulp
+    * drift across engines).
+    *
+    * @return (id, nbrs, ego_edges, score) — score 0 for N < 2
+    */
+  def oddballScores(spark: SparkSession, undirectedPairs: DataFrame,
+                    numPartitions: Int = 32): DataFrame = {
+    val f = egoNetFeatures(spark, undirectedPairs, numPartitions)
+      .select(col("id"), col("nbrs"), col("ego_edges"))
+      .localCheckpoint(true)
+    val fitRows = f.filter(col("nbrs") >= 2)
+      .select(log(col("nbrs").cast("double")).as("x"),
+        log(col("ego_edges").cast("double")).as("y"))
+    val m = fitRows.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy")).first()
+    val (n, sx, sy, sxx, sxy) =
+      (m.getLong(0).toDouble, m.getDouble(1), m.getDouble(2),
+        m.getDouble(3), m.getDouble(4))
+    require(n >= 2 && n * sxx - sx * sx != 0,
+      "OddBall fit needs >= 2 distinct ego sizes")
+    val alpha = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val beta = (sy - alpha * sx) / n
+
+    val eHat = exp(lit(beta) + lit(alpha) * log(col("nbrs").cast("double")))
+    f.withColumn("score",
+      when(col("nbrs") < 2, lit(0.0))
+        .otherwise(
+          (greatest(col("ego_edges"), eHat) / least(col("ego_edges"), eHat)) *
+            abs(log(col("ego_edges").cast("double")) - log(eHat))))
+  }
+
   /** Augmented Forman–Ricci curvature per edge (Samal et al., "Com-
     * parative analysis of two discretizations of Ricci curvature for
     * complex networks", 2018): F#(u,v) = 4 − d(u) − d(v) + 3·t(u,v)

@@ -108,6 +108,37 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(kept > 30000 / 4 * 0.85 && kept < 30000 / 4 * 1.15)
   }
 
+  private def cliqueEdges(base: Long, k: Int): Seq[(Long, Long)] =
+    for (i <- 0 until k; j <- i + 1 until k)
+      yield (base + i, base + j)
+
+  test("oddball: a planted star center tops the anomaly ranking") {
+    // triangle-rich background: 8 disjoint K4s + 8 K5s (clique law
+    // E = C(N+1,2) ≈ N²/2); planted near-star hub breaks it hard
+    val bg = (0L until 8L).flatMap(i => cliqueEdges(10 * i, 4)) ++
+      (0L until 8L).flatMap(i => cliqueEdges(100 + 10 * i, 5))
+    val star = (901L to 912L).map(l => (900L, l))
+    val rows = Triangles.oddballScores(spark, edges((bg ++ star): _*),
+        numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val top = rows.maxBy(_._2)._1
+    assert(top == 900L, s"star hub must rank first: top=$top, " +
+      s"hub=${rows(900L)}, max-other=${(rows - 900L).values.max}")
+    assert(rows(900L) > 10 * (rows - 900L).values.max)
+    // degree-1 leaves score exactly 0 (excluded from the pattern)
+    assert((901L to 912L).forall(rows(_) == 0.0))
+  }
+
+  test("oddball: pure clique mixture fits its own law, no false positives") {
+    // K4 and K5 corners are two exact points of E = C(N+1,2): the
+    // two-point fit passes through both, residuals vanish
+    val bg = (0L until 8L).flatMap(i => cliqueEdges(10 * i, 4)) ++
+      (0L until 8L).flatMap(i => cliqueEdges(100 + 10 * i, 5))
+    val rows = Triangles.oddballScores(spark, edges(bg: _*), numPartitions = 2)
+      .collect().map(r => r.getDouble(3))
+    assert(rows.forall(_ < 1e-9))
+  }
+
   test("forman curvature: barbell bridge most negative, clique edges flat") {
     // two K4s joined by a bridge 4–5
     val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
