@@ -1003,6 +1003,14 @@ object SparkEntry {
       Triangles.formanCurvature(s,
         GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))),
 
+    "clustering_spectrum_sql_graph" -> ((s, d) =>
+      // c(k) hierarchical-structure curve: exact class-grain sums,
+      // both divisions once per degree class
+      Triangles.clusteringSpectrum(s,
+          GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))
+        .select(col("degree"), col("n"), col("sum_triangles"),
+          round(col("ck"), 6).as("ck"))),
+
     "oddball_scores" -> ((s, d) =>
       // OddBall anomaly finish: power-law fit + residual score —
       // transcendental (log/exp) surface, spec-verified; rows-only here
@@ -3713,6 +3721,29 @@ object SparkEntry {
     s"WITH RECURSIVE $shared$perRate\n       $unioned"
   }
 
+  /** Clustering-spectrum twin: the clustering twin's wedge machinery
+    * aggregated at degree grain with the constant-k factored form.
+    */
+  private val clusteringSpectrumSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM und e1 JOIN und e2 ON e1.v = e2.u
+             JOIN und e3 ON e2.v = e3.v AND e1.u = e3.u),
+       deg AS (SELECT id, count(*) AS degree FROM (
+                 SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+               GROUP BY id),
+       tv AS (SELECT id, count(*) AS triangles FROM (
+                SELECT a AS id FROM t UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t)
+              GROUP BY id)
+       SELECT d.degree, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(coalesce(tv.triangles, 0)) AS BIGINT) AS sum_triangles,
+         round(2.0 * sum(coalesce(tv.triangles, 0))
+           / (count(*) * d.degree * (d.degree - 1)), 6) AS ck
+       FROM deg d LEFT JOIN tv ON tv.id = d.id
+       WHERE d.degree >= 2 GROUP BY d.degree"""
+
   /** Fiedler twin: the deflated power iteration unrolled with the
     * engine's exact op order — center (sum/n), normalize (√Σx²),
     * one neighbor sum, (c − d)·x + s. Shared by the vector and λ₂
@@ -6053,6 +6084,7 @@ object SparkEntry {
     "clustering_sql_graph" -> clusteringSqlOracle,
     "ego_features_sql_graph" -> egoFeaturesSqlOracle,
     "forman_sql_graph" -> formanSqlOracle,
+    "clustering_spectrum_sql_graph" -> clusteringSpectrumSqlOracle,
     "fiedler_sql_graph" -> fiedlerSqlOracle(5),
     "lambda2_sql_graph" -> lambda2SqlOracle(5),
     "percolation_sql_graph" ->

@@ -237,6 +237,31 @@ object Triangles {
         lit(2.0) * col("ego_edges") / ((col("nbrs") + 1) * col("nbrs")))
   }
 
+  /** Clustering spectrum c(k): mean local clustering coefficient per
+    * degree class — the hierarchical-structure read (Ravasz–Barabási:
+    * c(k) ~ k⁻¹ signals hierarchical modularity, flat c(k) a
+    * homogeneous graph). Constant-k factoring keeps the aggregation
+    * exact (the knn(k) discipline): per class one exact BIGINT
+    * triangle sum, both divisions applied once at class grain —
+    * c(k) = 2·ΣT / (n_k·k·(k−1)). Output O(√m) rows.
+    *
+    * @return (degree, n, sum_triangles, ck), degree ≥ 2 classes only
+    */
+  def clusteringSpectrum(spark: SparkSession, undirectedPairs: DataFrame,
+                         numPartitions: Int = 32): DataFrame = {
+    val pairs = undirectedPairs.select(col("src"), col("dst"))
+    val deg = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(perVertex(spark, pairs, numPartitions), Seq("id"), "left")
+      .select(col("degree"), coalesce(col("triangles"), lit(0L)).as("t"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("sum_triangles"))
+      .withColumn("ck",
+        lit(2.0) * col("sum_triangles") /
+          (col("n") * col("degree") * (col("degree") - 1)))
+  }
+
   /** OddBall anomaly scores — the power-law-residual finish over
     * [[egoNetFeatures]]: fit log E = α·log N + β by least squares
     * over all vertices with N ≥ 2 (the paper's EDPL law; N = 1 egos

@@ -108,6 +108,20 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(kept > 30000 / 4 * 0.85 && kept < 30000 / 4 * 1.15)
   }
 
+  test("clustering spectrum: K4 + pendant degree classes by hand") {
+    val pairs = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val rows = Triangles.clusteringSpectrum(spark, pairs, numPartitions = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // degree-4 class: only vertex 1 (3 triangles): c = 6/12
+    assert(rows(4L) == (1L, 3L, 0.5))
+    // degree-3 class: the other K4 corners, perfectly clustered
+    assert(rows(3L) == (3L, 9L, 1.0))
+    // degree-1 pendant excluded
+    assert(!rows.contains(1L) && rows.size == 2)
+  }
+
   private def cliqueEdges(base: Long, k: Int): Seq[(Long, Long)] =
     for (i <- 0 until k; j <- i + 1 until k)
       yield (base + i, base + j)
