@@ -1667,6 +1667,19 @@ object SparkEntry {
         s.read.parquet(t(d, "documents")), s.read.parquet(t(d, "embeddings")),
         Seq("spark", "window", "hash"), queryVecId = 0L, k = 10, kSource = 20)),
 
+    // ── MMR diversification of a retrieved candidate page ──
+    "api_mmr_rerank" -> ((s, d) => {
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val qv = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      val cand = emb.filter(pmod(col("vec_id"), lit(7L)) === 1)
+        .crossJoin(qv)
+        .select(col("vec_id").as("id"),
+          graft.functions.cosine_sim(col("embedding"), col("qv")).as("rel"),
+          col("embedding"))
+      api.HybridSearch.mmrRerank(s, cand, k = 8)
+    }),
+
     // ── corpus profiling ──
     "stats_vocab_topk" -> ((s, d) =>
       text.CorpusStats.vocabTopK(s.read.parquet(t(d, "documents")), k = 50)),
@@ -3719,6 +3732,51 @@ object SparkEntry {
     val unioned = rates.indices
       .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
     s"WITH RECURSIVE $shared$perRate\n       $unioned"
+  }
+
+  /** MMR twin: the greedy selection unrolled k steps — integerized
+    * 5dp relevance/sims (the proven cosine-parity grain), each step a
+    * correlated max over the selected-so-far set, ties to min id.
+    * The selection itself compares only BIGINTs, so the greedy replays
+    * exactly.
+    */
+  private def mmrSqlOracle(k: Int, num: Long, den: Long): String = {
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(range(1, len($a.embedding)+1),
+            i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)) /
+          (sqrt(list_sum(list_transform($a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+           sqrt(list_sum(list_transform($b.embedding, x -> x::DOUBLE * x::DOUBLE)))))"""
+    val b = new StringBuilder
+    b.append(
+      s"""WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         cand AS (
+           SELECT e.vec_id AS id,
+             CAST(round(${cos("e", "q")} * 100000) AS BIGINT) AS reli,
+             e.embedding
+           FROM embeddings e, qv q WHERE e.vec_id % 7 = 1),
+         sims AS (
+           SELECT a.id AS ai, b.id AS bi,
+             CAST(round(${cos("a", "b")} * 100000) AS BIGINT) AS si
+           FROM cand a JOIN cand b ON a.id <> b.id),
+         s1 AS (SELECT id, $num * reli AS score FROM cand
+                ORDER BY score DESC, id LIMIT 1)""")
+    for (i <- 2 to k) {
+      val selMembers = (1 until i).map(j => s"SELECT id FROM s$j")
+        .mkString(" UNION ALL ")
+      b.append(s""",
+         sel${i - 1} AS ($selMembers),
+         s$i AS (
+           SELECT c.id, $num * c.reli - ${den - num} *
+               (SELECT max(s.si) FROM sims s
+                JOIN sel${i - 1} p ON s.ai = c.id AND s.bi = p.id) AS score
+           FROM cand c WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+           ORDER BY score DESC, id LIMIT 1)""")
+    }
+    val fin = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, id, score AS mmr_score FROM s$i")
+      .mkString(" UNION ALL ")
+    b.append(s"\n         $fin")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
   }
 
   /** Clustering-spectrum twin: the clustering twin's wedge machinery
@@ -6085,6 +6143,7 @@ object SparkEntry {
     "ego_features_sql_graph" -> egoFeaturesSqlOracle,
     "forman_sql_graph" -> formanSqlOracle,
     "clustering_spectrum_sql_graph" -> clusteringSpectrumSqlOracle,
+    "api_mmr_rerank" -> mmrSqlOracle(8, 7L, 10L),
     "fiedler_sql_graph" -> fiedlerSqlOracle(5),
     "lambda2_sql_graph" -> lambda2SqlOracle(5),
     "percolation_sql_graph" ->

@@ -54,4 +54,68 @@ object HybridSearch {
           .as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(k)
   }
+
+  /** MMR diversification (Maximal Marginal Relevance, Carbonell–
+    * Goldstein 1998) of a retrieved candidate page: greedily pick
+    *   argmax_c  num·rel(c) − (den − num)·max_{s ∈ selected} sim(c, s)
+    * so near-duplicate hits stop crowding the top of the answer. ALL
+    * arithmetic is exact BIGINT: relevance and pairwise cosines are
+    * integerized at 5 decimal places (the proven cosine-parity grain)
+    * before the greedy loop, λ is the rational num/den, and ties break
+    * on the smaller id — bit-reproducible and engine-replayable, no fp
+    * comparison anywhere in the selection.
+    *
+    * Scale contract: this reranks a retrieved PAGE (≤ `maxCandidates`
+    * rows), not a corpus — candidate generation is the distributed
+    * part (bruteForceTopK / IVF / BM25 / RRF upstream). Pairwise sims
+    * are computed distributed (one broadcast self-join of the candidate
+    * frame through the codegen'd cosine kernel); the greedy loop runs
+    * on the collected integer tables, O(k·m).
+    *
+    * @param candidates (id, rel DOUBLE, embedding) — rel in [-1, 1]
+    *                   (a cosine or any score on that scale)
+    * @return (rank, id, mmr_score) — mmr_score in the den-scaled
+    *         5dp integer units of the selection
+    */
+  def mmrRerank(spark: org.apache.spark.sql.SparkSession,
+                candidates: DataFrame, k: Int,
+                lambdaNum: Long = 7, lambdaDen: Long = 10,
+                maxCandidates: Int = 2048): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be a fraction in [0,1], got $lambdaNum/$lambdaDen")
+    val cand = candidates
+      .select(col("id"),
+        round(col("rel") * 100000).cast("long").as("reli"), col("embedding"))
+      .localCheckpoint(true)
+    val rels = cand.select(col("id"), col("reli"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(rels.size <= maxCandidates,
+      s"${rels.size} candidates exceed maxCandidates=$maxCandidates — " +
+        "mmrRerank is a page reranker; narrow upstream")
+    val sims = cand.as("a")
+      .join(broadcast(cand.as("b")), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ai"), col("b.id").as("bi"),
+        round(cosine_sim(col("a.embedding"), col("b.embedding")) * 100000)
+          .cast("long").as("si"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val remaining = scala.collection.mutable.Set(rels.keySet.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { c =>
+        val penalty =
+          if (selected.isEmpty) 0L
+          else selected.map { case (s, _) => sims((c, s)) }.max
+        c -> (lambdaNum * rels(c) - (lambdaDen - lambdaNum) * penalty)
+      }
+      val (win, score) = scored.minBy { case (id, sc) => (-sc, id) }
+      selected += ((win, score))
+      remaining -= win
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, sc), i) => (i + 1L, id, sc) }.toSeq
+      .toDF("rank", "id", "mmr_score")
+  }
 }
