@@ -1667,6 +1667,12 @@ object SparkEntry {
         s.read.parquet(t(d, "documents")), s.read.parquet(t(d, "embeddings")),
         Seq("spark", "window", "hash"), queryVecId = 0L, k = 10, kSource = 20)),
 
+    "cur_temperature_mix" -> ((s, d) =>
+      // α=1/2 temperature smoothing: per-language resample multipliers
+      Curation.temperatureWeights(s.read.parquet(t(d, "documents")))
+        .select(col("lang"), col("n"), round(col("p"), 6).as("p"),
+          round(col("q"), 6).as("q"), round(col("weight"), 6).as("weight"))),
+
     // ── MMR diversification of a retrieved candidate page ──
     "api_mmr_rerank" -> ((s, d) => {
       val emb = s.read.parquet(t(d, "embeddings"))
@@ -3733,6 +3739,19 @@ object SparkEntry {
       .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
     s"WITH RECURSIVE $shared$perRate\n       $unioned"
   }
+
+  /** Temperature-mix twin: the same √-only arithmetic (correctly
+    * rounded IEEE both engines), identical op order.
+    */
+  private val temperatureMixSqlOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       t AS (SELECT sum(n) AS ntot FROM c),
+       w AS (SELECT lang, c.n, c.n / t.ntot AS p, sqrt(c.n / t.ntot) AS s
+             FROM c, t),
+       z AS (SELECT sum(s) AS zz FROM w)
+       SELECT lang, CAST(n AS BIGINT) AS n, round(p, 6) AS p,
+         round(s / zz, 6) AS q, round(s / zz / p, 6) AS weight
+       FROM w, z"""
 
   /** MMR twin: the greedy selection unrolled k steps — integerized
     * 5dp relevance/sims (the proven cosine-parity grain), each step a
@@ -6144,6 +6163,7 @@ object SparkEntry {
     "forman_sql_graph" -> formanSqlOracle,
     "clustering_spectrum_sql_graph" -> clusteringSpectrumSqlOracle,
     "api_mmr_rerank" -> mmrSqlOracle(8, 7L, 10L),
+    "cur_temperature_mix" -> temperatureMixSqlOracle,
     "fiedler_sql_graph" -> fiedlerSqlOracle(5),
     "lambda2_sql_graph" -> lambda2SqlOracle(5),
     "percolation_sql_graph" ->

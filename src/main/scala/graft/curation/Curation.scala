@@ -121,6 +121,35 @@ object Curation {
           .otherwise(col("n_repeated").cast("double") / col("n_windows")))
   }
 
+  /** ── Temperature-scaled mixture weights (α = 1/2) ─────────────────
+    * The classic multilingual/domain smoothing (mBERT/XLM-R sampling;
+    * the fixed-α end of DoReMi-style reweighting): resample stratum d
+    * from its natural share p_d toward q_d ∝ p_d^α, boosting tails
+    * without flattening heads. α is PINNED at 1/2 so every transform
+    * is a cross-engine-exact IEEE op (√ is correctly rounded; pow is
+    * not) — the same discipline that keeps ln out of the PMI oracle.
+    *
+    * Returns stratum-grain rows; `weight` = q_d/p_d is exactly the
+    * per-stratum multiplier [[resampleMixture]] consumes, so
+    * `resampleMixture(docs, weights)` with these values retargets the
+    * corpus to the smoothed mix at (in expectation) unchanged size.
+    * One stratum-grain count + two one-row aggregates; the Σ√p sum
+    * spans |strata| terms, far under any fp-order concern at 6dp.
+    */
+  def temperatureWeights(docs: DataFrame,
+                         stratumCol: String = "lang"): DataFrame = {
+    val cnt = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("ntot"))
+    val wp = cnt.crossJoin(broadcast(tot))
+      .withColumn("p", col("n") / col("ntot"))
+      .withColumn("s", sqrt(col("p")))
+    val z = wp.agg(sum(col("s")).as("Z"))
+    wp.crossJoin(broadcast(z))
+      .select(col(stratumCol), col("n"), col("p"),
+        (col("s") / col("Z")).as("q"))
+      .withColumn("weight", col("q") / col("p"))
+  }
+
   /** ── Sequence packing ─────────────────────────────────────────────
     * Assigns each document (in doc_id order) a pack id so concatenated
     * packs hold ~`budget` tokens: pack_id = ⌊prefix_tokens / budget⌋

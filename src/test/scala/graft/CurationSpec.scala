@@ -102,6 +102,32 @@ class CurationSpec extends AnyFunSuite {
     assert(byDoc.forall(r => r.getLong(2) == r.getLong(1) - 1))
   }
 
+  // ── temperature mixture weights ────────────────────────────────────
+
+  test("temperatureWeights: sqrt smoothing boosts tails, conserves mass") {
+    // 90/10 split: q ∝ sqrt(p) → tail boosted ~2.4x, head trimmed
+    val docs = ((1L to 90L).map(i => (i, "en")) ++ (91L to 100L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+    val w = Curation.temperatureWeights(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (sq9, sq1) = (math.sqrt(0.9), math.sqrt(0.1))
+    val z = sq9 + sq1
+    assert(math.abs(w("fr")._3 - sq1 / z) < 1e-12)
+    assert(math.abs(w("fr")._4 - (sq1 / z) / 0.1) < 1e-12)
+    assert(w("fr")._4 > 2.0 && w("en")._4 < 1.0)
+    // expected resampled size is conserved: Σ n·weight = N
+    assert(math.abs(w.values.map(v => v._1 * v._4).sum - 100.0) < 1e-9)
+  }
+
+  test("temperatureWeights: uniform mixture is a fixed point") {
+    val docs = ((1L to 50L).map(i => (i, "a")) ++ (51L to 100L).map(i => (i, "b")))
+      .toDF("doc_id", "lang")
+    val w = Curation.temperatureWeights(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(w.values.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
   // ── repeated spans (ExactSubstr) ───────────────────────────────────
 
   test("repeatedSpans flags cross-doc shared windows, not unique ones") {
