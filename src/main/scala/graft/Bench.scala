@@ -336,6 +336,9 @@ object Bench {
     // round-3 late additions #2: priority-peel / forest / embedding ops
     if (sys.env.get("GRAFT_BENCH_GRAPH3").contains("1")) {
       bench("mis")(algo.Mis.run(spark, sym, numPartitions = P).count())
+      val jp = bench[algo.Coloring.Result]("jp_coloring")(
+        algo.Coloring.run(spark, sym, numPartitions = P, maxRounds = 100))
+      extra += "jp_coloring_rounds" -> jp.rounds.toDouble
       // the documented composition: layer the SCC condensation DAG
       // (shallow — depth tracks the component hierarchy, not |V|).
       // Layering an id-ordered orientation of the raw graph instead
@@ -406,7 +409,8 @@ object Bench {
 
     // round-3 late additions #3: corpus-scale exact sketch-finishers
     if (sys.env.get("GRAFT_BENCH_CORPUS3").contains("1")) {
-      Seq("stats_heavy_hitters", "cur_exact_quantile", "cur_group_quantiles")
+      Seq("stats_heavy_hitters", "cur_exact_quantile", "cur_group_quantiles",
+          "bpe_pair_counts", "bpe_merges")
         .foreach { name =>
           bench(name)(SparkEntry.queries(name)(spark, sfDir).count())
         }

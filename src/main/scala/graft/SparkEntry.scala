@@ -629,6 +629,18 @@ object SparkEntry {
       LabelPropagation.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         parts(s, d), maxIter = 3).labels),
 
+    "jp_coloring_sql_graph" -> ((s, d) =>
+      // Jones–Plassmann mex coloring (largest-degree-first priority),
+      // 3 fixed synchronous rounds (the twin unrolls the identical
+      // priority/mex recurrence); distinct from `coloring_sql_graph`,
+      // the Luby-schedule color-by-round variant: JP's mex reuses
+      // colors, so its palette tracks the degeneracy, not the round
+      // count. Still-uncolored encodes as -1 (NULL breaks the
+      // driver's row sort when mixed with ints in one column).
+      algo.Coloring.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
+        parts(s, d), maxRounds = 3).colors
+        .select(col("id"), coalesce(col("color"), lit(-1)).as("color"))),
+
     "lpa_weighted_sql_graph" -> ((s, d) => {
       // weight-summed votes with the deterministic 1+(u+v)%3 weight
       // (symmetric in the endpoints, so both directions agree); exact
@@ -1735,6 +1747,28 @@ object SparkEntry {
         defaultWeight = 1.0, salt = 11L)
         .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
+    "bpe_pair_counts" -> ((s, d) =>
+      // the corpus-scale half of BPE tokenizer training: frequency-
+      // weighted adjacent initial-symbol pairs (chars + </w>), top 30
+      // under the deterministic (count desc, left, right) total order
+      text.BpeTrain.pairCounts(
+        text.BpeTrain.wordCounts(s.read.parquet(t(d, "documents")))
+          .select(text.BpeTrain.initialSymbols(col("word")).as("syms"),
+            col("freq")))
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(30)),
+
+    "bpe_merges" -> ((s, d) => {
+      // full merge-rule induction, 8 rounds over the vocab-scale
+      // distinct-word table (rows-only: the merge loop is gated by
+      // BpeTrainSpec's sequential-reference parity)
+      val res = text.BpeTrain.train(
+        s.read.parquet(t(d, "documents")), numMerges = 8)
+      text.BpeTrain.mergesDf(s, res.merges)
+        .select(col("rank"), col("left"), col("right"), col("merged"),
+          col("pairCount").as("pair_count"))
+    }),
+
     "text_repetition_filter" -> ((s, d) => {
       // plant boilerplate: every 19th doc repeats its body across lines,
       // every 23rd gets template bigram spam
@@ -2543,6 +2577,47 @@ object SparkEntry {
        l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(iters)},
        canon AS (SELECT label, min(id) AS community FROM l$iters GROUP BY label)
        SELECT l.id, c.community FROM l$iters l JOIN canon c ON l.label = c.label"""
+
+  /** Jones–Plassmann twin: unrolled synchronous rounds of the
+    * (deg, mix, id) priority race, list_reduce fold for the mex —
+    * matching Coloring.run's recurrence exactly (nulls = still
+    * uncolored). The triple is packed into one BIGINT,
+    * (deg·2³¹ + mix)·2²¹ + id — order-isomorphic to the lexicographic
+    * struct whenever deg < 2¹¹ and id < 2²¹, both ample for the
+    * 1500-vertex oracle graph (max deg 6) — because DuckDB 1.0
+    * internal-errors on max(ROW) combined with a FILTERed list
+    * aggregate in the same GROUP BY.
+    */
+  private def coloringSqlOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s""",
+         a$k AS (
+           SELECT s.dst AS id,
+             max(CASE WHEN l.color IS NULL THEN l.p END) AS maxp,
+             list(DISTINCT l.color) FILTER (WHERE l.color IS NOT NULL) AS used
+           FROM sym s JOIN c$p l ON s.src = l.id
+           GROUP BY s.dst),
+         c$k AS (
+           SELECT v.id, v.p,
+             CASE WHEN v.color IS NOT NULL THEN v.color
+                  WHEN a.maxp IS NULL OR v.p > a.maxp
+                  THEN list_reduce(
+                         list_prepend(0, list_sort(coalesce(a.used, []))),
+                         (acc, c) -> CASE WHEN c = acc THEN acc + 1 ELSE acc END)
+                  ELSE NULL END AS color
+           FROM c$p v LEFT JOIN a$k a ON v.id = a.id)"""
+    }.mkString
+    s"""WITH $sqlGraphCte,
+       deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY src),
+       c0 AS (SELECT id,
+                (deg * 2147483648 + (id % 2147483648) * 2654435761 % 2147483648)
+                  * 2097152 + id AS p,
+                CAST(NULL AS INTEGER) AS color
+              FROM deg)$steps
+       SELECT id, coalesce(color, -1) AS color FROM c$rounds"""
+  }
 
   /** Weighted LPA twin: votes are 1+(u+v)%3 weight SUMS instead of
     * counts — same unrolled rounds, same cnt·10000−label tie encoding
@@ -5995,6 +6070,7 @@ object SparkEntry {
     "pr_weighted_sql_graph" -> prSqlOracle(5, weighted = true),
     "cc_sql_graph" -> ccSqlOracle,
     "lpa_sql_graph" -> lpaSqlOracle(3),
+    "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,
@@ -6556,6 +6632,28 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, lang, unnest(generate_series(0, n - 1)) AS copy_idx
          FROM n WHERE n > 0""",
+
+    "bpe_pair_counts" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t <> '')) AS word
+           FROM documents),
+         wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                FROM toks GROUP BY word),
+         inner_pairs AS (
+           SELECT substr(word, i, 1) AS left_sym,
+                  substr(word, i + 1, 1) AS right_sym, freq
+           FROM wf, unnest(generate_series(1, length(word) - 1)) AS t(i)
+           WHERE length(word) >= 2),
+         end_pairs AS (
+           SELECT substr(word, length(word), 1) AS left_sym,
+                  '</w>' AS right_sym, freq
+           FROM wf),
+         allp AS (SELECT * FROM inner_pairs UNION ALL SELECT * FROM end_pairs)
+         SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM allp GROUP BY 1, 2
+         ORDER BY pair_count DESC, left_sym, right_sym
+         LIMIT 30""",
 
     "text_repetition_filter" ->
       """WITH d AS (

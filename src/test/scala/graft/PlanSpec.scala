@@ -273,6 +273,28 @@ class PlanSpec extends AnyFunSuite {
       s"gram join must stay hash-based:\n$phys")
   }
 
+  test("BPE pair counting: no window, no join — one hash-agg exchange") {
+    val syms = graft.text.BpeTrain.wordCounts(docs)
+      .select(graft.text.BpeTrain.initialSymbols(col("word")).as("syms"),
+        col("freq"))
+    val pc = graft.text.BpeTrain.pairCounts(syms)
+    val phys = pc.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"pair count must not window:\n$phys")
+    assert(!phys.contains("Join"), s"pair count must not join:\n$phys")
+    assert(logicalWindows(pc) === 0)
+  }
+
+  test("BPE segment: map-only — no exchange, no join, no window") {
+    val merges = Seq(graft.text.BpeTrain.Merge(0, "e", "s", "es", 9L),
+      graft.text.BpeTrain.Merge(1, "es", "t", "est", 9L))
+    val seg = docs.select(
+      graft.text.BpeTrain.segment(col("text"), merges).as("syms"))
+    val phys = seg.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"segment must not shuffle:\n$phys")
+    assert(!phys.contains("Join") && !phys.contains("Window"),
+      s"segment must be a pure projection:\n$phys")
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     // own temp parquet, not the shared testdata file: another suite
     // caching the same read plan would substitute an InMemoryRelation
