@@ -1747,6 +1747,13 @@ object SparkEntry {
         defaultWeight = 1.0, salt = 11L)
         .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
+    "kcenter_assign_sql" -> ((s, d) =>
+      // Gonzalez farthest-first k-center, k=4 over the embeddings:
+      // exact-BIGINT integerized distances make the greedy fully
+      // engine-replayable; result = the Voronoi assignment
+      sim.Coreset.kCenters(s.read.parquet(t(d, "embeddings")), k = 4)
+        .assignment),
+
     "bpe_pair_counts" -> ((s, d) =>
       // the corpus-scale half of BPE tokenizer training: frequency-
       // weighted adjacent initial-symbol pairs (chars + </w>), top 30
@@ -2617,6 +2624,38 @@ object SparkEntry {
                 CAST(NULL AS INTEGER) AS color
               FROM deg)$steps
        SELECT id, coalesce(color, -1) AS color FROM c$rounds"""
+  }
+
+  /** Gonzalez k-center twin: k unrolled farthest-first rounds over
+    * 5dp-integerized embeddings — every distance an exact BIGINT, the
+    * argmax total-ordered by (dist desc, id) — replaying
+    * Coreset.kCenters bit-for-bit.
+    */
+  private def kcenterSqlOracle(k: Int): String = {
+    val steps = (1 to k).map { r =>
+      val p = r - 1
+      val prev = if (r == 1) "s0" else s"u$p"
+      s""",
+         cv$p AS (SELECT c.cid, v.iv AS civ FROM c$p c JOIN v ON v.id = c.cid),
+         u$r AS (
+           SELECT s.id, s.iv,
+             CASE WHEN d.nd < s.bestd THEN d.nd ELSE s.bestd END AS bestd,
+             CASE WHEN d.nd < s.bestd THEN c.cid ELSE s.bestc END AS bestc
+           FROM $prev s
+           CROSS JOIN cv$p c
+           CROSS JOIN LATERAL (SELECT CAST(list_sum(list_transform(
+                range(1, len(s.iv)+1),
+                i -> (s.iv[i]-c.civ[i])*(s.iv[i]-c.civ[i]))) AS BIGINT) AS nd) d),
+         c$r AS (SELECT id AS cid FROM u$r ORDER BY bestd DESC, id LIMIT 1)"""
+    }.mkString
+    s"""WITH v AS (SELECT vec_id AS id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS iv
+         FROM embeddings),
+       s0 AS (SELECT id, iv, 9223372036854775807 AS bestd,
+                CAST(-1 AS BIGINT) AS bestc FROM v),
+       c0 AS (SELECT min(id) AS cid FROM v)$steps
+       SELECT id, bestc AS center_id, bestd AS dist_sq FROM u$k"""
   }
 
   /** Weighted LPA twin: votes are 1+(u+v)%3 weight SUMS instead of
@@ -6071,6 +6110,7 @@ object SparkEntry {
     "cc_sql_graph" -> ccSqlOracle,
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
+    "kcenter_assign_sql" -> kcenterSqlOracle(4),
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,
