@@ -339,6 +339,9 @@ object Bench {
       val jp = bench[algo.Coloring.Result]("jp_coloring")(
         algo.Coloring.run(spark, sym, numPartitions = P, maxRounds = 100))
       extra += "jp_coloring_rounds" -> jp.rounds.toDouble
+      bench("influence_seeds")(
+        algo.InfluenceMax.degreeDiscount(spark, sym, k = 10,
+          numPartitions = P).seeds.count())
       // the documented composition: layer the SCC condensation DAG
       // (shallow — depth tracks the component hierarchy, not |V|).
       // Layering an id-ordered orientation of the raw graph instead

@@ -641,6 +641,19 @@ object SparkEntry {
         parts(s, d), maxRounds = 3).colors
         .select(col("id"), coalesce(col("color"), lit(-1)).as("color"))),
 
+    "influence_seeds_sql_graph" -> ((s, d) => {
+      // DegreeDiscountIC, 3 picks at p=1/10: output = the final
+      // discount state (id, deg, tv, picked) + pick rank (-1 for
+      // unpicked) — verifying the UPDATE path cross-engine, not just
+      // the argmax sequence
+      val r = algo.InfluenceMax.degreeDiscount(s,
+        GraphOps.symmetrize(sqlGraphEdges(s)), k = 3,
+        numPartitions = parts(s, d))
+      r.state.join(r.seeds.select(col("id"), col("rank")), Seq("id"), "left")
+        .select(col("id"), col("deg"), col("tv"), col("picked"),
+          coalesce(col("rank"), lit(-1L)).as("rank"))
+    }),
+
     "lpa_weighted_sql_graph" -> ((s, d) => {
       // weight-summed votes with the deterministic 1+(u+v)%3 weight
       // (symmetric in the endpoints, so both directions agree); exact
@@ -2624,6 +2637,36 @@ object SparkEntry {
                 CAST(NULL AS INTEGER) AS color
               FROM deg)$steps
        SELECT id, coalesce(color, -1) AS color FROM c$rounds"""
+  }
+
+  /** DegreeDiscountIC twin: k unrolled argmax+discount rounds — the
+    * ×den integer score 10·deg − 20·tv − (deg−tv)·tv, ties → min id —
+    * finishing with the full final state + pick ranks.
+    */
+  private def influenceSqlOracle(k: Int): String = {
+    val steps = (1 to k).map { r =>
+      val p = r - 1
+      s""",
+         p$r AS (SELECT id, (10*deg - 20*tv - (deg-tv)*tv*1) AS score
+                 FROM s$p WHERE NOT picked ORDER BY score DESC, id LIMIT 1),
+         n$r AS (SELECT s.dst AS id FROM sym s JOIN p$r ON s.src = p$r.id),
+         s$r AS (SELECT s.id, s.deg,
+                   s.tv + CASE WHEN n.id IS NOT NULL THEN 1 ELSE 0 END AS tv,
+                   s.picked OR s.id IN (SELECT id FROM p$r) AS picked
+                 FROM s$p s LEFT JOIN n$r n USING (id))"""
+    }.mkString
+    val ranks = (1 to k).map { r =>
+      s"SELECT id, CAST(${r - 1} AS BIGINT) AS rank FROM p$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sqlGraphCte,
+       deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY src),
+       s0 AS (SELECT id, deg, CAST(0 AS BIGINT) AS tv, false AS picked
+              FROM deg)$steps,
+       rk AS ($ranks)
+       SELECT s.id, s.deg, s.tv, s.picked,
+              coalesce(rk.rank, -1) AS rank
+       FROM s$k s LEFT JOIN rk USING (id)"""
   }
 
   /** Gonzalez k-center twin: k unrolled farthest-first rounds over
@@ -6111,6 +6154,7 @@ object SparkEntry {
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "kcenter_assign_sql" -> kcenterSqlOracle(4),
+    "influence_seeds_sql_graph" -> influenceSqlOracle(3),
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,
