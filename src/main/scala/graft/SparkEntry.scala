@@ -641,6 +641,33 @@ object SparkEntry {
         parts(s, d), maxRounds = 3).colors
         .select(col("id"), coalesce(col("color"), lit(-1)).as("color"))),
 
+    "spearman_deg_tri_sql" -> ((s, d) => {
+      // ranking-agreement probe: Spearman rho between degree and
+      // per-vertex triangle count over the arithmetic graph — both
+      // scores exact integers, ranks at value grain, ties averaged
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val deg = sym.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val tri = Triangles.perVertex(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))
+      val j = deg.join(tri, Seq("id"), "left")
+        .select(col("deg"), coalesce(col("triangles"), lit(0L)).as("tri"))
+      graph.RankCorrelation.spearman(s, j, "deg", "tri")
+    }),
+
+    "kendall_deg_tri_sql" -> ((s, d) => {
+      // the concordance view of the same agreement question: τ-b at
+      // contingency grain (no window at all — see RankCorrelation)
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val deg = sym.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val tri = Triangles.perVertex(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)), parts(s, d))
+      val j = deg.join(tri, Seq("id"), "left")
+        .select(col("deg"), coalesce(col("triangles"), lit(0L)).as("tri"))
+      graph.RankCorrelation.kendall(s, j, "deg", "tri")
+    }),
+
     "influence_seeds_sql_graph" -> ((s, d) => {
       // DegreeDiscountIC, 3 picks at p=1/10: output = the final
       // discount state (id, deg, tv, picked) + pick rank (-1 for
@@ -2599,14 +2626,15 @@ object SparkEntry {
        SELECT l.id, c.community FROM l$iters l JOIN canon c ON l.label = c.label"""
 
   /** Jones–Plassmann twin: unrolled synchronous rounds of the
-    * (deg, mix, id) priority race, list_reduce fold for the mex —
-    * matching Coloring.run's recurrence exactly (nulls = still
-    * uncolored). The triple is packed into one BIGINT,
-    * (deg·2³¹ + mix)·2²¹ + id — order-isomorphic to the lexicographic
-    * struct whenever deg < 2¹¹ and id < 2²¹, both ample for the
-    * 1500-vertex oracle graph (max deg 6) — because DuckDB 1.0
-    * internal-errors on max(ROW) combined with a FILTERed list
-    * aggregate in the same GROUP BY.
+    * (⌊log₂ deg⌋, mix, id) priority race, list_reduce fold for the
+    * mex — matching Coloring.run's recurrence exactly (-1 = still
+    * uncolored). The bucket uses the exact bit-length idiom
+    * (length(bin(deg))−1, the degreeHistogram discipline). The triple
+    * is packed into one BIGINT, (buck·2³¹ + mix)·2²¹ + id —
+    * order-isomorphic to the lexicographic struct whenever buck < 2¹¹
+    * and id < 2²¹, both ample for the 1500-vertex oracle graph —
+    * because DuckDB 1.0 internal-errors on max(ROW) combined with a
+    * FILTERed list aggregate in the same GROUP BY.
     */
   private def coloringSqlOracle(rounds: Int): String = {
     val steps = (1 to rounds).map { k =>
@@ -2632,12 +2660,95 @@ object SparkEntry {
        deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
                FROM sym GROUP BY src),
        c0 AS (SELECT id,
-                (deg * 2147483648 + (id % 2147483648) * 2654435761 % 2147483648)
+                ((length(bin(deg)) - 1) * 2147483648
+                  + (id % 2147483648) * 2654435761 % 2147483648)
                   * 2097152 + id AS p,
                 CAST(NULL AS INTEGER) AS color
               FROM deg)$steps
        SELECT id, coalesce(color, -1) AS color FROM c$rounds"""
   }
+
+  /** Spearman twin: value-grain average ranks (2×, exact integers),
+    * HUGEINT moments, the assortativity finish (one division, two
+    * IEEE sqrts, 6dp).
+    */
+  private val spearmanSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY src),
+       p AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             FROM e),
+       tri3 AS (SELECT x.u AS a, x.v AS b, y.v AS c
+                FROM p x JOIN p y ON y.u = x.v
+                JOIN p z ON z.u = x.u AND z.v = y.v),
+       triv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+                  SELECT a AS id FROM tri3 UNION ALL SELECT b FROM tri3
+                  UNION ALL SELECT c FROM tri3) GROUP BY id),
+       j AS (SELECT d.deg, coalesce(t.tri, 0) AS tri
+             FROM deg d LEFT JOIN triv t ON t.id = d.id),
+       ga AS (SELECT deg, count(*) AS cnt FROM j GROUP BY deg),
+       ra AS (SELECT deg, 2*(sum(cnt) OVER (ORDER BY deg
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                + cnt + 1 AS ra FROM ga),
+       gb AS (SELECT tri, count(*) AS cnt FROM j GROUP BY tri),
+       rb AS (SELECT tri, 2*(sum(cnt) OVER (ORDER BY tri
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                + cnt + 1 AS rb FROM gb),
+       m AS (SELECT a.ra, b.rb
+             FROM j JOIN ra a USING (deg) JOIN rb b USING (tri)),
+       agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(ra AS HUGEINT)) AS sa,
+                 sum(CAST(ra AS HUGEINT)*ra) AS sa2,
+                 sum(CAST(rb AS HUGEINT)) AS sb,
+                 sum(CAST(rb AS HUGEINT)*rb) AS sb2,
+                 sum(CAST(ra AS HUGEINT)*rb) AS sab
+               FROM m)
+       SELECT CAST(n AS BIGINT) AS n_rows,
+         CASE WHEN n*sa2 - sa*sa = 0 OR n*sb2 - sb*sb = 0 THEN NULL
+              ELSE round(CAST(n*sab - sa*sb AS DOUBLE)
+                / (sqrt(CAST(n*sa2 - sa*sa AS DOUBLE))
+                   * sqrt(CAST(n*sb2 - sb*sb AS DOUBLE))), 6)
+         END AS rho
+       FROM agg"""
+
+  /** Kendall τ-b twin: contingency-grain concordance — strict
+    * upper-triangle cell self-join, HUGEINT tie terms from the
+    * marginals, one division + two IEEE sqrts, 6dp.
+    */
+  private val kendallSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY src),
+       p AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             FROM e),
+       tri3 AS (SELECT x.u AS a, x.v AS b, y.v AS c
+                FROM p x JOIN p y ON y.u = x.v
+                JOIN p z ON z.u = x.u AND z.v = y.v),
+       triv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+                  SELECT a AS id FROM tri3 UNION ALL SELECT b FROM tri3
+                  UNION ALL SELECT c FROM tri3) GROUP BY id),
+       j AS (SELECT d.deg, coalesce(t.tri, 0) AS tri
+             FROM deg d LEFT JOIN triv t ON t.id = d.id),
+       cells AS (SELECT deg AS a, tri AS b, CAST(count(*) AS HUGEINT) AS c
+                 FROM j GROUP BY 1, 2),
+       prs AS (SELECT
+           sum(CASE WHEN x.a < y.a AND x.b < y.b THEN x.c*y.c ELSE 0 END) AS cc,
+           sum(CASE WHEN x.a < y.a AND x.b > y.b THEN x.c*y.c ELSE 0 END) AS dd
+         FROM cells x JOIN cells y
+           ON x.a < y.a OR (x.a = y.a AND x.b < y.b)),
+       ta AS (SELECT sum(ct*(ct-1)) AS t2 FROM
+                (SELECT sum(c) AS ct FROM cells GROUP BY a)),
+       tb AS (SELECT sum(ct*(ct-1)) AS t2 FROM
+                (SELECT sum(c) AS ct FROM cells GROUP BY b)),
+       nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM j)
+       SELECT CAST(nn.n AS BIGINT) AS n_rows,
+         CASE WHEN nn.n*(nn.n-1)/2 = ta.t2/2 OR nn.n*(nn.n-1)/2 = tb.t2/2
+              THEN NULL
+              ELSE round(CAST(prs.cc - prs.dd AS DOUBLE)
+                / (sqrt(CAST(nn.n*(nn.n-1)/2 - ta.t2/2 AS DOUBLE))
+                   * sqrt(CAST(nn.n*(nn.n-1)/2 - tb.t2/2 AS DOUBLE))), 6)
+         END AS tau_b
+       FROM nn, prs, ta, tb"""
 
   /** DegreeDiscountIC twin: k unrolled argmax+discount rounds — the
     * ×den integer score 10·deg − 20·tv − (deg−tv)·tv, ties → min id —
@@ -6155,6 +6266,8 @@ object SparkEntry {
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "kcenter_assign_sql" -> kcenterSqlOracle(4),
     "influence_seeds_sql_graph" -> influenceSqlOracle(3),
+    "spearman_deg_tri_sql" -> spearmanSqlOracle,
+    "kendall_deg_tri_sql" -> kendallSqlOracle,
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,
