@@ -336,9 +336,28 @@ object Bench {
     // round-3 late additions #2: priority-peel / forest / embedding ops
     if (sys.env.get("GRAFT_BENCH_GRAPH3").contains("1")) {
       bench("mis")(algo.Mis.run(spark, sym, numPartitions = P).count())
+      // JP coloring is benched on a SYNTHETIC uniform graph, not the
+      // entity graph: co-occurrence graphs contain document-cliques,
+      // and any independent-set-per-round schedule needs ≥ ω(G)
+      // rounds on a clique (the same structural bound that keeps
+      // Mis.coloring out of this table — see BASELINE.md; a
+      // quadratic-skew synthesis re-creates the problem as a hub
+      // near-clique core). A uniform G(n, m) has ω ≈ 3, so the row
+      // measures the superstep machinery and the O(log n)-rounds
+      // claim, not the fixture's clique number.
+      val vJp = 100000L
+      def pickJp(k: Int) =
+        pmod(xxhash64(col("id"), lit(k)), lit(vJp))
+      val jpG = GraphOps.symmetrize(
+        spark.range(2000000L).select(pickJp(1).as("src"), pickJp(2).as("dst"))
+          .filter(col("src") =!= col("dst"))).localCheckpoint(true)
+      val jpM = jpG.count()
       val jp = bench[algo.Coloring.Result]("jp_coloring")(
-        algo.Coloring.run(spark, sym, numPartitions = P, maxRounds = 100))
+        algo.Coloring.run(spark, jpG, numPartitions = P, maxRounds = 200,
+          checkEvery = 4))
       extra += "jp_coloring_rounds" -> jp.rounds.toDouble
+      extra += "jp_coloring_edges" -> jpM.toDouble
+      jpG.unpersist()
       bench("influence_seeds")(
         algo.InfluenceMax.degreeDiscount(spark, sym, k = 10,
           numPartitions = P).seeds.count())

@@ -10,17 +10,23 @@ import org.apache.spark.storage.StorageLevel
   * (edge-disjoint maintenance batches, register-style slot assignment
   * for co-hosted crawl shards, parallel Gauss–Seidel orderings).
   *
-  * Priority is the lexicographic triple (degree, mix(id), id) — a
+  * Priority is the lexicographic triple (⌊log₂ deg⌋, mix(id), id) — a
   * total order (id is unique), deterministic and engine-replayable:
-  * mix is the 31-bit Knuth multiplicative hash both engines compute in
-  * exact BIGINT arithmetic. Each round, every uncolored vertex whose
-  * priority exceeds ALL its uncolored neighbors' takes the minimum
-  * color absent from its already-colored neighborhood (mex). Two
-  * adjacent vertices can never win the same round (one's priority
-  * bounds the other's), so the coloring is proper by construction;
-  * the max-priority uncolored vertex always wins, so every round
-  * colors ≥1 vertex and the expected round count is O(log n) for
-  * random mixes (Jones–Plassmann's argument).
+  * mix is the 31-bit Knuth multiplicative hash both engines compute
+  * in exact BIGINT arithmetic, and the degree enters COARSENED to its
+  * bit length. The coarsening is load-bearing for round count: under
+  * a strict (deg, …) order a power-law graph's many distinct degrees
+  * chain into deep sequential dependencies (measured: the 0.98 M-edge
+  * entity graph failed to converge in 100 rounds), while within a
+  * shared log₂ bucket the mix is random, restoring Jones–Plassmann's
+  * O(log n)-rounds argument per bucket with only O(log Δ) buckets —
+  * and hubs still color before the rim. Each round, every uncolored
+  * vertex whose priority exceeds ALL its uncolored neighbors' takes
+  * the minimum color absent from its already-colored neighborhood
+  * (mex). Two adjacent vertices can never win the same round (one's
+  * priority bounds the other's), so the coloring is proper by
+  * construction; the max-priority uncolored vertex always wins, so
+  * every round colors ≥1 vertex.
   *
   * Scale shape (the LPA/PageRank superstep budget):
   *  - one edges⨝state shuffle-hash join per round (edges partitioned
@@ -53,23 +59,45 @@ object Coloring {
 
   /** Jones–Plassmann coloring of the undirected graph.
     *
+    * Round count is NOT O(log n): JP's parallel depth is the longest
+    * strictly-decreasing priority path, ≈ e·d̄ on a uniform graph of
+    * mean degree d̄ (measured 103 rounds at d̄ = 40) and ≥ ω(G) on any
+    * graph (a clique colors one vertex per round). The loop therefore
+    * CONTRACTS the active edge set every `contractEvery` rounds —
+    * only messages INTO still-uncolored vertices matter, so edges
+    * with a colored dst are dropped (one amortized edge-scale
+    * semi-join, the CC star-contraction discipline); late rounds run
+    * over the geometrically-shrinking frontier instead of rescanning
+    * every edge ~d̄·e times.
+    *
     * @param symEdges symmetrized edges (both directions present)
     * @param vertices optional (id, …) table: isolated ids still get a
     *   color (0, round 1)
     * @param maxRounds cap; `converged=false` if vertices remain
     *   uncolored (their color is null in the output — the fixed-round
     *   form the SQL twin replays)
+    * @param contractEvery rebuild the active edge set each N rounds
+    * @param checkEvery count the uncolored frontier every N rounds:
+    *   the rounds in between run as stages of ONE job (the lazy state
+    *   checkpoints materialize together at the next count), cutting
+    *   driver round-trips N× on long schedules. State semantics are
+    *   bit-identical for any value — only convergence DETECTION is
+    *   batched, so the loop may run up to N−1 no-op rounds past the
+    *   fixed point and `rounds` reports that padded count.
     * @return (id, color) with color ∈ [0, Δ]
     */
   def run(spark: SparkSession,
           symEdges: DataFrame,
           numPartitions: Int = 32,
           maxRounds: Int = 50,
-          vertices: Option[DataFrame] = None): Result = Superstep.withoutAQE(spark) {
+          vertices: Option[DataFrame] = None,
+          contractEvery: Int = 8,
+          checkEvery: Int = 1): Result = Superstep.withoutAQE(spark) {
 
-    val e = symEdges.select(col("src"), col("dst"))
+    var e = symEdges.select(col("src"), col("dst"))
       .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = e
 
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val endpointIds = deg.select(col("id"), col("deg"))
@@ -79,8 +107,12 @@ object Coloring {
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
       .getOrElse(endpointIds)
 
+    // exact ⌊log₂ deg⌋ via bit length (floor(log2) is a cross-engine
+    // fp trap — the degreeHistogram discipline); deg 0 → bucket 0
     var state = allIds
-      .select(col("id"), col("deg"), mix(col("id")).as("mix"),
+      .select(col("id"),
+        (length(conv(col("deg"), 10, 2)) - 1).cast("long").as("buck"),
+        mix(col("id")).as("mix"),
         lit(null).cast("int").as("color"))
       .repartition(numPartitions, col("id"))
       .localCheckpoint(true)
@@ -90,31 +122,50 @@ object Coloring {
     val gc = new Superstep.CheckpointGC(spark)
     while (round < maxRounds && remaining != 0L) {
       val msgs = e
-        .join(state.select(col("id").as("src"), col("deg"), col("mix"),
+        .join(state.select(col("id").as("src"), col("buck"), col("mix"),
           col("color")).hint("shuffle_hash"), Seq("src"))
       val agg = msgs.groupBy(col("dst").as("id"))
         .agg(
           max(when(col("color").isNull,
-            struct(col("deg").as("d"), col("mix").as("m"),
+            struct(col("buck").as("d"), col("mix").as("m"),
               col("src").as("i")))).as("maxp"),
           collect_set(col("color")).as("used"))
 
       val next = state.join(agg.hint("shuffle_hash"), Seq("id"), "left")
-        .select(col("id"), col("deg"), col("mix"),
+        .select(col("id"), col("buck"), col("mix"),
           when(col("color").isNotNull, col("color"))
             .when(col("maxp").isNull ||
-                  struct(col("deg").as("d"), col("mix").as("m"),
+                  struct(col("buck").as("d"), col("mix").as("m"),
                     col("id").as("i")) > col("maxp"),
               mexOf(col("used")))
             .otherwise(lit(null).cast("int")).as("color"))
         .localCheckpoint(false) // lazy: materialized by the count below
 
-      remaining = next.filter(col("color").isNull).count()
-      gc.tick()
       state = next
       round += 1
+      if (round % checkEvery == 0 || round == maxRounds) {
+        remaining = next.filter(col("color").isNull).count()
+        gc.tick()
+      }
+
+      if (remaining != 0L && round % contractEvery == 0) {
+        // keep only messages into uncolored vertices; the contracted
+        // set shrinks with the frontier, so the amortized cost is one
+        // scan of a geometrically-decreasing table. Eager checkpoint:
+        // the join's lineage runs through state checkpoints the GC
+        // will free — truncate it before releasing the predecessor.
+        val contracted = e.join(
+            state.filter(col("color").isNull)
+              .select(col("id").as("dst")).hint("shuffle_hash"),
+            Seq("dst"), "left_semi")
+          .repartition(numPartitions, col("src"))
+          .localCheckpoint(true)
+        gc.exempt(contracted) // read by every later round, freed here
+        if (e eq e0) e0.unpersist() else Superstep.freeCheckpoint(e)
+        e = contracted
+      }
     }
-    e.unpersist()
+    if (e eq e0) e0.unpersist() else Superstep.freeCheckpoint(e)
     gc.close()
     Result(state.select(col("id"), col("color")), round, remaining == 0L)
   }

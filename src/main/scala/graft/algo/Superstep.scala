@@ -74,17 +74,29 @@ object Superstep {
     */
   final class CheckpointGC(spark: SparkSession, keep: Int = 2) {
     private val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    private val exempted = scala.collection.mutable.Set.empty[Int]
+    /** Exclude a mid-loop checkpoint from the age-ordered sweep — for
+      * frames with a DIFFERENT lifetime than the state chain (e.g. a
+      * contracted active-edge set that every later round reads). The
+      * caller owns freeing it (freeCheckpoint) when superseded.
+      */
+    def exempt(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => exempted += l.rdd.id
+        case _ => ()
+      }
     def tick(): Unit = {
       val now = spark.sparkContext.getPersistentRDDs
-      val created = (now.keySet -- preexisting).toList.sorted
+      val created = (now.keySet -- preexisting -- exempted).toList.sorted
       created.dropRight(keep).foreach(id => now.get(id).foreach(_.unpersist(false)))
     }
     /** Free everything the loop created (call on exit, after the final
-      * state has been consumed or durably saved).
+      * state has been consumed or durably saved). Exempted frames are
+      * still skipped — their owner frees them.
       */
     def close(keepLatest: Int = 1): Unit = {
       val now = spark.sparkContext.getPersistentRDDs
-      val created = (now.keySet -- preexisting).toList.sorted
+      val created = (now.keySet -- preexisting -- exempted).toList.sorted
       created.dropRight(keepLatest).foreach(id => now.get(id).foreach(_.unpersist(false)))
     }
   }

@@ -21,7 +21,9 @@ class ColoringSpec extends AnyFunSuite {
     val nbrs = (edges ++ edges.map(e => (e._2, e._1))).distinct
       .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
     val deg = ids.map(v => v -> nbrs.getOrElse(v, Set.empty).size.toLong).toMap
-    def prio(v: Long) = (deg(v), mixRef(v), v)
+    def buck(v: Long): Long =
+      java.lang.Long.toBinaryString(deg(v)).length.toLong - 1
+    def prio(v: Long) = (buck(v), mixRef(v), v)
     val color = scala.collection.mutable.Map[Long, Int]()
     val ord = implicitly[Ordering[(Long, Long, Long)]]
     while (color.size < ids.size) {
@@ -100,6 +102,16 @@ class ColoringSpec extends AnyFunSuite {
     val got = res.colors.as[(Long, Int)].collect().toMap
     assert(got(99L) === 0)
     assert(Set(got(1L), got(2L)) === Set(0, 1))
+  }
+
+  test("checkEvery batching and contraction leave colors bit-identical") {
+    val e = arithEdges.toDF("src", "dst")
+    val a = Coloring.run(spark, GraphOps.symmetrize(e), numPartitions = 4)
+      .colors.as[(Long, Int)].collect().toMap
+    val b = Coloring.run(spark, GraphOps.symmetrize(e), numPartitions = 4,
+      contractEvery = 3, checkEvery = 4)
+      .colors.as[(Long, Int)].collect().toMap
+    assert(a === b)
   }
 
   test("maxRounds cap leaves stragglers null, converged=false") {
