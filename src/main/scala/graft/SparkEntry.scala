@@ -641,6 +641,12 @@ object SparkEntry {
         parts(s, d), maxRounds = 3).colors
         .select(col("id"), coalesce(col("color"), lit(-1)).as("color"))),
 
+    "diameter_bounds_sql_graph" -> ((s, d) =>
+      // double-sweep exact diameter bounds (the complement of the
+      // Hyperball sketched effective diameter): two BFS + argmax
+      algo.ShortestPaths.diameterBounds(s,
+        GraphOps.symmetrize(sqlGraphEdges(s)), parts(s, d))),
+
     "spearman_deg_tri_sql" -> ((s, d) => {
       // ranking-agreement probe: Spearman rho between degree and
       // per-vertex triangle count over the arithmetic graph — both
@@ -2710,6 +2716,32 @@ object SparkEntry {
                    * sqrt(CAST(n*sb2 - sb*sb AS DOUBLE))), 6)
          END AS rho
        FROM agg"""
+
+  /** Double-sweep twin: BFS closure from min-id, lexicographic
+    * farthest argmax, BFS closure from there, max distance.
+    */
+  private val diameterBoundsSqlOracle: String =
+    s"""WITH RECURSIVE $sqlGraphCte,
+       s0 AS (SELECT min(src) AS v FROM sym),
+       b1(id, dist) AS (
+         SELECT v, 0 FROM s0
+         UNION
+         SELECT s.dst, b1.dist + 1 FROM b1 JOIN sym s ON s.src = b1.id
+         WHERE b1.dist < 40),
+       d1 AS (SELECT id, min(dist) AS dist FROM b1 GROUP BY id),
+       u AS (SELECT id FROM d1 ORDER BY dist DESC, id LIMIT 1),
+       b2(id, dist) AS (
+         SELECT id, 0 FROM u
+         UNION
+         SELECT s.dst, b2.dist + 1 FROM b2 JOIN sym s ON s.src = b2.id
+         WHERE b2.dist < 40),
+       d2 AS (SELECT id, min(dist) AS dist FROM b2 GROUP BY id)
+       SELECT CAST((SELECT v FROM s0) AS BIGINT) AS seed,
+              CAST((SELECT id FROM u) AS BIGINT) AS u,
+              CAST(max(dist) AS BIGINT) AS ecc_u,
+              CAST(max(dist) AS BIGINT) AS lower,
+              CAST(2*max(dist) AS BIGINT) AS upper
+       FROM d2"""
 
   /** Kendall τ-b twin: contingency-grain concordance — strict
     * upper-triangle cell self-join, HUGEINT tie terms from the
@@ -6268,6 +6300,7 @@ object SparkEntry {
     "influence_seeds_sql_graph" -> influenceSqlOracle(3),
     "spearman_deg_tri_sql" -> spearmanSqlOracle,
     "kendall_deg_tri_sql" -> kendallSqlOracle,
+    "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,

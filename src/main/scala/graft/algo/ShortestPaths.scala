@@ -432,6 +432,40 @@ object ShortestPaths {
     *
     * @return (id, landmark, dist)
     */
+
+  /** Exact diameter BOUNDS by the double-sweep heuristic (Magnien–
+    * Latapy–Habib): BFS from a deterministic seed, re-BFS from its
+    * farthest vertex u — ecc(u) lower-bounds the diameter (often
+    * tight on real graphs), 2·ecc(u) upper-bounds it. The exact
+    * complement of Hyperball's sketched effective diameter: three
+    * full-graph readouts = two BFS runs + two lexicographic argmaxes,
+    * all on the existing Pregel frontier machinery (every (edge,
+    * sweep) pays one message). Disconnected inputs: the sweeps stay
+    * inside the seed's component, so the bounds are per-component —
+    * run on the giant component (CC first) for the global claim.
+    *
+    * @param seed BFS start (default: the minimum vertex id)
+    * @return one row (seed, u, ecc_u, lower, upper): u = the farthest
+    *   vertex from the seed (ties → min id), ecc_u = eccentricity of
+    *   u, lower = ecc_u, upper = 2·ecc_u
+    */
+  def diameterBounds(spark: SparkSession,
+                     symEdges: DataFrame,
+                     numPartitions: Int = 32,
+                     seed: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s0 = seed.getOrElse(
+      symEdges.agg(min(col("src"))).head().getLong(0))
+    val d1 = run(spark, symEdges, Seq(s0), numPartitions)
+    val u = d1.orderBy(desc("dist"), asc("id")).limit(1)
+      .select("id").head().getLong(0)
+    val d2 = run(spark, symEdges, Seq(u), numPartitions)
+    val ecc = d2.agg(max(col("dist"))).head().getLong(0)
+    import spark.implicits._
+    Seq((s0, u, ecc, ecc, 2 * ecc))
+      .toDF("seed", "u", "ecc_u", "lower", "upper")
+  }
+
   def nearestLandmark(spark: SparkSession,
                       symEdges: DataFrame,
                       landmarks: Seq[Long],
