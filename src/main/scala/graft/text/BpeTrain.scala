@@ -94,6 +94,7 @@ object BpeTrain {
     var cur = wordCounts(docs, textCol)
       .select(initialSymbols(col("word")).as("syms"), col("freq"))
       .localCheckpoint(true)
+    var lastCp = cur
 
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -109,7 +110,10 @@ object BpeTrain {
         val next = cur.select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
         cur =
           if ((rank + 1) % checkpointEvery == 0) {
-            val cp = next.localCheckpoint(true); cur.unpersist(); cp
+            val cp = next.localCheckpoint(true) // eager, then free the parent
+            graft.algo.Superstep.freeCheckpoint(lastCp)
+            lastCp = cp
+            cp
           } else next
         rank += 1
       }
