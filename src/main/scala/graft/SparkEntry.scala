@@ -1800,6 +1800,19 @@ object SparkEntry {
       sim.Coreset.kCenters(s.read.parquet(t(d, "embeddings")), k = 4)
         .assignment),
 
+    "textrank_summary" -> ((s, d) =>
+      // per-doc TextRank over fixed-width pseudo-sentences, ALL docs
+      // in one superstep dataflow; integer output (doc_id, sid, pos)
+      text.TextRank.run(s.read.parquet(t(d, "documents")),
+        numPartitions = parts(s, d)).summary),
+
+    "textrank_ranks" -> ((s, d) =>
+      // the underlying 6dp-rounded ranks (rows-only: fp row-sort
+      // identity is fragile in the driver compare; the integer
+      // summary above is the oracle gate)
+      text.TextRank.run(s.read.parquet(t(d, "documents")),
+        numPartitions = parts(s, d)).ranks),
+
     "bpe_pair_counts" -> ((s, d) =>
       // the corpus-scale half of BPE tokenizer training: frequency-
       // weighted adjacent initial-symbol pairs (chars + </w>), top 30
@@ -2716,6 +2729,63 @@ object SparkEntry {
                    * sqrt(CAST(n*sb2 - sb*sb AS DOUBLE))), 6)
          END AS rho
        FROM agg"""
+
+  /** TextRank twin: fixed-width pseudo-sentences, shared-token edge
+    * weights, 5 unrolled per-doc weighted-PageRank rounds (the
+    * prSqlOracle arithmetic shape at (doc_id, sid) grain), 6dp-round
+    * then per-doc row_number. Every reused CTE is MATERIALIZED —
+    * DuckDB inlines CTEs, and the 3-references-per-round recurrence
+    * re-evaluates exponentially otherwise (the Louvain-twin lesson).
+    */
+  private def textrankSqlOracle(iters: Int, width: Int, topK: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+       d$k AS MATERIALIZED (
+         SELECT doc_id, sum(CASE WHEN outw = 0 THEN rank ELSE 0.0 END) AS dang
+         FROM r$p GROUP BY doc_id),
+       c$k AS MATERIALIZED (
+         SELECT e.doc_id, e.dst AS sid, sum(e.w * r.rank / r.outw) AS contrib
+         FROM ed e JOIN r$p r ON r.doc_id = e.doc_id AND r.sid = e.src
+         GROUP BY e.doc_id, e.dst),
+       r$k AS MATERIALIZED (
+         SELECT s.doc_id, s.sid, s.outw, s.n_d,
+           (1.0 - 0.85) / s.n_d + 0.85 *
+             (coalesce(c.contrib, 0.0) + d.dang / s.n_d) AS rank
+         FROM r$p s
+         LEFT JOIN c$k c ON c.doc_id = s.doc_id AND c.sid = s.sid
+         JOIN d$k d ON d.doc_id = s.doc_id)"""
+    }.mkString
+    s"""WITH tk AS MATERIALIZED (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+         FROM documents),
+       st AS MATERIALIZED (
+         SELECT DISTINCT doc_id, CAST((i - 1) // $width AS BIGINT) AS sid,
+           toks[i] AS tok
+         FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
+         WHERE toks[i] <> ''),
+       ed AS MATERIALIZED (
+         SELECT a.doc_id, a.sid AS src, b.sid AS dst,
+           CAST(count(*) AS BIGINT) AS w
+         FROM st a JOIN st b ON a.doc_id = b.doc_id AND a.tok = b.tok
+                             AND a.sid <> b.sid
+         GROUP BY 1, 2, 3),
+       verts AS MATERIALIZED (SELECT DISTINCT doc_id, sid FROM st),
+       ow AS (SELECT doc_id, src AS sid, sum(w) AS outw FROM ed GROUP BY 1, 2),
+       base AS MATERIALIZED (
+         SELECT v.doc_id, v.sid, coalesce(o.outw, 0) AS outw
+         FROM verts v LEFT JOIN ow o ON o.doc_id = v.doc_id AND o.sid = v.sid),
+       nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_d
+              FROM base GROUP BY doc_id),
+       r0 AS MATERIALIZED (
+         SELECT b.doc_id, b.sid, b.outw, n.n_d, 1.0 / n.n_d AS rank
+         FROM base b JOIN nd n ON n.doc_id = b.doc_id)$steps,
+       fin AS (SELECT doc_id, sid, round(rank, 6) AS rank FROM r$iters),
+       rk AS (SELECT doc_id, sid, row_number() OVER
+                (PARTITION BY doc_id ORDER BY rank DESC, sid) AS pos
+              FROM fin)
+       SELECT doc_id, sid, CAST(pos AS INT) AS pos FROM rk WHERE pos <= $topK"""
+  }
 
   /** Double-sweep twin: BFS closure from min-id, lexicographic
     * farthest argmax, BFS closure from there, max distance.
@@ -6301,6 +6371,7 @@ object SparkEntry {
     "spearman_deg_tri_sql" -> spearmanSqlOracle,
     "kendall_deg_tri_sql" -> kendallSqlOracle,
     "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
+    "textrank_summary" -> textrankSqlOracle(5, 8, 3),
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,
