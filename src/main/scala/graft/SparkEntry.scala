@@ -763,6 +763,13 @@ object SparkEntry {
         s.range(5).select((col("id") * 300 + 7).as("id")),
         iters = 10, numPartitions = parts(s, d))),
 
+    "resistance_sql_graph" -> ((s, d) =>
+      // effective resistance between vertices 1 and 2 (unit
+      // conductances) from the 10-sweep harmonic voltage
+      algo.HittingTime.effectiveResistance(s,
+        GraphOps.symmetrize(sqlGraphEdges(s)), a = 1L, b = 2L,
+        iters = 10, numPartitions = parts(s, d))),
+
     "clique_perc_sql_graph" -> ((s, d) =>
       // k=3 clique percolation: overlapping communities labeled by
       // their min member edge; the twin closes over the
@@ -3087,6 +3094,40 @@ object SparkEntry {
     }
     b.append(s"""
        SELECT id, round(p, 6) AS p FROM p$iters""")
+    b.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** Effective-resistance twin: the absorb recurrence with singleton
+    * poles {1} and {2}, then I = Σ_{u∼1}(1 − p(u)) on the 6dp-rounded
+    * voltage and R = 1/I, both rounded 6dp.
+    */
+  private def resistanceSqlOracle(iters: Int): String = {
+    val b = new StringBuilder
+    b.append(
+      s"""WITH $sqlGraphCte,
+         dg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+         vt AS (SELECT id, deg, id = 1 AS isa, id = 2 AS isb FROM dg),
+         p0 AS (SELECT id, CASE WHEN isa THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS p
+                FROM vt)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      b.append(s""",
+         s$i AS (SELECT sym.dst AS id, sum(h.p) AS np
+           FROM p$p h JOIN sym ON sym.src = h.id GROUP BY 1),
+         p$i AS (SELECT v.id,
+             CASE WHEN v.isa THEN 1.0::DOUBLE
+                  WHEN v.isb THEN 0.0::DOUBLE
+                  ELSE coalesce(s.np, 0.0) / v.deg END AS p
+           FROM vt v LEFT JOIN s$i s ON s.id = v.id)""")
+    }
+    b.append(s""",
+       pf AS (SELECT id, round(p, 6) AS p FROM p$iters),
+       cur AS (SELECT sum(1.0 - pf.p) AS i
+               FROM (SELECT DISTINCT dst FROM sym WHERE src = 1) n
+               JOIN pf ON pf.id = n.dst)
+       SELECT CAST(1 AS BIGINT) AS a, CAST(2 AS BIGINT) AS b,
+              round(i, 6) AS current, round(1.0 / i, 6) AS r_eff
+       FROM cur""")
     b.toString.replace(" AS (", " AS MATERIALIZED (")
   }
 
@@ -6372,6 +6413,7 @@ object SparkEntry {
     "kendall_deg_tri_sql" -> kendallSqlOracle,
     "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
     "textrank_summary" -> textrankSqlOracle(5, 8, 3),
+    "resistance_sql_graph" -> resistanceSqlOracle(10),
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,

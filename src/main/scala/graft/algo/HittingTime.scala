@@ -144,4 +144,39 @@ object HittingTime {
     Seq(e, verts).foreach(Superstep.freeCheckpoint)
     out
   }
+
+  /** Effective resistance between two vertices with unit edge
+    * conductances — the commute-distance / spanning-tree-sensitivity
+    * metric behind spectral sparsification and robust-link scoring:
+    * R_eff(a,b) = 1/I where I is the current out of `a` when `a` is
+    * held at 1 V and `b` grounded, and the voltage is exactly the
+    * [[absorption]] harmonic function with A = {a}, B = {b}. One
+    * skinny neighbor join + a 1-row aggregate on top of the existing
+    * clamped Jacobi solve; the sweeps converge to the voltage from
+    * below, so the returned value is a monotone lower bound on R_eff
+    * that tightens with `iters` (exact on short-diameter fixtures
+    * well before the default).
+    *
+    * @return one row (a, b, current, r_eff), both doubles rounded 6dp
+    */
+  def effectiveResistance(spark: SparkSession,
+                          symEdges: DataFrame,
+                          a: Long, b: Long,
+                          iters: Int = 30,
+                          numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val p = absorption(spark, symEdges,
+      spark.range(1).select(lit(a).as("id")),
+      spark.range(1).select(lit(b).as("id")),
+      iters, numPartitions)
+    val i = symEdges.filter(col("src") === a)
+      .select(col("dst").as("id")).distinct()
+      .join(p, Seq("id"))
+      .agg(sum(lit(1.0) - col("p")).as("i")).head().getDouble(0)
+    // round via the SQL function (HALF_UP, engine-shared) — not
+    // math.rint, whose half-even ties diverge from DuckDB's round
+    Seq((a, b, i)).toDF("a", "b", "i_raw")
+      .select(col("a"), col("b"), round(col("i_raw"), 6).as("current"),
+        round(lit(1.0) / col("i_raw"), 6).as("r_eff"))
+  }
 }
