@@ -763,6 +763,11 @@ object SparkEntry {
         s.range(5).select((col("id") * 300 + 7).as("id")),
         iters = 10, numPartitions = parts(s, d))),
 
+    "rmat_sql" -> ((s, d) =>
+      // Graph500 R-MAT synthesis, scale 8 / 2000 edges — exact
+      // integer replay of the per-(edge, level) quadrant walk
+      graph.GraphGen.rmat(s, scale = 8, numEdges = 2000L)),
+
     "resistance_sql_graph" -> ((s, d) =>
       // effective resistance between vertices 1 and 2 (unit
       // conductances) from the 10-sweep harmonic voltage
@@ -6414,6 +6419,21 @@ object SparkEntry {
     "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
     "textrank_summary" -> textrankSqlOracle(5, 8, 3),
     "resistance_sql_graph" -> resistanceSqlOracle(10),
+    "rmat_sql" ->
+      """WITH lv AS (SELECT i AS id, l FROM range(2000) t(i), range(8) u(l)),
+         dr AS (SELECT id, l,
+           ((id*131 + l*40503 + 42) % 2147483648)
+             * 2654435761 % 2147483648 % 100 AS r
+           FROM lv),
+         bits AS (SELECT id, l,
+           CASE WHEN r < 76 THEN 0 ELSE 1 END AS sb,
+           CASE WHEN r < 57 THEN 0 WHEN r < 76 THEN 1
+                WHEN r < 95 THEN 0 ELSE 1 END AS db
+           FROM dr)
+         SELECT CAST(id AS BIGINT) AS id,
+           CAST(sum(sb * (1::BIGINT << (7 - l))) AS BIGINT) AS src,
+           CAST(sum(db * (1::BIGINT << (7 - l))) AS BIGINT) AS dst
+         FROM bits GROUP BY id""",
     "lpa_weighted_sql_graph" -> lpaWeightedSqlOracle(3),
     "transitivity_sql_graph" -> transitivitySqlOracle,
     "induced_sample_sql" -> inducedSampleSqlOracle,

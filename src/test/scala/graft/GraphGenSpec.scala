@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphGen
+
+/** R-MAT generator: sequential fold parity, skew, determinism. */
+class GraphGenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refEdge(i: Long, scale: Int, salt: Long = 42L): (Long, Long) = {
+    var s = 0L; var d = 0L
+    for (l <- 0 until scale) {
+      val r = ((i * 131 + l * 40503 + salt) % 2147483648L) *
+        2654435761L % 2147483648L % 100L
+      s = s * 2 + (if (r < 76) 0 else 1)
+      d = d * 2 + (if (r < 57) 0 else if (r < 76) 1 else if (r < 95) 0 else 1)
+    }
+    (s, d)
+  }
+
+  test("distributed == sequential bit fold") {
+    val got = GraphGen.rmat(spark, scale = 8, numEdges = 500L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    got.foreach { case (i, s, d) => assert((s, d) === refEdge(i, 8)) }
+  }
+
+  test("Graph500 parameters produce heavy skew") {
+    val e = GraphGen.rmat(spark, scale = 12, numEdges = 20000L)
+    val deg = e.select($"src".as("v")).union(e.select($"dst".as("v")))
+      .groupBy("v").count()
+    val stats = deg.agg(
+      org.apache.spark.sql.functions.max("count"),
+      org.apache.spark.sql.functions.avg("count")).head()
+    val (mx, mean) = (stats.getLong(0), stats.getDouble(1))
+    assert(mx > 5 * mean, s"expected power-law skew, max=$mx mean=$mean")
+    // self-similar concentration: far fewer occupied vertices than 2^scale
+    assert(deg.count() < (1L << 12) / 4,
+      "R-MAT should concentrate mass in a fraction of the id space")
+  }
+
+  test("ids inside 2^scale; quadrant sum validated") {
+    val e = GraphGen.rmat(spark, scale = 6, numEdges = 300L)
+    val bad = e.filter($"src" >= 64L || $"dst" >= 64L ||
+      $"src" < 0L || $"dst" < 0L).count()
+    assert(bad === 0L)
+    intercept[IllegalArgumentException] {
+      GraphGen.rmat(spark, 6, 10L, quadrants = (50L, 20L, 20L, 20L))
+    }
+  }
+}
