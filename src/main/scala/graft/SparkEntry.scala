@@ -763,6 +763,27 @@ object SparkEntry {
         s.range(5).select((col("id") * 300 + 7).as("id")),
         iters = 10, numPartitions = parts(s, d))),
 
+    "url_canonicalize" -> ((s, d) => {
+      // planted messy URLs (the PII-redact fixture pattern): mixed
+      // scheme/host case, default ports, tracking params, unsorted
+      // query, fragments, trailing slashes
+      val docs = s.read.parquet(t(d, "documents"))
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("HTTPS://WWW.Example")).otherwise(lit("http://site")),
+        pmod(col("doc_id"), lit(7L)),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit(".COM:443"))
+          .otherwise(lit(".org:80")),
+        lit("/Docs/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit("/?utm_source=feed&z=9&a=1"))
+          .when(pmod(col("doc_id"), lit(3L)) === 1,
+            lit("?b=2&a=1&gclid=xyz#frag"))
+          .otherwise(lit("/")))
+      docs.select(col("doc_id"), url.as("url"),
+        TextOps.canonicalizeUrl(url).as("canonical_url"))
+    }),
+
     "rmat_sql" -> ((s, d) =>
       // Graph500 R-MAT synthesis, scale 8 / 2000 edges — exact
       // integer replay of the per-(edge, level) quadrant walk
@@ -6419,6 +6440,40 @@ object SparkEntry {
     "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
     "textrank_summary" -> textrankSqlOracle(5, 8, 3),
     "resistance_sql_graph" -> resistanceSqlOracle(10),
+    "url_canonicalize" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example'
+                   ELSE 'http://site' END)
+             || CAST(doc_id % 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '.COM:443' ELSE '.org:80' END)
+             || '/Docs/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&z=9&a=1'
+                      WHEN doc_id % 3 = 1 THEN '?b=2&a=1&gclid=xyz#frag'
+                      ELSE '/' END) AS url
+           FROM documents),
+         nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS s FROM u),
+         hp AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+               '^(https://[^/?#:]*):443$', '\1'),
+               '^(http://[^/?#:]*):80$', '\1') AS head,
+             regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+           FROM nf),
+         pq AS (SELECT doc_id, url, head,
+             regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
+             regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query
+           FROM hp),
+         kp AS (SELECT doc_id, url, head, path,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') AS kept
+           FROM pq)
+         SELECT doc_id, url,
+           head || path ||
+             (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canonical_url
+         FROM kp""",
+
     "rmat_sql" ->
       """WITH lv AS (SELECT i AS id, l FROM range(2000) t(i), range(8) u(l)),
          dr AS (SELECT id, l,

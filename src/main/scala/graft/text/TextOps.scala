@@ -74,4 +74,29 @@ object TextOps {
       .agg(sum((col("pos") + 1) *
         (ascii(col("tok")).cast("long") * 31L + length(col("tok")).cast("long")))
         .as("fingerprint"))
+
+  /** URL canonicalization — the source-level dedup key a crawl
+    * pipeline computes before any content hash: lowercase
+    * scheme+host, strip default ports (https:443 / http:80), drop the
+    * fragment, remove tracking parameters (utm_*, gclid, fbclid),
+    * SORT the surviving query parameters, drop a trailing slash.
+    * Pure codegen'd string/array expressions (RE2-class regexes, no
+    * lookarounds), one stateless pass, engine-replayable.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase only scheme://host[:port]
+    val head = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val headNoPort = regexp_replace(
+      regexp_replace(head, "^(https://[^/?#:]*):443$", "$1"),
+      "^(http://[^/?#:]*):80$", "$1")
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid)="))), "&")
+    concat(headNoPort, path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
 }
