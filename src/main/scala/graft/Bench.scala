@@ -432,7 +432,8 @@ object Bench {
     // round-3 late additions #3: corpus-scale exact sketch-finishers
     if (sys.env.get("GRAFT_BENCH_CORPUS3").contains("1")) {
       Seq("stats_heavy_hitters", "cur_exact_quantile", "cur_group_quantiles",
-          "bpe_pair_counts", "bpe_merges")
+          "bpe_pair_counts", "bpe_merges", "textrank_summary",
+          "url_canonicalize")
         .foreach { name =>
           bench(name)(SparkEntry.queries(name)(spark, sfDir).count())
         }
