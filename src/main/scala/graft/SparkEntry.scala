@@ -763,6 +763,11 @@ object SparkEntry {
         s.range(5).select((col("id") * 300 + 7).as("id")),
         iters = 10, numPartitions = parts(s, d))),
 
+    "cur_winnowing" -> ((s, d) =>
+      // MOSS winnowing fingerprints (n=5, w=4) — exact integer
+      // selection, the density-bounded overlap index
+      Curation.winnowing(s.read.parquet(t(d, "documents")))),
+
     "url_canonicalize" -> ((s, d) => {
       // planted messy URLs (the PII-redact fixture pattern): mixed
       // scheme/host case, default ports, tracking params, unsorted
@@ -6440,6 +6445,38 @@ object SparkEntry {
     "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
     "textrank_summary" -> textrankSqlOracle(5, 8, 3),
     "resistance_sql_graph" -> resistanceSqlOracle(10),
+    "cur_winnowing" ->
+      """WITH toks0 AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t <> '') AS lf
+           FROM documents),
+         toks AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(lf[i]) + 1),
+                 j -> CAST(ascii(substr(lf[i], j, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483648) AS tv
+           FROM toks0, unnest(generate_series(1, len(lf))) t(i)),
+         g AS (
+           SELECT t.doc_id, gp.gpos, count(*) AS glen,
+             sum((t.pos - gp.gpos + 1) * t.tv) AS psum
+           FROM toks t,
+             unnest(generate_series(greatest(t.pos - 4, 0), t.pos)) gp(gpos)
+           GROUP BY 1, 2),
+         gh AS (SELECT doc_id, gpos AS pos,
+                  (psum % 2147483648) * 2654435761 % 2147483648 AS gh
+                FROM g WHERE glen = 5),
+         sel AS (SELECT doc_id,
+                   min(gh * 2097152 + pos) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+                 FROM gh)
+         SELECT DISTINCT doc_id, CAST(m % 2097152 AS BIGINT) AS pos,
+           CAST(m // 2097152 AS BIGINT) AS fp
+         FROM sel WHERE wlen = 4""",
+
     "url_canonicalize" ->
       """WITH u AS (
            SELECT doc_id,

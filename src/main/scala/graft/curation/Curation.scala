@@ -34,6 +34,69 @@ object Curation {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** ── Winnowing (MOSS) fingerprint selection ───────────────────────
+    * Schleimer–Wilkerson–Aiken (SIGMOD 2003) local fingerprinting:
+    * hash every n-token gram, then in every window of w consecutive
+    * gram hashes keep the minimum (ties → leftmost). GUARANTEE: any
+    * shared run of ≥ w+n−1 tokens between two documents shares at
+    * least one selected fingerprint — the density-bounded alternative
+    * to `repeatedSpans`' every-window table (expected density 2/(w+1)
+    * of the gram count), the standard plagiarism/overlap index shape.
+    *
+    * Gram hash = the position-weighted token polynomial pushed through
+    * the 31-bit Knuth mixer — exact integer arithmetic both engines
+    * compute (xxhash64 has no DuckDB twin); any deterministic hash
+    * preserves the guarantee. The ONLY window runs per document over
+    * gram positions with a fixed w-row frame (the per-vertex Pareto
+    * discipline — never a global sort); at 100 TB the per-doc frames
+    * parallelize across documents.
+    *
+    * @return (doc_id, pos, fp) — distinct selected fingerprints; pos =
+    *   the gram's token offset
+    */
+  def winnowing(docs: DataFrame, n: Int = 5, w: Int = 4,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // token value: base-31 char polynomial reduced mod 2³¹ at every
+    // step — overflow-safe for any token length in BOTH engines
+    // (DuckDB BIGINT errors on overflow; Spark wraps silently) and
+    // full-content entropy (first-char+length hashing tied so often
+    // the winnow density blew past 2/(w+1))
+    def tokVal(tok: Column): Column =
+      aggregate(sequence(lit(1), length(tok)), lit(0L),
+        (acc, i) => pmod(acc * 31L + ascii(tok.substr(i, lit(1))),
+          lit(2147483648L)))
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), tokVal(col("tok")).as("tv"))
+    // n rows per gram: token j of the gram starting at pos
+    val gram = toks
+      .select(col("doc_id"), col("pos"), col("tv"),
+        explode(sequence(greatest(lit(0), col("pos") - (n - 1)),
+          col("pos"))).as("gpos"))
+      .filter(col("gpos") >= 0)
+      .groupBy(col("doc_id"), col("gpos"))
+      .agg(count(lit(1)).as("glen"),
+        sum((col("pos") - col("gpos") + 1) * col("tv")).as("psum"))
+      .filter(col("glen") === n) // full grams only
+      .select(col("doc_id"), col("gpos").as("pos"),
+        pmod(pmod(col("psum"), lit(2147483648L)) * lit(2654435761L),
+          lit(2147483648L)).as("gh"))
+    // (gh, pos) packed into one BIGINT (gh < 2³¹, pos < 2²¹ — ample
+    // for any document) so the frame min is a plain long min with the
+    // leftmost-tie rule built in; engine-shared
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val key = col("gh") * lit(2097152L) + col("pos")
+    gram
+      .select(col("doc_id"),
+        min(key).over(win).as("m"),
+        count(lit(1)).over(win).as("wlen"))
+      .filter(col("wlen") === w) // full windows only
+      .select(col("doc_id"), pmod(col("m"), lit(2097152L)).as("pos"),
+        (col("m") / lit(2097152L)).cast("long").as("fp"))
+      .distinct()
+  }
+
   /** ── Decontamination ───────────────────────────────────────────────
     * Flags training documents sharing any word n-gram with a held-out
     * (benchmark/eval) set. Returns one row per training doc:
