@@ -768,6 +768,19 @@ object SparkEntry {
       // selection, the density-bounded overlap index
       Curation.winnowing(s.read.parquet(t(d, "documents")))),
 
+    "cur_winnowing_matches" -> ((s, d) => {
+      // the MOSS report over planted copies: every doc_id%13==0 doc
+      // re-enters shifted by 10⁶ with a tail marker — the pair table
+      // must recover each (original, copy) with a high shared count
+      val docs = s.read.parquet(t(d, "documents"))
+      val planted = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" copied tail marker")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Curation.winnowingMatches(Curation.winnowing(planted))
+    }),
+
     "url_canonicalize" -> ((s, d) => {
       // planted messy URLs (the PII-redact fixture pattern): mixed
       // scheme/host case, default ports, tracking params, unsorted
@@ -2850,6 +2863,42 @@ object SparkEntry {
               CAST(max(dist) AS BIGINT) AS lower,
               CAST(2*max(dist) AS BIGINT) AS upper
        FROM d2"""
+
+  /** Winnowing pipeline as SQL over a doc source CTE (doc_id, text) —
+    * shared by the fingerprint and the MOSS-report twins.
+    */
+  private def winnowingPipelineSql(sourceCte: String): String =
+    s"""$sourceCte,
+       toks0 AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             t -> t <> '') AS lf
+         FROM docsrc),
+       toks AS (
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(lf[i]) + 1),
+               j -> CAST(ascii(substr(lf[i], j, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 2147483648) AS tv
+         FROM toks0, unnest(generate_series(1, len(lf))) t(i)),
+       g AS (
+         SELECT t.doc_id, gp.gpos, count(*) AS glen,
+           sum((t.pos - gp.gpos + 1) * t.tv) AS psum
+         FROM toks t,
+           unnest(generate_series(greatest(t.pos - 4, 0), t.pos)) gp(gpos)
+         GROUP BY 1, 2),
+       gh AS (SELECT doc_id, gpos AS pos,
+                (psum % 2147483648) * 2654435761 % 2147483648 AS gh
+              FROM g WHERE glen = 5),
+       sel AS (SELECT doc_id,
+                 min(gh * 2097152 + pos) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+               FROM gh),
+       fpt AS (SELECT DISTINCT doc_id, CAST(m % 2097152 AS BIGINT) AS pos,
+                 CAST(m // 2097152 AS BIGINT) AS fp
+               FROM sel WHERE wlen = 4)"""
 
   /** Kendall τ-b twin: contingency-grain concordance — strict
     * upper-triangle cell self-join, HUGEINT tie terms from the
@@ -6446,36 +6495,24 @@ object SparkEntry {
     "textrank_summary" -> textrankSqlOracle(5, 8, 3),
     "resistance_sql_graph" -> resistanceSqlOracle(10),
     "cur_winnowing" ->
-      """WITH toks0 AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
-               t -> t <> '') AS lf
-           FROM documents),
-         toks AS (
-           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, length(lf[i]) + 1),
-                 j -> CAST(ascii(substr(lf[i], j, 1)) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % 2147483648) AS tv
-           FROM toks0, unnest(generate_series(1, len(lf))) t(i)),
-         g AS (
-           SELECT t.doc_id, gp.gpos, count(*) AS glen,
-             sum((t.pos - gp.gpos + 1) * t.tv) AS psum
-           FROM toks t,
-             unnest(generate_series(greatest(t.pos - 4, 0), t.pos)) gp(gpos)
-           GROUP BY 1, 2),
-         gh AS (SELECT doc_id, gpos AS pos,
-                  (psum % 2147483648) * 2654435761 % 2147483648 AS gh
-                FROM g WHERE glen = 5),
-         sel AS (SELECT doc_id,
-                   min(gh * 2097152 + pos) OVER (PARTITION BY doc_id
-                     ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
-                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
-                 FROM gh)
-         SELECT DISTINCT doc_id, CAST(m % 2097152 AS BIGINT) AS pos,
-           CAST(m // 2097152 AS BIGINT) AS fp
-         FROM sel WHERE wlen = 4""",
+      (winnowingPipelineSql("WITH docsrc AS (SELECT doc_id, text FROM documents)") +
+       " SELECT doc_id, pos, fp FROM fpt"),
+
+    "cur_winnowing_matches" ->
+      (winnowingPipelineSql(
+        """WITH docsrc AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, text || ' copied tail marker'
+             FROM documents WHERE doc_id % 13 = 0)""") +
+      """, freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd
+                    FROM fpt GROUP BY fp) WHERE nd <= 50),
+         kept AS (SELECT DISTINCT f.doc_id, f.fp
+                  FROM fpt f JOIN freq USING (fp))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2"""),
 
     "url_canonicalize" ->
       """WITH u AS (

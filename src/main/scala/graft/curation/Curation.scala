@@ -97,6 +97,28 @@ object Curation {
       .distinct()
   }
 
+  /** Cross-document overlap pairs from winnowing fingerprints — the
+    * MOSS report: (doc_a, doc_b, shared_fps) for every document pair
+    * sharing at least one SELECTED fingerprint. Fingerprints held by
+    * more than `maxDocsPerFp` documents are dropped first — the
+    * standard boilerplate filter (ubiquitous fragments: headers,
+    * license text) that also bounds the pair fan-out: a fingerprint in
+    * d docs emits C(d,2) ≤ C(cap,2) pairs, so the join is
+    * cap-quadratic per fingerprint, never corpus-quadratic.
+    */
+  def winnowingMatches(fps: DataFrame, maxDocsPerFp: Long = 50L): DataFrame = {
+    val freq = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val kept = fps
+      .join(freq.filter(col("nd") <= maxDocsPerFp).select(col("fp")),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp")).distinct()
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   /** ── Decontamination ───────────────────────────────────────────────
     * Flags training documents sharing any word n-gram with a held-out
     * (benchmark/eval) set. Returns one row per training doc:

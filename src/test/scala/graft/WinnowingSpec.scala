@@ -54,6 +54,26 @@ class WinnowingSpec extends AnyFunSuite {
     assert(sel.forall(r => r._2 >= 0 && r._2 < grams))
   }
 
+  test("matches: planted copy pair dominates; boilerplate fp capped out") {
+    val body = (0 until 40).map(i => s"body${(i * 11) % 29}x$i").mkString(" ")
+    val boiler = "common header line all documents share here now ok"
+    val docs = Seq(
+      (1L, boiler + " " + body),
+      (2L, boiler + " " + body + " extra tail"), // near-copy of 1
+      (3L, boiler + " totally different content words here indeed yes")) ++
+      (10L until 70L).map(i =>
+        (i, boiler + " " + (0 until 30).map(j => s"u${i}v$j").mkString(" ")))
+    val fps = Curation.winnowing(docs.toDF("doc_id", "text"))
+    val m = Curation.winnowingMatches(fps, maxDocsPerFp = 10)
+      .as[(Long, Long, Long)].collect()
+    val best = m.maxBy(_._3)
+    assert((best._1, best._2) === ((1L, 2L)), s"got ${m.toSeq.sortBy(-_._3).take(3)}")
+    // the boilerplate prefix is held by 63 docs > cap, so distinct
+    // random-body docs must NOT pair through it
+    assert(!m.exists { case (a, b, _) => a >= 10L && b >= 10L },
+      "boilerplate-only pairs must be capped out")
+  }
+
   test("partition invariance") {
     val docs = (0L until 12L)
       .map(i => (i, (0 until 50).map(j => s"w${(i + j * 3) % 17}").mkString(" ")))
