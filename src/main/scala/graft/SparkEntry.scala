@@ -763,6 +763,13 @@ object SparkEntry {
         s.range(5).select((col("id") * 300 + 7).as("id")),
         iters = 10, numPartitions = parts(s, d))),
 
+    "tri_sampled_sql_graph" -> ((s, d) =>
+      // DOULION at p = 1/3: deterministic edge-keep scramble, exact
+      // count on the survivor subgraph, ×27 estimate
+      Triangles.sampledCount(s,
+        GraphOps.undirectedPairs(sqlGraphEdges(s)),
+        num = 1L, den = 3L, salt = 5L, numPartitions = parts(s, d))),
+
     "cur_winnowing" -> ((s, d) =>
       // MOSS winnowing fingerprints (n=5, w=4) — exact integer
       // selection, the density-bounded overlap index
@@ -2899,6 +2906,32 @@ object SparkEntry {
        fpt AS (SELECT DISTINCT doc_id, CAST(m % 2097152 AS BIGINT) AS pos,
                  CAST(m // 2097152 AS BIGINT) AS fp
                FROM sel WHERE wlen = 4)"""
+
+  /** DOULION twin: the sampleKeep scramble replayed on the packed
+    * canonical-edge key, the 3-way triangle join on survivors, ×27.
+    */
+  private val triSampledSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       p AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             FROM e),
+       kp AS (
+         SELECT u, v FROM (
+           SELECT u, v,
+             (q1 * (q1 + 7 + 5)) % 2147483647 AS q2
+           FROM (
+             SELECT u, v,
+               (((u % 2147483647) * 131 + (v % 2147483647)) % 2147483647)
+                 * ((((u % 2147483647) * 131 + (v % 2147483647))
+                    % 2147483647) + 3) % 2147483647 AS q1
+             FROM p))
+         WHERE q2 % 3 < 1),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS kept FROM kp),
+       tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+               FROM kp x JOIN kp y ON y.u = x.v
+               JOIN kp z ON z.u = x.u AND z.v = y.v)
+       SELECT m.kept AS kept_edges, tri.t AS sampled_triangles,
+              round(tri.t * 27.0, 6) AS estimate
+       FROM m CROSS JOIN tri"""
 
   /** Kendall τ-b twin: contingency-grain concordance — strict
     * upper-triangle cell self-join, HUGEINT tie terms from the
@@ -6494,6 +6527,7 @@ object SparkEntry {
     "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
     "textrank_summary" -> textrankSqlOracle(5, 8, 3),
     "resistance_sql_graph" -> resistanceSqlOracle(10),
+    "tri_sampled_sql_graph" -> triSampledSqlOracle,
     "cur_winnowing" ->
       (winnowingPipelineSql("WITH docsrc AS (SELECT doc_id, text FROM documents)") +
        " SELECT doc_id, pos, fp FROM fpt"),

@@ -68,6 +68,37 @@ object Triangles {
     * out-neighbor. [[countTriangles]] keeps its fused count-only tail
     * (native `sorted_intersect_count`, no per-triangle rows).
     */
+  /** DOULION sampled triangle count (Tsourakakis et al., KDD 2009):
+    * keep each canonical edge at rate num/den via the deterministic
+    * sampleKeep scramble on the packed (u, v) key, count triangles
+    * EXACTLY on the surviving subgraph, scale by (den/num)³ — an
+    * unbiased estimate at (num/den)² of the exact kernel's join cost,
+    * the dev-loop/monitoring counter at 10¹² edges. Deterministic
+    * (no RNG state) and engine-replayable; variance is the price and
+    * is the caller's knob via the rate.
+    *
+    * @return one row (kept_edges, sampled_triangles, estimate) —
+    *   estimate = t·den³/num³ as a 6dp double (exact integer when
+    *   num = 1)
+    */
+  def sampledCount(spark: SparkSession, undirectedPairs: DataFrame,
+                   num: Long, den: Long, salt: Long = 0L,
+                   numPartitions: Int = 32): DataFrame = {
+    val P = 2147483647L
+    val key = pmod(col("src"), lit(P)) * lit(131L) + pmod(col("dst"), lit(P))
+    val kept = undirectedPairs
+      .filter(graft.graph.GraphOps.sampleKeep(key, num, den, salt))
+      .localCheckpoint(true)
+    val m = kept.count()
+    val t = countTriangles(spark, kept, numPartitions)
+    Superstep.freeCheckpoint(kept)
+    import spark.implicits._
+    Seq((m, t, t.toDouble * den * den * den / (num * num * num)))
+      .toDF("kept_edges", "sampled_triangles", "estimate_raw")
+      .select(col("kept_edges"), col("sampled_triangles"),
+        round(col("estimate_raw"), 6).as("estimate"))
+  }
+
   private[graft] def enumerate(undirectedPairs: DataFrame,
                                numPartitions: Int): DataFrame = {
     val pairs = undirectedPairs.select(col("src"), col("dst"))
