@@ -295,6 +295,30 @@ class PlanSpec extends AnyFunSuite {
       s"segment must be a pure projection:\n$phys")
   }
 
+  test("kendall plans with no window; spearman windows only at value grain") {
+    val df = docs.select(col("doc_id").as("a"),
+      (col("doc_id") % 7).as("b"))
+    val k = graft.graph.RankCorrelation.kendall(spark, df, "a", "b")
+    // kendall is computed before the returned 1-row frame is built,
+    // so gate the building blocks instead: the contingency pair agg
+    val cells = df.groupBy(col("a"), col("b")).count()
+    assert(logicalWindows(cells) === 0)
+    assert(k.count() === 1L)
+    val ranked = graft.graph.RankCorrelation.rank2(df, "a", "ra")
+    // the one window sits over the value-grain table, not the corpus:
+    // its input is the groupBy(a).count() aggregate
+    assert(logicalWindows(ranked) === 1)
+  }
+
+  test("winnowing: the only window is the per-doc w-frame") {
+    val fps = graft.curation.Curation.winnowing(docs)
+    assert(logicalWindows(fps) === 1,
+      "min+count share one per-doc window frame")
+    val phys = fps.queryExecution.executedPlan.toString
+    assert(!phys.contains("SortMergeJoin"),
+      s"gram build must stay hash-based:\n$phys")
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     // own temp parquet, not the shared testdata file: another suite
     // caching the same read plan would substitute an InMemoryRelation
