@@ -763,6 +763,12 @@ object SparkEntry {
         s.range(5).select((col("id") * 300 + 7).as("id")),
         iters = 10, numPartitions = parts(s, d))),
 
+    "stats_zipf_alpha" -> ((s, d) =>
+      // heavy-tail data-card summary (rows-only: ln is transcendental
+      // — the PMI libm-ulp lesson; CorpusStatsSpec carries the MLE
+      // theory gates incl. alpha = 1 + 1/s on planted rank slopes)
+      text.CorpusStats.zipfAlpha(s.read.parquet(t(d, "documents")))),
+
     "tri_sampled_sql_graph" -> ((s, d) =>
       // DOULION at p = 1/3: deterministic edge-keep scramble, exact
       // count on the survivor subgraph, ×27 estimate
