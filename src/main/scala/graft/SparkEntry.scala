@@ -1857,6 +1857,14 @@ object SparkEntry {
         defaultWeight = 1.0, salt = 11L)
         .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
+    "kmeans_assign_sql" -> ((s, d) =>
+      // exact-grid Lloyd, k=4 / 2 iterations over the embeddings:
+      // BIGINT argmins with grid-rounded centroids — every round
+      // engine-replayable
+      sim.Kmeans.run(s.read.parquet(t(d, "embeddings")), k = 4, iters = 2)
+        .assignment
+        .select(col("id"), col("cluster"), col("dist_sq"))),
+
     "kcenter_assign_sql" -> ((s, d) =>
       // Gonzalez farthest-first k-center, k=4 over the embeddings:
       // exact-BIGINT integerized distances make the greedy fully
@@ -3006,6 +3014,54 @@ object SparkEntry {
        SELECT s.id, s.deg, s.tv, s.picked,
               coalesce(rk.rank, -1) AS rank
        FROM s$k s LEFT JOIN rk USING (id)"""
+  }
+
+  /** Exact-grid Lloyd twin: per iteration one CROSS JOIN argmin over
+    * the k centroids (packed d²·2²⁰+c key), per-dim integer sums, and
+    * the HALF_UP grid re-round; empty clusters coalesce to their
+    * previous centroid. MATERIALIZED throughout.
+    */
+  private def kmeansSqlOracle(k: Int, iters: Int): String = {
+    def iterSql(t: Int): String = s""",
+       a${t + 1} AS MATERIALIZED (
+         SELECT v.id, min(d.d2 * 1048576 + c.cluster) AS key
+         FROM v CROSS JOIN c$t c
+         CROSS JOIN LATERAL (SELECT CAST(list_sum(list_transform(
+              range(1, len(v.iv)+1),
+              i -> (v.iv[i]-c.cvec[i])*(v.iv[i]-c.cvec[i]))) AS BIGINT) AS d2) d
+         GROUP BY v.id),
+       n${t + 1} AS MATERIALIZED (
+         SELECT a.key % 1048576 AS cluster, dm.d AS d,
+           CAST(sum(v.iv[dm.d]) AS BIGINT) AS sv, count(*) AS n
+         FROM a${t + 1} a JOIN v ON v.id = a.id,
+           unnest(generate_series(1, len(v.iv))) dm(d)
+         GROUP BY 1, 2),
+       m${t + 1} AS MATERIALIZED (
+         SELECT cluster, list(CAST(round(CAST(sv AS DOUBLE)/n, 0) AS BIGINT)
+                  ORDER BY d) AS cvec
+         FROM n${t + 1} GROUP BY cluster),
+       c${t + 1} AS MATERIALIZED (
+         SELECT c.cluster, coalesce(m.cvec, c.cvec) AS cvec
+         FROM c$t c LEFT JOIN m${t + 1} m USING (cluster))"""
+    val steps = (0 until iters).map(iterSql).mkString
+    s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE)*100000) AS BIGINT)) AS iv
+         FROM embeddings),
+       sd AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cluster
+              FROM (SELECT id FROM v ORDER BY id LIMIT $k)),
+       c0 AS MATERIALIZED (SELECT sd.cluster, v.iv AS cvec
+                           FROM sd JOIN v USING (id))$steps,
+       af AS (
+         SELECT v.id, min(d.d2 * 1048576 + c.cluster) AS key
+         FROM v CROSS JOIN c$iters c
+         CROSS JOIN LATERAL (SELECT CAST(list_sum(list_transform(
+              range(1, len(v.iv)+1),
+              i -> (v.iv[i]-c.cvec[i])*(v.iv[i]-c.cvec[i]))) AS BIGINT) AS d2) d
+         GROUP BY v.id)
+       SELECT id, CAST(key % 1048576 AS BIGINT) AS cluster,
+         CAST(key // 1048576 AS BIGINT) AS dist_sq
+       FROM af"""
   }
 
   /** Gonzalez k-center twin: k unrolled farthest-first rounds over
@@ -6527,6 +6583,7 @@ object SparkEntry {
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "kcenter_assign_sql" -> kcenterSqlOracle(4),
+    "kmeans_assign_sql" -> kmeansSqlOracle(4, 2),
     "influence_seeds_sql_graph" -> influenceSqlOracle(3),
     "spearman_deg_tri_sql" -> spearmanSqlOracle,
     "kendall_deg_tri_sql" -> kendallSqlOracle,
