@@ -1865,6 +1865,12 @@ object SparkEntry {
         .assignment
         .select(col("id"), col("cluster"), col("dist_sq"))),
 
+    "kmeans_quality_sql" -> ((s, d) =>
+      // per-cluster inertia + simplified silhouette over the same
+      // k=4 / 2-iteration run
+      sim.Kmeans.quality(s.read.parquet(t(d, "embeddings")),
+        k = 4, iters = 2)),
+
     "kcenter_assign_sql" -> ((s, d) =>
       // Gonzalez farthest-first k-center, k=4 over the embeddings:
       // exact-BIGINT integerized distances make the greedy fully
@@ -6584,6 +6590,39 @@ object SparkEntry {
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "kcenter_assign_sql" -> kcenterSqlOracle(4),
     "kmeans_assign_sql" -> kmeansSqlOracle(4, 2),
+    "kmeans_quality_sql" -> (kmeansSqlOracle(4, 2)
+      .replace(
+        """       af AS (""",
+        """       af0 AS (""")
+      .replace(
+        """         GROUP BY v.id)
+       SELECT id, CAST(key % 1048576 AS BIGINT) AS cluster,
+         CAST(key // 1048576 AS BIGINT) AS dist_sq
+       FROM af""",
+        """         GROUP BY v.id),
+       af AS (
+         SELECT v.id,
+           list_sort(list(d.d2 * 1048576 + c.cluster)) AS ks
+         FROM v CROSS JOIN c2 c
+         CROSS JOIN LATERAL (SELECT CAST(list_sum(list_transform(
+              range(1, len(v.iv)+1),
+              i -> (v.iv[i]-c.cvec[i])*(v.iv[i]-c.cvec[i]))) AS BIGINT) AS d2) d
+         GROUP BY v.id),
+       sil AS (
+         SELECT CAST(ks[1] % 1048576 AS BIGINT) AS cluster,
+           CAST(ks[1] // 1048576 AS BIGINT) AS d2,
+           CASE WHEN greatest(sqrt(CAST(ks[1] // 1048576 AS DOUBLE)),
+                              sqrt(CAST(ks[2] // 1048576 AS DOUBLE))) > 0
+                THEN (sqrt(CAST(ks[2] // 1048576 AS DOUBLE))
+                      - sqrt(CAST(ks[1] // 1048576 AS DOUBLE)))
+                     / greatest(sqrt(CAST(ks[1] // 1048576 AS DOUBLE)),
+                                sqrt(CAST(ks[2] // 1048576 AS DOUBLE)))
+                ELSE 0.0 END AS s
+         FROM af)
+       SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(d2) AS BIGINT) AS inertia,
+         round(sum(s) / count(*), 6) AS mean_silhouette
+       FROM sil GROUP BY cluster""")),
     "influence_seeds_sql_graph" -> influenceSqlOracle(3),
     "spearman_deg_tri_sql" -> spearmanSqlOracle,
     "kendall_deg_tri_sql" -> kendallSqlOracle,

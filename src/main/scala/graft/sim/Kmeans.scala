@@ -55,8 +55,10 @@ object Kmeans {
         Coreset.sqDist(col("iv"), array(v.map(lit): _*)) * lit(1048576L) + c
       }
       val best = keys.reduce((a, b) => least(a, b))
+      // exact unpack: long `/` routes through double (inexact past
+      // 2^53, and the packed key reaches 2^59) — shift instead
       (pmod(best, lit(1048576L)).as("cluster"),
-       (best / lit(1048576L)).cast("long").as("dist_sq"))
+       shiftright(best, 20).as("dist_sq"))
     }
 
     var it = 0
@@ -84,5 +86,41 @@ object Kmeans {
     val assignment = pts.select(col("id"), cl, d2)
     import vecs.sparkSession.implicits._
     Result(assignment, cents.toDF("cluster", "cvec"))
+  }
+
+  /** Per-cluster quality rollup — SIMPLIFIED silhouette (centroid
+    * distances stand in for mean pairwise distances: the O(n·k) form
+    * that scales where the classic O(n²) cannot) plus inertia:
+    * s(x) = (b − a)/max(a, b) with a = dist to the own centroid,
+    * b = dist to the nearest other centroid; distances are IEEE
+    * sqrts of exact BIGINT d², means are one fp sum per cluster
+    * sealed at 6dp (the hyperball-harmonic precedent). Map-only per
+    * point (the k centroids ride as literals, sorted per row) + one
+    * cluster-grain aggregate.
+    *
+    * @return (cluster, n_points, inertia, mean_silhouette)
+    */
+  def quality(vecs: DataFrame, k: Int, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              scale: Long = 100000L): DataFrame = {
+    val res = run(vecs, k, iters, idCol, vecCol, scale)
+    val cents = res.centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    val pts = vecs.select(col(idCol).as("id"),
+      Coreset.intVec(col(vecCol), scale).as("iv"))
+    val keys = array(cents.map { case (c, v) =>
+      Coreset.sqDist(col("iv"), array(v.map(lit): _*)) * lit(1048576L) + c
+    }: _*)
+    val sorted = array_sort(keys)
+    val a = sqrt(shiftright(element_at(sorted, 1), 20).cast("double"))
+    val b = sqrt(shiftright(element_at(sorted, 2), 20).cast("double"))
+    pts.select(
+        pmod(element_at(sorted, 1), lit(1048576L)).as("cluster"),
+        shiftright(element_at(sorted, 1), 20).as("d2"),
+        when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+          .otherwise(lit(0.0)).as("s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum(col("d2")).as("inertia"),
+        round(sum(col("s")) / count(lit(1)), 6).as("mean_silhouette"))
   }
 }

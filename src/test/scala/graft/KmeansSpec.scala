@@ -75,6 +75,18 @@ class KmeansSpec extends AnyFunSuite {
     assert(res.centroids.as[(Long, Seq[Long])].collect().toMap === wantC)
   }
 
+  test("quality: separated blobs score high simplified silhouette") {
+    val df = blobs.toDF("vec_id", "embedding")
+    val q = Kmeans.quality(df, k = 2, iters = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(q.length === 2)
+    q.foreach { case (_, n, inertia, sil) =>
+      assert(n === 15L)
+      assert(sil > 0.8, s"expected tight blobs, silhouette $sil")
+      assert(inertia >= 0L)
+    }
+  }
+
   test("partition invariance") {
     val df = blobs.toDF("vec_id", "embedding")
     val a = Kmeans.run(df.repartition(2), k = 3, iters = 2)
