@@ -93,7 +93,7 @@ object Curation {
         count(lit(1)).over(win).as("wlen"))
       .filter(col("wlen") === w) // full windows only
       .select(col("doc_id"), pmod(col("m"), lit(2097152L)).as("pos"),
-        (col("m") / lit(2097152L)).cast("long").as("fp"))
+        shiftright(col("m"), 21).as("fp"))
       .distinct()
   }
 
