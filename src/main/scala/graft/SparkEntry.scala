@@ -1865,6 +1865,21 @@ object SparkEntry {
         .assignment
         .select(col("id"), col("cluster"), col("dist_sq"))),
 
+    "cur_cluster_sample" -> ((s, d) => {
+      // cluster-stratified eval sampling: k-means clusters become the
+      // strata, each sampled at a deterministic per-cluster rate — the
+      // diversity-preserving eval-set draw (uniform sampling
+      // over-represents the dominant mode)
+      val vecs = s.read.parquet(t(d, "embeddings"))
+      val asg = sim.Kmeans.run(vecs, k = 4, iters = 2).assignment
+        .select(col("id").as("vec_id"), col("cluster"))
+      val rates = Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.25, "3" -> 0.125)
+      Curation.stratifiedSample(
+        asg.withColumn("cluster", col("cluster").cast("string")),
+        rates, strataCol = "cluster", salt = 11L, idCol = "vec_id")
+        .select(col("vec_id"), col("cluster"))
+    }),
+
     "kmeans_quality_sql" -> ((s, d) =>
       // per-cluster inertia + simplified silhouette over the same
       // k=4 / 2-iteration run
@@ -6590,6 +6605,18 @@ object SparkEntry {
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "kcenter_assign_sql" -> kcenterSqlOracle(4),
     "kmeans_assign_sql" -> kmeansSqlOracle(4, 2),
+    "cur_cluster_sample" -> (kmeansSqlOracle(4, 2)
+      .replace(
+        """       SELECT id, CAST(key % 1048576 AS BIGINT) AS cluster,
+         CAST(key // 1048576 AS BIGINT) AS dist_sq
+       FROM af""",
+        """       SELECT id AS vec_id,
+         CAST(key % 1048576 AS VARCHAR) AS cluster
+       FROM af
+       WHERE ((id + 11) % 2147483648) * 2654435761 % 2147483648 <
+         CAST(CASE key % 1048576 WHEN 0 THEN 0.5 WHEN 1 THEN 0.25
+                 WHEN 2 THEN 0.25 ELSE 0.125 END * 2147483648 AS BIGINT)""")),
+
     "kmeans_quality_sql" -> (kmeansSqlOracle(4, 2)
       .replace(
         """       af AS (""",
