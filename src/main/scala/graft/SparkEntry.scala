@@ -595,6 +595,25 @@ object SparkEntry {
       pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "pr_resume_sql_graph" -> ((s, d) => {
+      // G-7 under the driver protocol, not just in-suite: 2 supersteps
+      // with a durable checkpoint (every=1), handle discarded (the
+      // "crash"), then a FRESH Superstep handle on the same dir picks
+      // up at step 2 and completes 5. The oracle is the same unrolled
+      // 5-iteration recurrence pr_sql_graph matches, so a green hash
+      // row proves resume ≡ fresh end-to-end (parquet round-trips
+      // doubles exactly; iterations 3-5 replay identical expressions).
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pr_resume").toString
+      val ck1 = new algo.Superstep(s, dir, every = 1)
+      PageRank.run(s, sqlGraphEdges(s), parts(s, d), tol = 0.0, maxIter = 2,
+        ckpt = Some(ck1))
+      val ck2 = new algo.Superstep(s, dir, every = 1)
+      val pr = PageRank.run(s, sqlGraphEdges(s), parts(s, d), tol = 0.0,
+        maxIter = 5, ckpt = Some(ck2))
+      pr.ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
     "backbone_sql_graph" -> ((s, d) => {
       // disparity-filter backbone over deterministic weights
       // 1+(src+dst)%5 on the canonical undirected pairs; both p-values
@@ -845,8 +864,13 @@ object SparkEntry {
       // 16-type Holland–Leinhardt census over the mutual-rich 300-
       // vertex fixture; the twin literally classifies all C(300,3)
       // triples — a fully independent formulation
+      // surface cast to BIGINT: values proved identical to networkx in
+      // r3, but DECIMAL(38,0) vs HUGEINT render differently through the
+      // driver's pandas bridge (object-Decimal vs float). The internal
+      // DECIMAL overflow discipline for 10^12-vertex counts is untouched.
       algo.TriadCensus.run(s, triadGraphEdges(s),
-        Some(s.range(300L).toDF("id")), parts(s, d))),
+        Some(s.range(300L).toDF("id")), parts(s, d))
+        .select(col("triad"), col("cnt").cast("bigint").as("cnt"))),
 
     "wl_sql_graph" -> ((s, d) =>
       // 1-WL color refinement, 4 rounds; the twin replays the exact
@@ -998,6 +1022,16 @@ object SparkEntry {
       val sym = GraphOps.symmetrize(sqlGraphEdges(s))
       val lpa = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
       ModularityRefine.run(s, sym, lpa, parts(s, d), maxRounds = 2).labels
+    }),
+
+    "modrefine_gamma_sql_graph" -> ((s, d) => {
+      // the resolution knob exercised at γ = 2 (RB-configuration null
+      // model doubled): same two rounds, argmax 2m·kic − 2·k·(tot−δ),
+      // replayed by the γ-parametrized twin
+      val sym = GraphOps.symmetrize(sqlGraphEdges(s))
+      val lpa = LabelPropagation.run(s, sym, parts(s, d), maxIter = 3).labels
+      ModularityRefine.run(s, sym, lpa, parts(s, d), maxRounds = 2,
+        gammaNum = 2L).labels
     }),
 
     "louvain_sql_graph" -> ((s, d) => {
@@ -1960,6 +1994,20 @@ object SparkEntry {
         .select(col("article_id"), col("chunk_id"), col("chunk_index"), col("n_chars"))
     }),
 
+    "val_chunk_article_mapping" -> ((s, d) => {
+      // get_chunk_article_mapping (validation/queries.py:587-612):
+      // every 5th (article+index) chunk loses its id deterministically,
+      // then the mapping worklist is the null-id top-100
+      val docs = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), repeat(col("text"), 8).as("text"))
+      val chunks = chunking.Chunker.chunk(docs, "doc_id", "text")
+        .withColumn("chunk_id",
+          when(pmod(col("article_id").cast("long") + col("chunk_index"),
+            lit(5L)) === 0, lit(null).cast("string"))
+            .otherwise(col("chunk_id")))
+      validate.Validation.chunkArticleMapping(chunks, 100)
+    }),
+
     "m11_w1_chunk_repair" -> ((s, d) => {
       val docs = s.read.parquet(t(d, "documents"))
         .select(col("doc_id"), repeat(col("text"), 8).as("text"))
@@ -2165,6 +2213,20 @@ object SparkEntry {
           round(element_at(col("histogram"), 7), 6).as("h6"))
     }),
 
+    "mm_png_decode" -> ((s, d) => {
+      // REAL decode path: synthesize PNGs on the executors, round-trip
+      // through javax.imageio, histogram the decoded pixels. The twin
+      // replays the pixel formula analytically — only a genuinely
+      // lossless encode+decode can match it.
+      val media = Multimodal.pngTable(
+        s.read.parquet(t(d, "documents")).filter(col("doc_id") < 200))
+      Multimodal.extractPngFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(element_at(col("histogram"), 1), 6).as("h0"),
+          round(element_at(col("histogram"), 8), 6).as("h7"),
+          round(element_at(col("histogram"), 16), 6).as("h15"))
+    }),
+
     // ── validation family over the arithmetic dirty fixture: driver-
     //    verified twins of the corpus-derived val_* queries above ──
     "val_rollup_sql" -> ((s, _) =>
@@ -2211,7 +2273,11 @@ object SparkEntry {
       // snapshot — members array and all
       val labels = LabelPropagation.run(s, GraphOps.symmetrize(sqlGraphEdges(s)),
         parts(s, d), maxIter = 3).labels
+      // members serialized to a sorted '|'-joined string: the driver's
+      // pandas hasher can't sort list columns (r3 crash), and the CSV
+      // form is the same convention a2_collect_per_group uses
       api.ReadApi.communities(apiSnapshot(s), labels, minSize = 3)
+        .withColumn("members", array_join(col("members"), "|"))
     }),
 
     // ── glossary linking, exact path: every matching term has an exact
@@ -2830,7 +2896,13 @@ object SparkEntry {
     * DuckDB inlines CTEs, and the 3-references-per-round recurrence
     * re-evaluates exponentially otherwise (the Louvain-twin lesson).
     */
-  private def textrankSqlOracle(iters: Int, width: Int, topK: Int): String = {
+  /** Shared CTE chain for the TextRank twins, through the 6dp-rounded
+    * `fin(doc_id, sid, rank)` frame. Tokens are filtered for empties
+    * BEFORE position enumeration, matching `TextOps.tokens`'s
+    * filter-then-posexplode order (leading/consecutive whitespace must
+    * not shift sentence boundaries — ADVICE r3).
+    */
+  private def textrankSqlBody(iters: Int, width: Int): String = {
     val steps = (1 to iters).map { k =>
       val p = k - 1
       s""",
@@ -2850,13 +2922,13 @@ object SparkEntry {
          JOIN d$k d ON d.doc_id = s.doc_id)"""
     }.mkString
     s"""WITH tk AS MATERIALIZED (
-         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           t -> t <> '') AS toks
          FROM documents),
        st AS MATERIALIZED (
          SELECT DISTINCT doc_id, CAST((i - 1) // $width AS BIGINT) AS sid,
            toks[i] AS tok
-         FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
-         WHERE toks[i] <> ''),
+         FROM tk, unnest(generate_series(1, len(toks))) AS t(i)),
        ed AS MATERIALIZED (
          SELECT a.doc_id, a.sid AS src, b.sid AS dst,
            CAST(count(*) AS BIGINT) AS w
@@ -2873,12 +2945,23 @@ object SparkEntry {
        r0 AS MATERIALIZED (
          SELECT b.doc_id, b.sid, b.outw, n.n_d, 1.0 / n.n_d AS rank
          FROM base b JOIN nd n ON n.doc_id = b.doc_id)$steps,
-       fin AS (SELECT doc_id, sid, round(rank, 6) AS rank FROM r$iters),
+       fin AS (SELECT doc_id, sid, round(rank, 6) AS rank FROM r$iters)"""
+  }
+
+  private def textrankSqlOracle(iters: Int, width: Int, topK: Int): String =
+    s"""${textrankSqlBody(iters, width)},
        rk AS (SELECT doc_id, sid, row_number() OVER
                 (PARTITION BY doc_id ORDER BY rank DESC, sid) AS pos
               FROM fin)
        SELECT doc_id, sid, CAST(pos AS INT) AS pos FROM rk WHERE pos <= $topK"""
-  }
+
+  /** The underlying 6dp ranks themselves — both engines round the
+    * same fixed-iteration double recurrence, the PageRank-twin
+    * discipline that seals engine-order fp drift.
+    */
+  private def textrankRanksSqlOracle(iters: Int, width: Int): String =
+    s"""${textrankSqlBody(iters, width)}
+       SELECT doc_id, sid, rank FROM fin"""
 
   /** Double-sweep twin: BFS closure from min-id, lexicographic
     * farthest argmax, BFS closure from there, max distance.
@@ -2933,13 +3016,13 @@ object SparkEntry {
                 (psum % 2147483648) * 2654435761 % 2147483648 AS gh
               FROM g WHERE glen = 5),
        sel AS (SELECT doc_id,
-                 min(gh * 2097152 + pos) OVER (PARTITION BY doc_id
+                 min(gh * 4294967296 + pos) OVER (PARTITION BY doc_id
                    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
                  count(*) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
                FROM gh),
-       fpt AS (SELECT DISTINCT doc_id, CAST(m % 2097152 AS BIGINT) AS pos,
-                 CAST(m // 2097152 AS BIGINT) AS fp
+       fpt AS (SELECT DISTINCT doc_id, CAST(m % 4294967296 AS BIGINT) AS pos,
+                 CAST(m // 4294967296 AS BIGINT) AS fp
                FROM sel WHERE wlen = 4)"""
 
   /** DOULION twin: the sampleKeep scramble replayed on the packed
@@ -3447,7 +3530,7 @@ object SparkEntry {
            ELSE '030T' END) AS triad
          FROM t3),
        cnts AS (SELECT triad, count(*) AS c FROM lab GROUP BY 1)
-       SELECT t.triad, CAST(coalesce(c.c, 0) AS HUGEINT) AS cnt
+       SELECT t.triad, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
        FROM (VALUES $values) t(triad)
        LEFT JOIN cnts c ON c.triad = t.triad"""
       .replace(" AS (", " AS MATERIALIZED (")
@@ -3483,12 +3566,14 @@ object SparkEntry {
     * only moves to a smaller community id, round 2 only to a larger).
     * All-BIGINT arithmetic: hash-exact across engines.
     */
-  private def modRefineSqlOracle(rounds: Int): String =
+  private def modRefineSqlOracle(rounds: Int, gn: Long = 1L,
+                                 gd: Long = 1L): String =
     // materialize every CTE — same DuckDB inlining blowup as the
     // Louvain twin (33 s inlined → sub-second materialized)
-    modRefineRawSql(rounds).replace(" AS (", " AS MATERIALIZED (")
+    modRefineRawSql(rounds, gn, gd).replace(" AS (", " AS MATERIALIZED (")
 
-  private def modRefineRawSql(rounds: Int): String = {
+  private def modRefineRawSql(rounds: Int, gn: Long = 1L,
+                              gd: Long = 1L): String = {
     val head =
       s"""WITH $sqlGraphCte,
          l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)${lpaStepsSql(3)},
@@ -3507,7 +3592,7 @@ object SparkEntry {
              FROM sym s JOIN lab$p l ON s.dst = l.id
              UNION ALL SELECT id, community, 0 FROM lab$p) GROUP BY id, cand),
          sc$p AS (SELECT c.id, c.cand,
-             mm.m2 * c.kic - d.k * (t.tot -
+             $gd * mm.m2 * c.kic - $gn * d.k * (t.tot -
                CASE WHEN c.cand = l.community THEN d.k ELSE 0 END) AS s,
              CASE WHEN c.cand = l.community THEN 1 ELSE 0 END AS isa
            FROM cand$p c JOIN lab$p l ON c.id = l.id
@@ -3828,6 +3913,95 @@ object SparkEntry {
        SELECT id, count(*) AS triangles FROM (
          SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
        GROUP BY id"""
+
+  /** BPE merge-rule twin: `numMerges` rounds of the Sennrich induction
+    * unrolled in SQL — per round an adjacent-pair count over the
+    * distinct-word symbol table, the deterministic
+    * (count desc, left, right) argmax, and the left-to-right
+    * non-overlapping merge application. The merge fold mirrors
+    * [[graft.text.BpeTrain.applyMerge]] exactly: accumulate a
+    * chr(31)-delimited symbol string (the corpus alphabet is printable
+    * ASCII 32..121, so the separator can't collide) and fuse by
+    * appending `r` WITHOUT a separator when the accumulator's last
+    * element is `l` — after a fusion the tail becomes l||r ≠ l, which
+    * reproduces the scan-and-skip semantics.
+    */
+  private def bpeMergesSqlOracle(numMerges: Int): String = {
+    val rounds = (0 until numMerges).map { k =>
+      s""",
+       p$k AS MATERIALIZED (
+         SELECT syms[i] AS l, syms[i+1] AS r, freq
+         FROM w$k, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         WHERE len(syms) >= 2),
+       m$k AS MATERIALIZED (
+         SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM p$k GROUP BY 1, 2
+         ORDER BY c DESC, l, r LIMIT 1),
+       w${k + 1} AS MATERIALIZED (
+         SELECT string_split(list_reduce(syms, (acc, s) ->
+             CASE WHEN s = m.r AND string_split(acc, chr(31))[-1] = m.l
+                  THEN acc || s ELSE acc || chr(31) || s END), chr(31)) AS syms,
+           freq
+         FROM w$k, m$k m)"""
+    }.mkString
+    val finish = (0 until numMerges).map(k =>
+      s"""SELECT CAST($k AS INT) AS "rank", l AS "left", r AS "right",
+            l || r AS merged, c AS pair_count FROM m$k""")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS MATERIALIZED (
+         SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           t -> t <> '')) AS word
+         FROM documents),
+       wf AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+       w0 AS MATERIALIZED (
+         SELECT list_append(list_transform(generate_series(1, length(word)),
+             i -> substr(word, i, 1)), '</w>') AS syms, freq
+         FROM wf)$rounds
+       SELECT * FROM ($finish) ORDER BY "rank""""
+  }
+
+  /** OddBall twin: ego-net features (nbrs = d(v), ego_edges = d(v)+T(v))
+    * via the tri_vertex triple enumeration, the Akoglu EDPL least-squares
+    * fit as five moments over ln-space, then the out-of-pattern score
+    * with the fitted constants inlined — mirroring
+    * [[graft.algo.Triangles.oddballScores]] expression for expression.
+    * The 6dp round seals libm-ulp/summation-order drift.
+    */
+  private val oddballSqlOracle: String =
+    s"""WITH $sqlGraphCte,
+       und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       deg AS MATERIALIZED (
+         SELECT id, CAST(count(*) AS BIGINT) AS nbrs FROM
+           (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         GROUP BY id),
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM und e1 JOIN und e2 ON e1.v = e2.u
+             JOIN und e3 ON e2.v = e3.v AND e1.u = e3.u),
+       tv AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+           SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+         GROUP BY id),
+       f AS MATERIALIZED (
+         SELECT d.id, d.nbrs,
+                CAST(d.nbrs + coalesce(tv.triangles, 0) AS BIGINT) AS ego_edges
+         FROM deg d LEFT JOIN tv ON tv.id = d.id),
+       fit AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(ln(nbrs)) AS sx, sum(ln(ego_edges)) AS sy,
+                 sum(ln(nbrs) * ln(nbrs)) AS sxx,
+                 sum(ln(nbrs) * ln(ego_edges)) AS sxy
+               FROM f WHERE nbrs >= 2),
+       ab AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS alpha,
+                     (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                       AS beta
+              FROM fit),
+       sc AS (SELECT f.id, f.nbrs, f.ego_edges,
+                exp(ab.beta + ab.alpha * ln(f.nbrs)) AS eh
+              FROM f, ab)
+       SELECT id, nbrs, ego_edges,
+         CASE WHEN nbrs < 2 THEN 0.0
+              ELSE round((greatest(ego_edges, eh) / least(ego_edges, eh))
+                         * abs(ln(ego_edges) - ln(eh)), 6) END AS score
+       FROM sc"""
 
   // ─────────────────────────── oracle SQL ─────────────────────────────
 
@@ -6599,6 +6773,7 @@ object SparkEntry {
          FROM s GROUP BY user_id""",
 
     "pr_sql_graph" -> prSqlOracle(5),
+    "pr_resume_sql_graph" -> prSqlOracle(5),
     "pr_weighted_sql_graph" -> prSqlOracle(5, weighted = true),
     "cc_sql_graph" -> ccSqlOracle,
     "lpa_sql_graph" -> lpaSqlOracle(3),
@@ -6655,6 +6830,7 @@ object SparkEntry {
     "kendall_deg_tri_sql" -> kendallSqlOracle,
     "diameter_bounds_sql_graph" -> diameterBoundsSqlOracle,
     "textrank_summary" -> textrankSqlOracle(5, 8, 3),
+    "textrank_ranks" -> textrankRanksSqlOracle(5, 8),
     "resistance_sql_graph" -> resistanceSqlOracle(10),
     "tri_sampled_sql_graph" -> triSampledSqlOracle,
     "cur_winnowing" ->
@@ -6713,10 +6889,10 @@ object SparkEntry {
 
     "rmat_sql" ->
       """WITH lv AS (SELECT i AS id, l FROM range(2000) t(i), range(8) u(l)),
-         dr AS (SELECT id, l,
-           ((id*131 + l*40503 + 42) % 2147483648)
-             * 2654435761 % 2147483648 % 100 AS r
-           FROM lv),
+         vp AS (SELECT id, l, (id*40503 + l*131 + 42) % 2147483647 AS v
+                FROM lv),
+         q1 AS (SELECT id, l, (v*(v+3)) % 2147483647 AS q FROM vp),
+         dr AS (SELECT id, l, ((q*(q+7)) % 2147483647) % 100 AS r FROM q1),
          bits AS (SELECT id, l,
            CASE WHEN r < 76 THEN 0 ELSE 1 END AS sb,
            CASE WHEN r < 57 THEN 0 WHEN r < 76 THEN 1
@@ -6756,6 +6932,7 @@ object SparkEntry {
     "rectangles_sql_graph" -> rectanglesSqlOracle,
     "rich_club_sql_graph" -> richClubSqlOracle,
     "modrefine_sql_graph" -> modRefineSqlOracle(2),
+    "modrefine_gamma_sql_graph" -> modRefineSqlOracle(2, gn = 2L),
     "louvain_sql_graph" -> louvainSqlOracle(2),
     "leiden_sql_graph" -> leidenSqlOracle(2),
     "kcore_sql_graph" -> kCoreSqlOracle(4, 11),
@@ -6915,6 +7092,7 @@ object SparkEntry {
     "reciprocity_sql_graph" -> reciprocitySqlOracle,
     "degree_hist_sql_graph" -> degreeHistSqlOracle,
     "tri_vertex_sql_graph" -> triVertexSqlOracle,
+    "oddball_scores" -> oddballSqlOracle,
 
     "tri_sql_graph" ->
       """WITH r AS (SELECT range AS i FROM range(1500)),
@@ -7007,6 +7185,24 @@ object SparkEntry {
                 ci AS chunk_index,
                 CAST(nc AS INT) AS n_chars
          FROM x WHERE ci = 0 OR nc >= 100""",
+
+    "val_chunk_article_mapping" ->
+      """WITH d AS (SELECT doc_id, repeat(text, 8) AS text FROM documents),
+         w AS (SELECT doc_id, text, length(text) AS len,
+                 CASE WHEN length(text) <= 1500 THEN 1
+                      ELSE CAST(ceil((length(text) - 64) / 448.0) AS INT) END AS nw
+               FROM d),
+         c AS (SELECT doc_id, text, len,
+                 CAST(unnest(generate_series(0, nw - 1)) AS INT) AS ci FROM w),
+         x AS (SELECT doc_id, ci,
+                 length(CASE WHEN len <= 1500 THEN text
+                        ELSE substring(text, ci * 448 + 1, 512) END) AS nc
+               FROM c),
+         ch AS (SELECT CAST(doc_id AS VARCHAR) AS article_id, ci AS chunk_index
+                FROM x WHERE (ci = 0 OR nc >= 100) AND (doc_id + ci) % 5 = 0)
+         SELECT article_id || '#' || chunk_index AS chunk_element_id,
+                article_id, chunk_index
+         FROM ch ORDER BY article_id, chunk_index LIMIT 100""",
 
     "m11_w1_chunk_repair" ->
       """WITH d AS (SELECT doc_id, repeat(text, 8) AS text FROM documents),
@@ -7221,6 +7417,24 @@ object SparkEntry {
          FROM p GROUP BY tok
          ORDER BY occurrences DESC, tok LIMIT 50""",
 
+    // Clauset–Shalizi–Newman discrete-MLE closed form: alpha = 1 +
+    // n / Σ ln(f / (fmin − ½)). One transcendental per type, one sum;
+    // the 6dp round on both engines seals the summation-order and
+    // libm-ulp drift (the PageRank-twin discipline applied to ln).
+    "stats_zipf_alpha" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             t -> t <> '')) AS tok
+           FROM documents),
+         fr AS (SELECT count(*) AS f FROM toks GROUP BY tok),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   sum(ln(f / 4.5)) AS s
+                 FROM fr WHERE f >= 5)
+         SELECT n_types, CAST(5 AS BIGINT) AS fmin,
+           CASE WHEN n_types > 0 AND s > 0 THEN round(1.0 + n_types / s, 6)
+                ELSE NULL END AS alpha
+         FROM agg""",
+
     "stats_lang_profile" ->
       """WITH toks AS (
            SELECT lang, text,
@@ -7309,6 +7523,8 @@ object SparkEntry {
          FROM allp GROUP BY 1, 2
          ORDER BY pair_count DESC, left_sym, right_sym
          LIMIT 30""",
+
+    "bpe_merges" -> bpeMergesSqlOracle(8),
 
     "text_repetition_filter" ->
       """WITH d AS (
@@ -7513,7 +7729,7 @@ object SparkEntry {
          canon AS (SELECT label, min(id) AS community FROM l3 GROUP BY label),
          lab AS (SELECT l.id, c.community FROM l3 l JOIN canon c ON l.label = c.label)
          SELECT lab.community, count(*) AS member_count,
-                list_sort(list(e.name)) AS members
+                list_aggr(list_sort(list(e.name)), 'string_agg', '|') AS members
          FROM lab JOIN aents e ON lab.id = e.id
          GROUP BY lab.community
          HAVING count(*) >= 3""",
@@ -7745,6 +7961,30 @@ object SparkEntry {
            round((n - strlen(regexp_replace(text, '[\x60-\x6f]', '', 'g')))::DOUBLE
                  / greatest(n, 1)::DOUBLE, 6) AS h6
          FROM m""",
+
+    // analytic replay of the PNG round-trip: the histogram a LOSSLESS
+    // encode+decode must reproduce, computed straight from the pixel
+    // formula (d·7 + x·13 + y·31) mod 256 over the doc's w×h grid
+    "mm_png_decode" ->
+      """WITH px AS (
+           SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+           FROM documents WHERE doc_id < 200),
+         g AS (
+           SELECT doc_id, w, h,
+             ((doc_id*7 + x*13 + y*31) % 256) // 16 AS b
+           FROM px, unnest(generate_series(0, CAST(w - 1 AS INT))) t(x),
+                unnest(generate_series(0, CAST(h - 1 AS INT))) u(y)),
+         hist AS (
+           SELECT doc_id, w, h, b, CAST(count(*) AS BIGINT) AS c
+           FROM g GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(coalesce(max(CASE WHEN b = 0 THEN c END), 0)
+                 / CAST(w * h AS DOUBLE), 6) AS h0,
+           round(coalesce(max(CASE WHEN b = 7 THEN c END), 0)
+                 / CAST(w * h AS DOUBLE), 6) AS h7,
+           round(coalesce(max(CASE WHEN b = 15 THEN c END), 0)
+                 / CAST(w * h AS DOUBLE), 6) AS h15
+         FROM hist GROUP BY doc_id, w, h""",
 
     "a8_modularity" -> "" // rows-only (ScalaTest + mod_sql_graph cover it)
   ).filter(_._2.nonEmpty)

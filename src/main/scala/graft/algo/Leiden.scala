@@ -20,14 +20,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Leiden {
 
-  /** Same contract as [[Louvain.run]], with `connectSplit` on. */
+  /** Same contract as [[Louvain.run]], with `connectSplit` on.
+    * `gammaNum`/`gammaDen` expose leidenalg's RB-configuration
+    * resolution parameter as an exact rational (γ = 1 default =
+    * classic modularity, bit-identical to the pre-knob behavior).
+    */
   def run(spark: SparkSession,
           symEdges: DataFrame,
           numPartitions: Int = 32,
           maxLevels: Int = 4,
           roundsPerLevel: Int = 4,
           weighted: Boolean = false,
-          vertices: Option[DataFrame] = None): Louvain.Result =
+          vertices: Option[DataFrame] = None,
+          gammaNum: Long = 1L,
+          gammaDen: Long = 1L): Louvain.Result =
     Louvain.run(spark, symEdges, numPartitions, maxLevels, roundsPerLevel,
-      weighted, vertices, connectSplit = true)
+      weighted, vertices, connectSplit = true,
+      gammaNum = gammaNum, gammaDen = gammaDen)
 }

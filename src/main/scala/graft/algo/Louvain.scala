@@ -119,7 +119,9 @@ object Louvain {
           roundsPerLevel: Int = 4,
           weighted: Boolean = false,
           vertices: Option[DataFrame] = None,
-          connectSplit: Boolean = false): Result = {
+          connectSplit: Boolean = false,
+          gammaNum: Long = 1L,
+          gammaDen: Long = 1L): Result = {
 
     val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val wcol = if (weighted) col("w").cast("long") else lit(1L)
@@ -140,7 +142,7 @@ object Louvain {
       // check) and this eager checkpoint materializes it
       val rr = ModularityRefine.run(spark, edges, singletons,
         numPartitions, maxRounds = roundsPerLevel, weighted = true,
-        earlyStop = false)
+        earlyStop = false, gammaNum = gammaNum, gammaDen = gammaDen)
       val moved = Superstep.freshCheckpoint(rr.labels, eager = true)
       rr.cleanup()
       val refined =

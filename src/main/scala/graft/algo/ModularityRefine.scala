@@ -77,7 +77,19 @@ object ModularityRefine {
           numPartitions: Int = 32,
           maxRounds: Int = 10,
           weighted: Boolean = false,
-          earlyStop: Boolean = true): Result = Superstep.withoutAQE(spark) {
+          earlyStop: Boolean = true,
+          gammaNum: Long = 1L,
+          gammaDen: Long = 1L): Result = Superstep.withoutAQE(spark) {
+    // RB-configuration resolution γ = gammaNum/gammaDen (leidenalg's
+    // RBConfigurationVertexPartition(resolution_parameter=γ),
+    // community_detection.py:85-93): the move argmax compares
+    // γDen·2m·k_{i,C} − γNum·k_i·(tot_C − δ) — a RATIONAL γ keeps the
+    // score integer-exact (γ = 1 is bit-identical to the classic
+    // modularity argmax). Higher γ → smaller communities. Keep
+    // γNum·γDen small: the score's overflow headroom shrinks by
+    // log₂(γNum·γDen) bits.
+    require(gammaNum >= 1 && gammaDen >= 1 && gammaNum * gammaDen <= 1024,
+      s"resolution must be a small positive rational, got $gammaNum/$gammaDen")
 
     val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val wcol = if (weighted) col("w").cast("long") else lit(1L)
@@ -105,7 +117,8 @@ object ModularityRefine {
       // action materializes it): resets the inherited-stats chain that
       // otherwise grows exponentially with rounds
       val next = Superstep.freshCheckpoint(
-        scoreRound(e, labels, deg, twoM, numPartitions, round % 2),
+        scoreRound(e, labels, deg, twoM, numPartitions, round % 2,
+          gammaNum, gammaDen),
         eager = false)
 
       if (earlyStop) {
@@ -151,7 +164,9 @@ object ModularityRefine {
                                deg: DataFrame,
                                twoM: Long,
                                numPartitions: Int,
-                               phase: Int): DataFrame = {
+                               phase: Int,
+                               gammaNum: Long = 1L,
+                               gammaDen: Long = 1L): DataFrame = {
     // per-vertex state (id, cur, k, tot_cur): labels ⨝ deg is
     // exchange-free (both hash-partitioned by id); the community-total
     // join costs two skinny O(n) exchanges (by cur and back by id)
@@ -191,8 +206,8 @@ object ModularityRefine {
 
     val scored = cand
       .select(col("id"), col("cand"),
-        (lit(twoM) * col("kic") -
-          col("k") * (col("tot") -
+        (lit(gammaDen) * lit(twoM) * col("kic") -
+          lit(gammaNum) * col("k") * (col("tot") -
             when(col("cand") === col("cur"), col("k"))
               .otherwise(lit(0L)))).as("s"),
         when(col("cand") === col("cur"), lit(1L)).otherwise(lit(0L))

@@ -81,19 +81,23 @@ object Curation {
       .select(col("doc_id"), col("gpos").as("pos"),
         pmod(pmod(col("psum"), lit(2147483648L)) * lit(2654435761L),
           lit(2147483648L)).as("gh"))
-    // (gh, pos) packed into one BIGINT (gh < 2³¹, pos < 2²¹ — ample
-    // for any document) so the frame min is a plain long min with the
-    // leftmost-tie rule built in; engine-shared
+    // (gh, pos) packed into one BIGINT so the frame min is a plain
+    // long min with the leftmost-tie rule built in; engine-shared.
+    // Field widths: gh < 2³¹, pos < 2³² — max key is exactly
+    // Long.MaxValue, and pos is structurally < 2³¹ (posexplode over a
+    // JVM array caps positions at Int.MaxValue), so no document length
+    // can silently corrupt the pack (ADVICE r3: the old 2²¹ pos field
+    // overflowed past 2,097,152 tokens — plausible at crawl scale).
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val key = col("gh") * lit(2097152L) + col("pos")
+    val key = col("gh") * lit(4294967296L) + col("pos")
     gram
       .select(col("doc_id"),
         min(key).over(win).as("m"),
         count(lit(1)).over(win).as("wlen"))
       .filter(col("wlen") === w) // full windows only
-      .select(col("doc_id"), pmod(col("m"), lit(2097152L)).as("pos"),
-        shiftright(col("m"), 21).as("fp"))
+      .select(col("doc_id"), pmod(col("m"), lit(4294967296L)).as("pos"),
+        shiftright(col("m"), 32).as("fp"))
       .distinct()
   }
 

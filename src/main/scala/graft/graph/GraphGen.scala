@@ -35,10 +35,18 @@ object GraphGen {
     require(a + b + c + d == denom, s"quadrants must sum to denom=$denom")
     require(scale >= 1 && scale <= 40, s"scale out of range: $scale")
 
-    // 31-bit mixer over (edge, level, salt), reduced mod denom
-    def draw(id: Column, l: Column): Column =
-      pmod(pmod(id * lit(131L) + l * lit(40503L) + lit(salt),
-        lit(2147483648L)) * lit(2654435761L), lit(2147483648L)) % lit(denom)
+    // Non-linear per-(edge, level) draw: the Mis double-quadratic
+    // scramble mod 2³¹−1 (every operand < 2⁶², exact in any 64-bit
+    // engine). An affine mixer here leaves one edge's level draws on a
+    // fixed arithmetic progression — quadrant picks correlate and the
+    // degree skew stops matching true R-MAT statistics (ADVICE r3).
+    def draw(id: Column, l: Column): Column = {
+      val P = 2147483647L // 2^31 - 1
+      val vp = pmod(id * lit(40503L) + l * lit(131L) + lit(salt), lit(P))
+      val q1 = pmod(vp * (vp + lit(3L)), lit(P))
+      val q2 = pmod(q1 * (q1 + lit(7L)), lit(P))
+      q2 % lit(denom)
+    }
 
     // quadrant -> (srcBit, dstBit): a=(0,0), b=(0,1), c=(1,0), d=(1,1)
     def srcBit(r: Column): Column =

@@ -35,9 +35,31 @@ object Kmeans {
           scale: Long = 100000L,
           seeds: Option[Seq[Long]] = None): Result = {
     require(k >= 1 && iters >= 0, s"bad k=$k / iters=$iters")
+    require(k <= 1048576, s"k=$k exceeds the 2^20 cluster-id pack field")
     val pts = vecs
       .select(col(idCol).as("id"), Coreset.intVec(col(vecCol), scale).as("iv"))
       .localCheckpoint(true)
+
+    // Fail fast on pack overflow (ADVICE r3): the argmin key is
+    // dist_sq * 2^20 + cluster, and dist_sq ≤ dims · (2·max|iv|)² (the
+    // worst case between a point and a grid centroid, both bounded by
+    // the data's own max component). Unnormalized embeddings or high
+    // dims would otherwise WRAP silently in Spark's long arithmetic
+    // and mis-assign clusters. One skinny agg over the checkpointed
+    // points — driver-side, once per run.
+    val bound = pts.agg(
+      max(size(col("iv"))).as("dims"),
+      max(aggregate(col("iv"), lit(0L),
+        (a, v) => greatest(a, abs(v)))).as("maxAbs")).first()
+    if (!bound.isNullAt(0)) {
+      val dims = bound.getInt(0).toLong
+      val maxAbs = bound.getLong(1)
+      require(
+        BigInt(dims) * (BigInt(2) * maxAbs).pow(2) * BigInt(1048576) +
+          k <= BigInt(Long.MaxValue),
+        s"argmin pack overflow: dims=$dims max|iv|=$maxAbs at scale=" +
+          s"$scale — lower `scale` or reduce dimensionality")
+    }
 
     val seedIds = seeds.getOrElse(
       pts.select(col("id")).orderBy(col("id")).limit(k)
@@ -103,6 +125,11 @@ object Kmeans {
   def quality(vecs: DataFrame, k: Int, iters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               scale: Long = 100000L): DataFrame = {
+    // the silhouette b-term reads the SECOND-nearest centroid — with
+    // k = 1 (or centroids collapsing to < 2 distinct) it would be a
+    // silent NULL instead of a score (ADVICE r3)
+    require(k >= 2, s"quality() needs k >= 2 for the nearest-other " +
+      s"centroid term, got k=$k")
     val res = run(vecs, k, iters, idCol, vecCol, scale)
     val cents = res.centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)

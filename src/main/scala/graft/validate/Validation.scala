@@ -225,6 +225,23 @@ object Validation {
     entityAgg.crossJoin(pluralAgg)
   }
 
+  /** get_chunk_article_mapping (validation/queries.py:587-612): chunks
+    * still missing a chunk_id, with their article and index — the
+    * worklist M-12 chunk_id synthesis consumes. Neo4j's elementId(c)
+    * has no Spark analog; the deterministic surrogate is
+    * article_id#index (unique per chunk by construction). Top-`limit`
+    * by (article_id, chunk_index), matching the reference's ORDER BY +
+    * LIMIT — a TakeOrderedAndProject, no full sort at scale.
+    */
+  def chunkArticleMapping(chunks: DataFrame, limit: Int = 100): DataFrame =
+    chunks.filter(col("chunk_id").isNull)
+      .select(
+        concat(col("article_id"), lit("#"), col("chunk_index"))
+          .as("chunk_element_id"),
+        col("article_id"), col("chunk_index"))
+      .orderBy(col("article_id"), col("chunk_index"))
+      .limit(limit)
+
   /** Run everything (chunks/mentionedIn/articles optional). With an
     * article table present, the orphan-chunk check (queries.py:53-57)
     * is the real FROM_ARTICLE anti-join via Supplementary; without it,

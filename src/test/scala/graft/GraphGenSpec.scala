@@ -10,10 +10,13 @@ class GraphGenSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def refEdge(i: Long, scale: Int, salt: Long = 42L): (Long, Long) = {
+    val P = 2147483647L
     var s = 0L; var d = 0L
     for (l <- 0 until scale) {
-      val r = ((i * 131 + l * 40503 + salt) % 2147483648L) *
-        2654435761L % 2147483648L % 100L
+      val vp = (i * 40503L + l * 131L + salt) % P
+      val q1 = vp * (vp + 3L) % P
+      val q2 = q1 * (q1 + 7L) % P
+      val r = q2 % 100L
       s = s * 2 + (if (r < 76) 0 else 1)
       d = d * 2 + (if (r < 57) 0 else if (r < 76) 1 else if (r < 95) 0 else 1)
     }
@@ -35,8 +38,12 @@ class GraphGenSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.avg("count")).head()
     val (mx, mean) = (stats.getLong(0), stats.getDouble(1))
     assert(mx > 5 * mean, s"expected power-law skew, max=$mx mean=$mean")
-    // self-similar concentration: far fewer occupied vertices than 2^scale
-    assert(deg.count() < (1L << 12) / 4,
+    // self-similar concentration: uniform endpoints at 40k draws over
+    // 4096 ids would occupy ~all of them (1 − e^(−9.77) ≈ 99.99%);
+    // Graph500 quadrants with INDEPENDENT per-level draws occupy well
+    // under 3/4 (the old correlated affine mixer concentrated harder —
+    // an artifact of exactly the correlation ADVICE r3 flagged)
+    assert(deg.count() < (1L << 12) * 3 / 4,
       "R-MAT should concentrate mass in a fraction of the id space")
   }
 
