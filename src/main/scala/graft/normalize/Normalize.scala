@@ -121,6 +121,17 @@ object Normalize {
     // the aggregation entirely: their rows are already canonical, and
     // re-sorting every untouched (≤1000-element) span array through
     // cappedUnion was the stage's dominant CPU cost.
+    //
+    // Measured alternative (r4): a dup-proportional form — map-side-
+    // combined (label,name,minId) agg → broadcast the duplicated keys →
+    // anti/inner join so only dup-group members re-shuffle — was built
+    // and A/B-profiled at sf0.1: 3.8 s (window) vs 4.5 s, because the
+    // upstream snapshot is a local checkpoint whose wide array rows
+    // make THREE rescans cost more than ONE in-memory shuffle. On a
+    // disaggregated cluster where rescans hit remote storage the
+    // trade-off flips only if the dedup input is not already cached;
+    // fullChain checkpoints every stage boundary, so the window form
+    // is the right default at both scales.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"), col("name"))
     val tagged = s.entities
       .withColumn("canonId", min(col("id")).over(w))
@@ -158,6 +169,7 @@ object Normalize {
 
     // single shuffle on name: group size and the winning (rank, id) come
     // from window functions; the groupBy below reuses the partitioning
+    // (the dup-proportional alternative lost the r4 A/B — see M-2)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("name"))
     val tagged = s.entities.withColumn("rank", rank)
       .withColumn("cnt", count(lit(1)).over(w))
@@ -261,8 +273,17 @@ object Normalize {
           lit(null).cast("string").as("canonical"), lit(0).as("ord"),
           lit("generic").as("kind")))
 
+    // Length-band prune before the quadratic scorer: indel distance is
+    // at least |l1 − l2|, so the ratio is bounded by
+    // 200·min(l1,l2)/(l1+l2). Pairs below the lowest threshold any
+    // branch uses (75) can never classify and are dropped inside the
+    // same codegen stage, before indel_ratio runs — the argmax over
+    // the survivors is unchanged whenever any branch fires, because
+    // every pair scoring ≥ 75 survives the prune.
     val best = industries.select(col("id"), lower(col("name")).as("n"))
       .crossJoin(broadcast(vocabAll))
+      .filter(lit(200) * least(length(col("n")), length(col("variant"))) >=
+        lit(75) * (length(col("n")) + length(col("variant"))))
       .withColumn("score", indel_ratio(col("n"), col("variant")))
       .groupBy(col("id"))
       .agg(
