@@ -17,7 +17,7 @@ import graft.graph.{GraphOps, Supplementary}
 import graft.multimodal.Multimodal
 import graft.normalize.{GlossaryLinker, Normalize, Vocab}
 import graft.normalize.Normalize.Snapshot
-import graft.sim.Similarity
+import graft.sim.{KnnGraph, Similarity}
 import graft.text.TextOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1765,6 +1765,15 @@ object SparkEntry {
       Similarity.ivfTopK(emb, centroids, queries, k = 5, nProbe = 4)
     }),
 
+    "knn_graph_sql" -> ((s, d) =>
+      // NN-Descent k-NN graph over the embeddings — the batch HNSW
+      // counterpart (SURVEY §1.3); exact-BIGINT distances, fully
+      // deterministic, 2 rounds engine-replayable
+      KnnGraph.run(s, s.read.parquet(t(d, "embeddings")), k = 6, rounds = 2)
+        .neighbors
+        .select(col("src").as("vec_id"), col("dst").as("nn_id"),
+          col("d").as("dist_sq"))),
+
     // ── text analysis ──
     "text_language_id" -> ((s, d) =>
       s.read.parquet(t(d, "documents"))
@@ -3125,6 +3134,67 @@ object SparkEntry {
     * the HALF_UP grid re-round; empty clusters coalesce to their
     * previous centroid. MATERIALIZED throughout.
     */
+  /** NN-Descent twin: the identical deterministic pipeline — scrambled
+    * init partners, capped reverse lists, neighbor-of-neighbor pairs,
+    * exact-BIGINT distances, (d, id)-ordered top-k — unrolled per
+    * round. All integer; the only windows run over the ≤(k+revCap)-row
+    * per-vertex candidate lists.
+    */
+  private def knnGraphSqlOracle(k: Int, rounds: Int, revCap: Int): String = {
+    val dist = """CROSS JOIN LATERAL (SELECT CAST(list_sum(list_transform(
+          range(1, len(va.iv)+1),
+          i -> (va.iv[i]-vb.iv[i])*(va.iv[i]-vb.iv[i]))) AS BIGINT) AS d) dd"""
+    def roundSql(t: Int): String = {
+      val T = t + 1
+      s""",
+       rev$T AS (
+         SELECT v2 AS src, u2 AS dst, d FROM (
+           SELECT dst AS v2, src AS u2, d,
+             row_number() OVER (PARTITION BY dst ORDER BY d, src) AS rn
+           FROM nb$t) WHERE rn <= $revCap),
+       adj$T AS (SELECT DISTINCT src AS v, dst AS u FROM
+         (SELECT src, dst FROM nb$t UNION ALL SELECT src, dst FROM rev$T)),
+       pr$T AS (SELECT DISTINCT x.u AS a, y.u AS b
+         FROM adj$T x JOIN adj$T y ON x.v = y.v AND x.u < y.u),
+       ne$T AS MATERIALIZED (
+         SELECT p.a, p.b, dd.d
+         FROM pr$T p JOIN v va ON va.id = p.a JOIN v vb ON vb.id = p.b
+         $dist),
+       nb$T AS MATERIALIZED (
+         SELECT src, dst, d FROM (
+           SELECT src, dst, d,
+             row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+           FROM (SELECT DISTINCT src, dst, d FROM (
+             SELECT src, dst, d FROM nb$t
+             UNION ALL SELECT a AS src, b AS dst, d FROM ne$T
+             UNION ALL SELECT b AS src, a AS dst, d FROM ne$T)))
+         WHERE rn <= $k)"""
+    }
+    val steps = (0 until rounds).map(roundSql).mkString
+    s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE)*100000) AS BIGINT)) AS iv
+         FROM embeddings),
+       nn AS (SELECT count(*) AS n FROM v),
+       i0 AS (SELECT v.id AS a,
+           ((v.id*1000003 + j.j) % 2147483647) AS vp
+         FROM v CROSS JOIN
+           (SELECT unnest(generate_series(0, $k - 1)) AS j) j),
+       i1 AS (SELECT a, (vp*(vp+3)) % 2147483647 AS q1 FROM i0),
+       i2 AS (SELECT a, (q1*(q1+7)) % 2147483647 AS q2 FROM i1),
+       ie AS (SELECT DISTINCT a,
+           (a + 1 + q2 % ((SELECT n FROM nn) - 1)) % (SELECT n FROM nn) AS b
+         FROM i2),
+       nb0 AS MATERIALIZED (
+         SELECT src, dst, d FROM (
+           SELECT e.a AS src, e.b AS dst, dd.d,
+             row_number() OVER (PARTITION BY e.a ORDER BY dd.d, e.b) AS rn
+           FROM ie e JOIN v va ON va.id = e.a JOIN v vb ON vb.id = e.b
+           $dist)
+         WHERE rn <= $k)$steps
+       SELECT src AS vec_id, dst AS nn_id, d AS dist_sq FROM nb$rounds"""
+  }
+
   private def kmeansSqlOracle(k: Int, iters: Int): String = {
     def iterSql(t: Int): String = s""",
        a${t + 1} AS MATERIALIZED (
@@ -6779,6 +6849,8 @@ object SparkEntry {
     "lpa_sql_graph" -> lpaSqlOracle(3),
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "kcenter_assign_sql" -> kcenterSqlOracle(4),
+    "knn_graph_sql" -> knnGraphSqlOracle(6, 2, 6),
+
     "kmeans_assign_sql" -> kmeansSqlOracle(4, 2),
     "cur_cluster_sample" -> (kmeansSqlOracle(4, 2)
       .replace(

@@ -1,0 +1,136 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate k-NN graph construction by NN-Descent (Dong, Charikar,
+  * Li, "Efficient k-nearest neighbor graph construction for generic
+  * similarity measures", WWW 2011) — the batch answer to the
+  * reference's HNSW vector index (`graph/constraints.py:289-364`).
+  * HNSW is a sequential pointer-chasing insert loop; NN-Descent
+  * reaches the same "a neighbor of a neighbor is likely a neighbor"
+  * fixed point with nothing but joins and bounded per-key top-k
+  * aggregations, which is the form that distributes. The k-NN graph
+  * is also a first-class curation artifact itself (semantic-dup
+  * clustering, diversity sampling, label propagation over items).
+  *
+  * Scale shape, per round:
+  *   - reverse lists capped at `revCap` by a (d, id)-lexicographic
+  *     bounded selection, so a hub that half the corpus points at
+  *     contributes `revCap` candidates, not its full fan-in;
+  *   - candidate pairs come from ONE vertex-keyed self-join of the
+  *     ≤ (k + revCap)-row adjacency — Σ_v C(k+revCap, 2) pairs total,
+  *     never all-pairs;
+  *   - each new pair costs ONE exact-BIGINT squared-L2 evaluation
+  *     (components integerized once at the 1e-5 grain, the
+  *     Kmeans/Coreset parity discipline), so ordering is
+  *     bit-deterministic — no fp comparison anywhere;
+  *   - the merge is a per-key top-k over ≤ k + C(k+revCap, 2) rows
+  *     (array_sort + slice inside one aggregate — no window, no
+  *     global sort), ties broken by neighbor id.
+  *
+  * Determinism: the init lists come from the same double-quadratic
+  * scramble the samplers use ([[graft.graph.GraphOps.sampleKeep]]),
+  * so the whole run — init, candidate generation, selection — is a
+  * pure function of (ids, vectors, k, rounds, revCap) at any
+  * parallelism, and the DuckDB twin replays it exactly.
+  *
+  * Contract: ids must be 0..n−1 (the synthetic `vec_id` already is;
+  * rank once if yours are not). Convergence: the paper measures
+  * ≳90 % recall within 4-6 rounds on real embeddings; rounds is a
+  * fixed budget here, engine-replayable.
+  */
+object KnnGraph {
+
+  /** @param neighbors (src, dst, d) — k rows per src, d = exact
+    *   integerized squared L2 distance, ascending (d, dst) per src.
+    */
+  final case class Result(neighbors: DataFrame, rounds: Int)
+
+  private val P = 2147483647L // 2^31 − 1, the sampler prime
+
+  private def scramble(key: Column): Column = {
+    val vp = pmod(key, lit(P))
+    val q1 = pmod(vp * (vp + lit(3L)), lit(P))
+    pmod(q1 * (q1 + lit(7L)), lit(P))
+  }
+
+  /** Bounded per-src top-k by (d, dst): collect_set dedupes, the sort
+    * is total (distances are exact integers), slice caps. Group state
+    * is O(candidates per src) = O((k + revCap)²), independent of n.
+    */
+  private def topPerSrc(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy(col("src"))
+      .agg(slice(array_sort(collect_set(struct(col("d"), col("dst")))),
+        1, k).as("nn"))
+      .select(col("src"), explode(col("nn")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.d").as("d"))
+
+  private def withDist(pairs: DataFrame, pts: DataFrame): DataFrame =
+    pairs
+      .join(pts.select(col("id").as("a"), col("iv").as("iva")), Seq("a"))
+      .join(pts.select(col("id").as("b"), col("iv").as("ivb")), Seq("b"))
+      .select(col("a"), col("b"), Coreset.sqDist(col("iva"), col("ivb")).as("d"))
+
+  def run(spark: SparkSession, corpus: DataFrame, k: Int, rounds: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding",
+          scale: Long = 100000L, revCapOpt: Option[Int] = None): Result = {
+    require(k >= 1 && rounds >= 0, s"bad k=$k / rounds=$rounds")
+    val revCap = revCapOpt.getOrElse(k)
+    require(revCap >= 1, s"bad revCap=$revCap")
+
+    val pts = corpus
+      .select(col(idCol).cast("long").as("id"),
+        Coreset.intVec(col(vecCol), scale).as("iv"))
+      .localCheckpoint(true)
+
+    // one driver action: n for the init arithmetic + the same pack
+    // overflow guard as Kmeans (sqDist must stay exact in a BIGINT)
+    val Array(nRow) = pts.agg(
+      count(lit(1)).as("n"), max(size(col("iv"))).as("dims"),
+      max(aggregate(col("iv"), lit(0L),
+        (acc, x) => greatest(acc, abs(x)))).as("maxAbs")).collect()
+    val n = nRow.getLong(0)
+    val dims = nRow.getInt(1)
+    val maxAbs = nRow.getLong(2)
+    require(n >= 2 && k < n, s"need 2 <= k+1 <= n, got k=$k n=$n")
+    require(dims.toLong * 4L * maxAbs * maxAbs > 0 &&
+      dims.toLong * 4L * maxAbs * maxAbs < Long.MaxValue,
+      s"sqDist overflow: dims=$dims max|iv|=$maxAbs at scale=$scale")
+
+    // init: k deterministic pseudo-random partners per vertex,
+    // u = (v + 1 + scramble(v·1000003 + j) mod (n−1)) mod n  — never v
+    val js = spark.range(k).select(col("id").as("j"))
+    val init = pts.select(col("id"))
+      .crossJoin(broadcast(js))
+      .select(col("id").as("a"),
+        pmod(col("id") + lit(1L) +
+          pmod(scramble(col("id") * lit(1000003L) + col("j")), lit(n - 1)),
+          lit(n)).as("b"))
+      .distinct()
+    var nb = topPerSrc(
+      withDist(init, pts).select(col("a").as("src"), col("b").as("dst"), col("d")),
+      k).localCheckpoint(false)
+
+    for (_ <- 1 to rounds) {
+      // reverse lists, capped to revCap by the same (d, id) order
+      val revc = topPerSrc(
+        nb.select(col("dst").as("src"), col("src").as("dst"), col("d")),
+        revCap)
+      val adj = nb.select(col("src").as("v"), col("dst").as("u"))
+        .unionByName(revc.select(col("src").as("v"), col("dst").as("u")))
+        .distinct()
+      val pairs = adj.as("x")
+        .join(adj.as("y"), col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+        .select(col("x.u").as("a"), col("y.u").as("b"))
+        .distinct()
+      val newEdges = withDist(pairs, pts)
+      val cand = nb.unionByName(
+        newEdges.select(col("a").as("src"), col("b").as("dst"), col("d"))
+          .unionByName(newEdges.select(col("b").as("src"), col("a").as("dst"),
+            col("d"))))
+      nb = topPerSrc(cand, k).localCheckpoint(false)
+    }
+    Result(nb, rounds)
+  }
+}
