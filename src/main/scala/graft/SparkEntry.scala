@@ -1774,6 +1774,16 @@ object SparkEntry {
         .select(col("src").as("vec_id"), col("dst").as("nn_id"),
           col("d").as("dist_sq"))),
 
+    "knn_search_sql" -> ((s, d) => {
+      // greedy beam search over the NN-Descent graph — the HNSW
+      // query-side analog (S6 `db.index.vector.queryNodes`)
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val g = KnnGraph.run(s, emb, k = 6, rounds = 2)
+      KnnGraph.search(emb, g.neighbors,
+        emb.filter(pmod(col("vec_id"), lit(100L)) === 0),
+        k = 5, beam = 10, rounds = 4)
+    }),
+
     // ── text analysis ──
     "text_language_id" -> ((s, d) =>
       s.read.parquet(t(d, "documents"))
@@ -3140,7 +3150,59 @@ object SparkEntry {
     * round. All integer; the only windows run over the ≤(k+revCap)-row
     * per-vertex candidate lists.
     */
-  private def knnGraphSqlOracle(k: Int, rounds: Int, revCap: Int): String = {
+  private def knnGraphSqlOracle(k: Int, rounds: Int, revCap: Int): String =
+    s"""WITH ${knnGraphCtes(k, rounds, revCap)}
+       SELECT src AS vec_id, dst AS nn_id, d AS dist_sq FROM nb$rounds"""
+
+  /** Beam-search twin over the same replayed graph: lattice entry
+    * points j·⌊n/beam⌋, per hop expand-the-beam's-graph-neighbors →
+    * exact distances → (d, id)-ordered top-beam, final top-k.
+    */
+  private def knnSearchSqlOracle(gk: Int, gRounds: Int, revCap: Int,
+                                 k: Int, beam: Int, sRounds: Int): String = {
+    val qdist = """CROSS JOIN LATERAL (SELECT CAST(list_sum(list_transform(
+          range(1, len(qy.qiv)+1),
+          i -> (qy.qiv[i]-vb.iv[i])*(qy.qiv[i]-vb.iv[i]))) AS BIGINT) AS d) dd"""
+    def hopSql(t: Int): String = {
+      val T = t + 1
+      s""",
+       ex$T AS (SELECT DISTINCT st.qid, g.dst AS cand
+         FROM st$t st JOIN nb$gRounds g ON g.src = st.cand),
+       sc$T AS (SELECT e.qid, e.cand, dd.d
+         FROM ex$T e JOIN qy ON qy.qid = e.qid JOIN v vb ON vb.id = e.cand
+         $qdist),
+       st$T AS MATERIALIZED (
+         SELECT qid, cand, d FROM (
+           SELECT qid, cand, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, cand) AS rn
+           FROM (SELECT DISTINCT qid, cand, d FROM
+             (SELECT qid, cand, d FROM st$t
+              UNION ALL SELECT qid, cand, d FROM sc$T)))
+         WHERE rn <= $beam)"""
+    }
+    val hops = (0 until sRounds).map(hopSql).mkString
+    s"""WITH ${knnGraphCtes(gk, gRounds, revCap)},
+       qy AS (SELECT id AS qid, iv AS qiv FROM v WHERE id % 100 = 0),
+       sd AS (SELECT CAST(j * ((SELECT n FROM nn) // $beam) AS BIGINT) AS cand
+              FROM (SELECT unnest(generate_series(0, $beam - 1)) AS j)),
+       st0 AS MATERIALIZED (
+         SELECT qid, cand, d FROM (
+           SELECT qy.qid, s.cand, dd.d,
+             row_number() OVER (PARTITION BY qy.qid ORDER BY dd.d, s.cand) AS rn
+           FROM qy CROSS JOIN sd s JOIN v vb ON vb.id = s.cand
+           $qdist)
+         WHERE rn <= $beam)$hops
+       SELECT qid AS query_id, cand AS nn_id, d AS dist_sq FROM (
+         SELECT qid, cand, d,
+           row_number() OVER (PARTITION BY qid ORDER BY d, cand) AS rn
+         FROM st$sRounds)
+       WHERE rn <= $k"""
+  }
+
+  /** Shared CTE chain replaying [[graft.sim.KnnGraph.run]]: `v`
+    * (integerized vectors), `nn` (count), init, and `nb0..nbR`.
+    */
+  private def knnGraphCtes(k: Int, rounds: Int, revCap: Int): String = {
     val dist = """CROSS JOIN LATERAL (SELECT CAST(list_sum(list_transform(
           range(1, len(va.iv)+1),
           i -> (va.iv[i]-vb.iv[i])*(va.iv[i]-vb.iv[i]))) AS BIGINT) AS d) dd"""
@@ -3171,7 +3233,7 @@ object SparkEntry {
          WHERE rn <= $k)"""
     }
     val steps = (0 until rounds).map(roundSql).mkString
-    s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+    s"""v AS MATERIALIZED (SELECT vec_id AS id,
            list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE)*100000) AS BIGINT)) AS iv
          FROM embeddings),
@@ -3191,8 +3253,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY e.a ORDER BY dd.d, e.b) AS rn
            FROM ie e JOIN v va ON va.id = e.a JOIN v vb ON vb.id = e.b
            $dist)
-         WHERE rn <= $k)$steps
-       SELECT src AS vec_id, dst AS nn_id, d AS dist_sq FROM nb$rounds"""
+         WHERE rn <= $k)$steps"""
   }
 
   private def kmeansSqlOracle(k: Int, iters: Int): String = {
@@ -6850,6 +6911,8 @@ object SparkEntry {
     "jp_coloring_sql_graph" -> coloringSqlOracle(3),
     "kcenter_assign_sql" -> kcenterSqlOracle(4),
     "knn_graph_sql" -> knnGraphSqlOracle(6, 2, 6),
+
+    "knn_search_sql" -> knnSearchSqlOracle(6, 2, 6, 5, 10, 4),
 
     "kmeans_assign_sql" -> kmeansSqlOracle(4, 2),
     "cur_cluster_sample" -> (kmeansSqlOracle(4, 2)

@@ -133,4 +133,68 @@ object KnnGraph {
     }
     Result(nb, rounds)
   }
+
+  /** Greedy beam search over a built k-NN graph — the query side of
+    * the HNSW analogy (`db.index.vector.queryNodes`,
+    * `graph/constraints.py:289-364`): from a fixed fan of entry
+    * points, repeatedly expand the current beam's graph neighbors,
+    * score them against the query (exact BIGINT, as in [[run]]), and
+    * keep the best `beam` candidates; after `rounds` hops return each
+    * query's top k. All queries walk in ONE dataflow — per round one
+    * beam⨝graph join (≤ beam·k rows per query), one distance join,
+    * one bounded per-query top-beam — so 10⁶ concurrent queries cost
+    * a wider frame, not a longer pipeline. Entry points are the
+    * deterministic lattice j·⌊n/beam⌋, so search is engine-replayable
+    * end-to-end (no visited-set: re-reached vertices dedupe in the
+    * top-beam, trading a little recompute for stateless rounds).
+    */
+  def search(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+             k: Int, beam: Int, rounds: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "vec_id", scale: Long = 100000L): DataFrame = {
+    require(k >= 1 && beam >= k && rounds >= 0,
+      s"need 1 <= k <= beam, got k=$k beam=$beam rounds=$rounds")
+    val spark = corpus.sparkSession
+    val pts = corpus
+      .select(col(idCol).cast("long").as("id"),
+        Coreset.intVec(col(vecCol), scale).as("iv"))
+      .localCheckpoint(true)
+    val q = queries
+      .select(col(queryIdCol).cast("long").as("qid"),
+        Coreset.intVec(col(vecCol), scale).as("qiv"))
+    val n = pts.count()
+    require(beam <= n, s"beam=$beam exceeds corpus size $n")
+
+    val step = n / beam
+    val seeds = spark.range(beam)
+      .select((col("id") * lit(step)).as("cand")).distinct()
+
+    def score(frontier: DataFrame): DataFrame =
+      frontier
+        .join(pts.select(col("id").as("cand"), col("iv")), Seq("cand"))
+        .join(q, Seq("qid"))
+        .select(col("qid"), col("cand"),
+          Coreset.sqDist(col("qiv"), col("iv")).as("d"))
+
+    def topPerQuery(cand: DataFrame, cap: Int): DataFrame =
+      cand.groupBy(col("qid"))
+        .agg(slice(array_sort(collect_set(struct(col("d"), col("cand")))),
+          1, cap).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("e"))
+        .select(col("qid"), col("e.cand").as("cand"), col("e.d").as("d"))
+
+    var state = topPerQuery(
+      score(q.select(col("qid")).crossJoin(broadcast(seeds))), beam)
+      .localCheckpoint(false)
+    val adj = graph.select(col("src").as("cand"), col("dst"))
+    for (_ <- 1 to rounds) {
+      val expand = state.join(adj, Seq("cand"))
+        .select(col("qid"), col("dst").as("cand")).distinct()
+      state = topPerQuery(state.unionByName(score(expand)), beam)
+        .localCheckpoint(false)
+    }
+    topPerQuery(state, k)
+      .select(col("qid").as("query_id"), col("cand").as("nn_id"),
+        col("d").as("dist_sq"))
+  }
 }

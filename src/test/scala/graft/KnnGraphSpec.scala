@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
 import graft.sim.KnnGraph
 
 /** NN-Descent k-NN graph vs an exact sequential reference, recall
@@ -119,6 +121,66 @@ class KnnGraphSpec extends AnyFunSuite {
       KnnGraph.run(spark, toDf(vecs).repartition(p), k = 3, rounds = 2)
         .neighbors.as[(Long, Long, Long)].collect().sorted.toSeq
     assert(runAt(1) === runAt(7))
+  }
+
+  /** Sequential replay of the greedy beam search. */
+  private def refSearch(vecs: Seq[(Long, Seq[Float])],
+                        graph: Map[Long, Seq[(Long, Long)]],
+                        queryIds: Seq[Long], k: Int, beam: Int,
+                        rounds: Int): Map[Long, Seq[(Long, Long)]] = {
+    val ivs = vecs.map { case (i, v) => i -> iv(v) }.toMap
+    val n = vecs.size.toLong
+    val seeds = (0L until beam.toLong).map(_ * (n / beam)).distinct
+    def top(cand: Seq[(Long, Long)], cap: Int): Seq[(Long, Long)] =
+      cand.distinct.sorted.take(cap)
+    queryIds.map { qid =>
+      val qv = ivs(qid)
+      var state = top(seeds.map(s => (d2(qv, ivs(s)), s)), beam)
+      for (_ <- 1 to rounds) {
+        val expand = state.flatMap { case (_, c) =>
+          graph.getOrElse(c, Nil).map(_._2) }.distinct
+        state = top(state ++ expand.map(u => (d2(qv, ivs(u)), u)), beam)
+      }
+      qid -> top(state, k)
+    }.toMap
+  }
+
+  test("search: exact parity with the sequential reference") {
+    val vecs = (0L until 60L).map(i => i -> blob(i, (i % 3).toInt, 4))
+    val df = toDf(vecs)
+    val g = KnnGraph.run(spark, df, k = 3, rounds = 2)
+    val queryIds = Seq(0L, 17L, 42L)
+    val queries = df.filter(col("vec_id").isin(queryIds: _*))
+    val got = KnnGraph.search(df, g.neighbors, queries,
+      k = 3, beam = 6, rounds = 2)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map { case (_, t, d) => (d, t) }.toSeq.sorted }
+    val refG = refKnn(vecs, k = 3, rounds = 2, revCap = 3)
+    val want = refSearch(vecs, refG, queryIds, k = 3, beam = 6, rounds = 2)
+    assert(got.keySet === want.keySet)
+    for (q <- want.keySet) assert(got(q) === want(q), s"query=$q")
+  }
+
+  test("search: recall vs brute force on separable blobs") {
+    val vecs = (0L until 120L).map(i => i -> blob(i, (i % 3).toInt, 6))
+    val ivs = vecs.map { case (i, v) => i -> iv(v) }.toMap
+    val df = toDf(vecs)
+    val g = KnnGraph.run(spark, df, k = 5, rounds = 3)
+    val queryIds = (0L until 120L by 20L).toSeq
+    val queries = df.filter(col("vec_id").isin(queryIds: _*))
+    val k = 5
+    val exact = queryIds.map { q =>
+      q -> vecs.map { case (j, _) => (d2(ivs(q), ivs(j)), j) }
+        .sorted.take(k).map(_._2).toSet
+    }.toMap
+    val got = KnnGraph.search(df, g.neighbors, queries,
+      k = k, beam = 12, rounds = 5)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recall = queryIds.map { q =>
+      (got(q) intersect exact(q)).size.toDouble / k }.sum / queryIds.size
+    assert(recall >= 0.8, s"recall=$recall")
   }
 
   test("guards: k >= n and bad k rejected") {
