@@ -1774,6 +1774,22 @@ object SparkEntry {
         .select(col("src").as("vec_id"), col("dst").as("nn_id"),
           col("d").as("dist_sq"))),
 
+    "knn_components_sql" -> ((s, d) => {
+      // semantic-dup grouping: threshold the NN-Descent graph at a
+      // distance budget, connected components over the survivors —
+      // the SemDeDup-style composition (graph ∘ threshold ∘ CC), all
+      // three stages individually driver-verified
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val g = KnnGraph.run(s, emb, k = 6, rounds = 2)
+      val e = g.neighbors.filter(col("d") <= lit(13000000000L))
+        .select(col("src"), col("dst"))
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      ConnectedComponents.run(s, sym,
+        Some(emb.select(col("vec_id").as("id"))), parts(s, d))
+        .select(col("id").as("vec_id"), col("component"))
+    }),
+
     "knn_search_sql" -> ((s, d) => {
       // greedy beam search over the NN-Descent graph — the HNSW
       // query-side analog (S6 `db.index.vector.queryNodes`)
@@ -6913,6 +6929,18 @@ object SparkEntry {
     "knn_graph_sql" -> knnGraphSqlOracle(6, 2, 6),
 
     "knn_search_sql" -> knnSearchSqlOracle(6, 2, 6, 5, 10, 4),
+
+    "knn_components_sql" ->
+      s"""WITH RECURSIVE ${knnGraphCtes(6, 2, 6)},
+         eg AS (SELECT src, dst FROM nb2 WHERE d <= 13000000000),
+         sy AS (SELECT src, dst FROM eg
+                UNION SELECT dst, src FROM eg),
+         reach(id, comp) AS (
+           SELECT id, id FROM v
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sy s ON s.src = r.id)
+         SELECT id AS vec_id, min(comp) AS component
+         FROM reach GROUP BY id""",
 
     "kmeans_assign_sql" -> kmeansSqlOracle(4, 2),
     "cur_cluster_sample" -> (kmeansSqlOracle(4, 2)
