@@ -53,6 +53,16 @@ class PlanSpec extends AnyFunSuite {
     assert(logicalWindows(pairs) === 0, "bucket cap must not window-sort the banded entries")
   }
 
+  test("NN-Descent graph + beam search plan with no Window (bounded per-key top-k)") {
+    val g = graft.sim.KnnGraph.run(spark, vecs, k = 3, rounds = 1)
+    assert(logicalWindows(g.neighbors) === 0,
+      "knn merge must be the array_sort+slice aggregate, not a row_number window")
+    val hits = graft.sim.KnnGraph.search(vecs, g.neighbors,
+      vecs.filter(col("vec_id") % 40 === 0), k = 3, beam = 5, rounds = 1)
+    assert(logicalWindows(hits) === 0,
+      "beam selection must be the bounded aggregate, not a window rank")
+  }
+
   test("brute-force top-k plans with no Window (bounded map-side aggregate)") {
     val queries = vecs.filter(col("vec_id") % 40 === 0)
     val topk = Similarity.bruteForceTopK(vecs, queries, k = 3)
