@@ -23,10 +23,22 @@ final class TopKBuffer(val k: Int) extends Serializable {
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def insert(s: Double, id: Long): Unit = {
+    // idempotent on exact (score, id) duplicates: callers may feed the
+    // same scored pair from several branches (NN-Descent's kept list ∪
+    // regenerated candidates), and a duplicate occupying two slots
+    // would evict a genuine k-th entry. The scan shares the loop that
+    // finds the replacement victim, so inserts stay O(k).
+    var dup = false
+    var i = 0
+    while (i < size) {
+      if (scores(i) == s && ids(i) == id) dup = true
+      i += 1
+    }
+    if (dup) return
     if (size < k) { scores(size) = s; ids(size) = id; size += 1 }
     else {
       var w = 0
-      var i = 1
+      i = 1
       while (i < size) {
         if (better(scores(w), ids(w), scores(i), ids(i))) w = i
         i += 1

@@ -22,6 +22,10 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
 
+  /** Allocation-free codegen exact squared L2 of two long vectors. */
+  def sq_dist_long(a: Column, b: Column): Column =
+    bridge.column(SqDistLong(bridge.expression(a), bridge.expression(b)))
+
   /** Merge-scan |A ∩ B| over two sorted long arrays (allocation-free). */
   def sorted_intersect_count(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))

@@ -33,10 +33,14 @@ object Coreset {
   def intVec(vec: Column, scale: Long = 100000L): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact squared L2 distance of two integerized vectors. */
+  /** Exact squared L2 distance of two integerized vectors — the
+    * codegen'd native kernel (same left-to-right BIGINT accumulation
+    * as the old `aggregate(zip_with(...))` form, so values are
+    * bit-identical; the HOF form was a CodegenFallback that dominated
+    * the NN-Descent build cost).
+    */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, d) => acc + d)
+    graft.functions.sq_dist_long(a, b)
 
   /** @param centers (rank, id, dist_sq) — dist_sq is the point's
     *   distance to the previously-selected set at pick time (rank 0 =

@@ -55,16 +55,21 @@ object KnnGraph {
     pmod(q1 * (q1 + lit(7L)), lit(P))
   }
 
-  /** Bounded per-src top-k by (d, dst): collect_set dedupes, the sort
-    * is total (distances are exact integers), slice caps. Group state
-    * is O(candidates per src) = O((k + revCap)²), independent of n.
+  /** Bounded per-src top-k by (d, dst) through the native
+    * [[graft.functions.BoundedTopK]] aggregate with score = −d:
+    * (−d desc, id asc) ≡ (d asc, id asc), partial aggregation bounds
+    * every map-side output to k pairs per group, and the buffer is
+    * idempotent on exact duplicates (≡ the twin's DISTINCT). Exact
+    * because d < 2⁵³ (guarded in [[run]]) is represented losslessly
+    * in the double score.
     */
   private def topPerSrc(cand: DataFrame, k: Int): DataFrame =
     cand.groupBy(col("src"))
-      .agg(slice(array_sort(collect_set(struct(col("d"), col("dst")))),
-        1, k).as("nn"))
+      .agg(graft.functions.bounded_topk(
+        (-col("d")).cast("double"), col("dst"), k).as("nn"))
       .select(col("src"), explode(col("nn")).as("e"))
-      .select(col("src"), col("e.dst").as("dst"), col("e.d").as("d"))
+      .select(col("src"), col("e.id").as("dst"),
+        (-col("e.score")).cast("long").as("d"))
 
   private def withDist(pairs: DataFrame, pts: DataFrame): DataFrame =
     pairs
@@ -94,9 +99,12 @@ object KnnGraph {
     val dims = nRow.getInt(1)
     val maxAbs = nRow.getLong(2)
     require(n >= 2 && k < n, s"need 2 <= k+1 <= n, got k=$k n=$n")
-    require(dims.toLong * 4L * maxAbs * maxAbs > 0 &&
-      dims.toLong * 4L * maxAbs * maxAbs < Long.MaxValue,
-      s"sqDist overflow: dims=$dims max|iv|=$maxAbs at scale=$scale")
+    // 2^53, not 2^63: distances ride the bounded-top-k DOUBLE score
+    // (exactly representable below 2^53); BigInt so the guard itself
+    // cannot wrap before it checks
+    require(BigInt(dims) * 4 * BigInt(maxAbs).pow(2) < BigInt(1L << 53),
+      s"sqDist exceeds 2^53: dims=$dims max|iv|=$maxAbs at scale=$scale" +
+        " — lower `scale` or reduce dimensionality")
 
     // init: k deterministic pseudo-random partners per vertex,
     // u = (v + 1 + scramble(v·1000003 + j) mod (n−1)) mod n  — never v
@@ -120,11 +128,24 @@ object KnnGraph {
       val adj = nb.select(col("src").as("v"), col("dst").as("u"))
         .unionByName(revc.select(col("src").as("v"), col("dst").as("u")))
         .distinct()
-      val pairs = adj.as("x")
-        .join(adj.as("y"), col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-        .select(col("x.u").as("a"), col("y.u").as("b"))
+      // attach vectors to the SKINNY adjacency once (≤ k+revCap rows
+      // per vertex), then self-join on v and score inside the join
+      // stage: the wide vector rows ride ONE exchange (reused for
+      // both join sides) instead of shuffling through two per-pair
+      // joins — at n·C(2k,2) pairs/round that is ~n·2k vector rows
+      // on the wire instead of ~n·k²·2 (200k×64d probe: ~2 GB vs
+      // ~20 GB/round). The local[32]/tmpfs A/B is steal-noise-bound
+      // (157-242 s swings on identical code, BASELINE.md r4); the
+      // byte arithmetic is the cluster-scale argument. A duplicated
+      // pair (several common neighbors) costs a repeated O(dims)
+      // kernel eval instead of a pre-join distinct; the (a, b, d)
+      // distinct after scoring restores set semantics.
+      val adjV = adj.join(pts.select(col("id").as("u"), col("iv")), Seq("u"))
+      val newEdges = adjV.as("x")
+        .join(adjV.as("y"), col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+        .select(col("x.u").as("a"), col("y.u").as("b"),
+          Coreset.sqDist(col("x.iv"), col("y.iv")).as("d"))
         .distinct()
-      val newEdges = withDist(pairs, pts)
       val cand = nb.unionByName(
         newEdges.select(col("a").as("src"), col("b").as("dst"), col("d"))
           .unionByName(newEdges.select(col("b").as("src"), col("a").as("dst"),
@@ -178,10 +199,11 @@ object KnnGraph {
 
     def topPerQuery(cand: DataFrame, cap: Int): DataFrame =
       cand.groupBy(col("qid"))
-        .agg(slice(array_sort(collect_set(struct(col("d"), col("cand")))),
-          1, cap).as("nn"))
+        .agg(graft.functions.bounded_topk(
+          (-col("d")).cast("double"), col("cand"), cap).as("nn"))
         .select(col("qid"), explode(col("nn")).as("e"))
-        .select(col("qid"), col("e.cand").as("cand"), col("e.d").as("d"))
+        .select(col("qid"), col("e.id").as("cand"),
+          (-col("e.score")).cast("long").as("d"))
 
     var state = topPerQuery(
       score(q.select(col("qid")).crossJoin(broadcast(seeds))), beam)
