@@ -469,6 +469,36 @@ object Bench {
       bench(name)(SparkEntry.queries(name)(spark, sfDir).count())
     }
 
+    // ── ANN family (VERDICT r4 #6): NN-Descent build + beam search in
+    //    the DEFAULT suite so regressions hit the bench protocol, not
+    //    just the ProbeKnn main. Vectors synthesized at a small-n size
+    //    (the sf embeddings tables are ≤2k rows — too small to bench);
+    //    NOTE for round-over-round comparison: these two rows are NEW
+    //    in r5 and add to "total" — see BASELINE.md r5.
+    val knnN = sys.env.getOrElse("GRAFT_BENCH_KNN_VECS", "25000").toLong
+    if (knnN > 0) {
+      val dims = 32
+      val vecs = spark.range(knnN).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)),
+          j => (pmod(xxhash64(col("id"), j, lit(7L)), lit(2000001L))
+            .cast("double") / 1e6 - 1.0).cast("float")).as("embedding"))
+        .localCheckpoint(true)
+      vecs.count()
+      val kg = bench[DataFrame]("knn_graph",
+        cleanup = Superstep.freeCheckpoint) {
+        val g = graft.sim.KnnGraph.run(spark, vecs, k = 6, rounds = 2)
+          .neighbors.localCheckpoint(true)
+        g.count(); g
+      }
+      extra += "knn_graph_vectors" -> knnN.toDouble
+      bench("knn_search")(
+        graft.sim.KnnGraph.search(vecs, kg,
+          vecs.filter(pmod(col("vec_id"), lit(50L)) === 0),
+          k = 5, beam = 10, rounds = 4).count())
+      Superstep.freeCheckpoint(kg)
+      vecs.unpersist()
+    }
+
     val total = results.values.sum
     val qs = (results ++ extra).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val runsJson = rawRuns

@@ -42,7 +42,14 @@ case class SqDistLong(left: Expression, right: Expression)
 
 object SqDistLong {
   def dist(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail fast on ragged inputs (ADVICE r4): the old HOF fallback
+    // surfaced a length-mismatch upstream bug as a visible NULL;
+    // silently truncating to the shorter array would instead return a
+    // plausible-but-wrong distance to every sqDist caller. The check
+    // is O(1) against the O(dims) loop.
+    require(n == b.numElements(),
+      s"sq_dist_long: length mismatch $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) {

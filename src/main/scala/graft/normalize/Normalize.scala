@@ -280,6 +280,21 @@ object Normalize {
     // same codegen stage, before indel_ratio runs — the argmax over
     // the survivors is unchanged whenever any branch fires, because
     // every pair scoring ≥ 75 survives the prune.
+    //
+    // Measure caveat (ADVICE r4): Spark length() counts code points
+    // (c1 for the name, c2 for the vocab term) while indel_ratio
+    // scores UTF-16 code units (u1, u2). Given an ASCII vocab
+    // (asserted below, so u2 = c2), the code-point bound still
+    // dominates the true score: a name with e astral chars has
+    // u1 = c1 + e, its 2e surrogate units can never match an ASCII
+    // unit, so LCS ≤ min(u1 − 2e, u2) = min(c1 − e, c2) ≤ min(c1,c2)
+    // while u1 + u2 ≥ c1 + c2 — hence
+    // ratio = 200·LCS/(u1+u2) ≤ 200·min(c1,c2)/(c1+c2), and no pair
+    // scoring ≥ 75 is ever pruned, astral input or not.
+    require(Vocab.IndustryTaxonomy.forall(_._1.forall(_ < 128)) &&
+      Vocab.ConceptsNotIndustries.forall(_.forall(_ < 128)) &&
+      Vocab.IndustryGenericToDelete.forall(_.forall(_ < 128)),
+      "length-band prune assumes an ASCII fuzzy vocab")
     val best = industries.select(col("id"), lower(col("name")).as("n"))
       .crossJoin(broadcast(vocabAll))
       .filter(lit(200) * least(length(col("n")), length(col("variant"))) >=

@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * is also a first-class curation artifact itself (semantic-dup
   * clustering, diversity sampling, label propagation over items).
   *
+  * Metric (ADVICE r4): this builder is squared-L2 only, while the
+  * reference's `create_vector_index` defaults to cosine. The two
+  * orderings coincide exactly when vectors are unit-normalized
+  * (‖a−b‖² = 2 − 2·cos on the unit sphere) — normalize embeddings
+  * before integerizing (`Coreset.intVec`) when cosine semantics are
+  * required, as embedding pipelines conventionally do anyway. For
+  * unnormalized vectors use [[Similarity]]'s CosineSim-based top-k;
+  * an exact-integer cosine ORDERING inside NN-Descent would need
+  * cross-multiplied norm comparisons per pair (rational arithmetic),
+  * which costs more than normalizing once up front.
+  *
   * Scale shape, per round:
   *   - reverse lists capped at `revCap` by a (d, id)-lexicographic
   *     bounded selection, so a hub that half the corpus points at

@@ -113,6 +113,20 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(!vocab.contains("lo"))
   }
 
+  test("driver-local trainer == distributed fallback, merges and vocab") {
+    val corpus = (0 until 30).map { i =>
+      val ws = Seq("merge", "merges", "merged", "spark", "sparse", "stream",
+        "streams", "str", "strong", "parse")
+      (0 until 5).map(j => ws((i * 11 + j * 5) % ws.length)).mkString(" ")
+    }
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val local = BpeTrain.train(docs, numMerges = 10)
+    val dist = BpeTrain.train(docs, numMerges = 10, maxLocalWords = 0L)
+    assert(local.merges === dist.merges)
+    assert(local.vocab.as[(String, Long)].collect().toMap ===
+      dist.vocab.as[(String, Long)].collect().toMap)
+  }
+
   test("early stop below minPairCount") {
     val docs = Seq((0L, "ab cd ef")).toDF("doc_id", "text")
     val res = BpeTrain.train(docs, numMerges = 10, minPairCount = 2L)
