@@ -108,6 +108,21 @@ object PlanDump {
           .queryExecution.executedPlan.toString
       }
     }
+    // ── round-5: ANN family (PLANS.md §13) ──
+    dump("KnnGraph round (candidate self-join + bounded top-k merge)") {
+      val nb0 = graft.sim.KnnGraph.run(spark, vecs, k = 3, rounds = 0).neighbors
+      val pts = vecs.select(col("vec_id").as("id"),
+        graft.sim.Coreset.intVec(col("embedding"), 100000L).as("iv"))
+        .localCheckpoint(true)
+      graft.sim.KnnGraph.roundStage(nb0, pts, k = 3, revCap = 3)
+        ._1.queryExecution.executedPlan.toString
+    }
+    dump("KnnGraph.search hop (beam expand + bounded top-beam)") {
+      val g = graft.sim.KnnGraph.run(spark, vecs, k = 3, rounds = 0).neighbors
+      graft.sim.KnnGraph.search(vecs, g,
+        vecs.filter(col("vec_id") % 40 === 0), k = 3, beam = 5, rounds = 1)
+        .queryExecution.executedPlan.toString
+    }
     spark.stop()
   }
   // scalastyle:on println

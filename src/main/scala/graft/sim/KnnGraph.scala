@@ -132,38 +132,66 @@ object KnnGraph {
       k).localCheckpoint(false)
 
     for (_ <- 1 to rounds) {
-      // reverse lists, capped to revCap by the same (d, id) order
-      val revc = topPerSrc(
-        nb.select(col("dst").as("src"), col("src").as("dst"), col("d")),
-        revCap)
-      val adj = nb.select(col("src").as("v"), col("dst").as("u"))
-        .unionByName(revc.select(col("src").as("v"), col("dst").as("u")))
-        .distinct()
-      // attach vectors to the SKINNY adjacency once (≤ k+revCap rows
-      // per vertex), then self-join on v and score inside the join
-      // stage: the wide vector rows ride ONE exchange (reused for
-      // both join sides) instead of shuffling through two per-pair
-      // joins — at n·C(2k,2) pairs/round that is ~n·2k vector rows
-      // on the wire instead of ~n·k²·2 (200k×64d probe: ~2 GB vs
-      // ~20 GB/round). The local[32]/tmpfs A/B is steal-noise-bound
-      // (157-242 s swings on identical code, BASELINE.md r4); the
-      // byte arithmetic is the cluster-scale argument. A duplicated
-      // pair (several common neighbors) costs a repeated O(dims)
-      // kernel eval instead of a pre-join distinct; the (a, b, d)
-      // distinct after scoring restores set semantics.
-      val adjV = adj.join(pts.select(col("id").as("u"), col("iv")), Seq("u"))
-      val newEdges = adjV.as("x")
-        .join(adjV.as("y"), col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-        .select(col("x.u").as("a"), col("y.u").as("b"),
-          Coreset.sqDist(col("x.iv"), col("y.iv")).as("d"))
-        .distinct()
-      val cand = nb.unionByName(
-        newEdges.select(col("a").as("src"), col("b").as("dst"), col("d"))
-          .unionByName(newEdges.select(col("b").as("src"), col("a").as("dst"),
-            col("d"))))
-      nb = topPerSrc(cand, k).localCheckpoint(false)
+      val (next, intermediates) = roundStage(nb, pts, k, revCap)
+      // eager checkpoint so the round's shared intermediates (and the
+      // previous neighbor table) can be freed deterministically right
+      // here — rounds are few, so the extra job is noise against the
+      // recompute it prevents
+      val done = next.localCheckpoint(true)
+      intermediates.foreach(graft.algo.Superstep.freeCheckpoint)
+      graft.algo.Superstep.freeCheckpoint(nb)
+      nb = done
     }
     Result(nb, rounds)
+  }
+
+  /** One NN-Descent round, returning (new neighbor lists, the round's
+    * lazily-checkpointed shared intermediates for the caller to free
+    * once the result is materialized).
+    *
+    * The checkpoints are load-bearing (r5): the adjacency+vectors
+    * table feeds BOTH sides of the candidate self-join and the scored
+    * pair table feeds BOTH directions of the candidate union, and
+    * Spark does NOT reuse their exchanges (ReusedExchange=0 in the
+    * materialized plan — the canonical subtrees differ by projection
+    * aliases), so without the boundaries the entire candidate
+    * generation ran twice per round.
+    */
+  private[graft] def roundStage(nb: DataFrame, pts: DataFrame,
+                                k: Int, revCap: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    // reverse lists, capped to revCap by the same (d, id) order
+    val revc = topPerSrc(
+      nb.select(col("dst").as("src"), col("src").as("dst"), col("d")),
+      revCap)
+    val adj = nb.select(col("src").as("v"), col("dst").as("u"))
+      .unionByName(revc.select(col("src").as("v"), col("dst").as("u")))
+      .distinct()
+    // attach vectors to the SKINNY adjacency once (≤ k+revCap rows
+    // per vertex), then self-join on v and score inside the join
+    // stage: the wide vector rows ride ONE exchange (reused for
+    // both join sides) instead of shuffling through two per-pair
+    // joins — at n·C(2k,2) pairs/round that is ~n·2k vector rows
+    // on the wire instead of ~n·k²·2 (200k×64d probe: ~2 GB vs
+    // ~20 GB/round). The local[32]/tmpfs A/B is steal-noise-bound
+    // (157-242 s swings on identical code, BASELINE.md r4); the
+    // byte arithmetic is the cluster-scale argument. A duplicated
+    // pair (several common neighbors) costs a repeated O(dims)
+    // kernel eval instead of a pre-join distinct; the (a, b, d)
+    // distinct after scoring restores set semantics.
+    val adjV = adj.join(pts.select(col("id").as("u"), col("iv")), Seq("u"))
+      .localCheckpoint(false)
+    val newEdges = adjV.as("x")
+      .join(adjV.as("y"), col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("a"), col("y.u").as("b"),
+        Coreset.sqDist(col("x.iv"), col("y.iv")).as("d"))
+      .distinct()
+      .localCheckpoint(false)
+    val cand = nb.unionByName(
+      newEdges.select(col("a").as("src"), col("b").as("dst"), col("d"))
+        .unionByName(newEdges.select(col("b").as("src"), col("a").as("dst"),
+          col("d"))))
+    (topPerSrc(cand, k), Seq(adjV, newEdges))
   }
 
   /** Greedy beam search over a built k-NN graph — the query side of
