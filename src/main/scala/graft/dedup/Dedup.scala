@@ -165,34 +165,74 @@ object Dedup {
     smallPairs.unionAll(bigPairs).distinct()
   }
 
-  def minHashCandidates(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
-                        k: Int = 5, textCol: String = "text",
-                        maxBucket: Int = 1000,
-                        hotSubBuckets: Int = 1): DataFrame = {
+  private def bandedEntries(sig: DataFrame, numPerms: Int,
+                            bands: Int): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val sig = docs.select(col("doc_id"),
-      minHashSignature(col(textCol), numPerms, k).as("sig"))
-    val banded = sig.select(col("doc_id"), lit(true).as("anchor"),
+    sig.select(col("doc_id"), lit(true).as("anchor"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
         .as(Seq("band", "bucket")))
-    cappedBucketPairs(banded, maxBucket, hotSubBuckets)
+  }
+
+  def minHashCandidates(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
+                        k: Int = 5, textCol: String = "text",
+                        maxBucket: Int = 1000,
+                        hotSubBuckets: Int = 1): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      minHashSignature(col(textCol), numPerms, k).as("sig"))
+    cappedBucketPairs(bandedEntries(sig, numPerms, bands), maxBucket,
+      hotSubBuckets)
   }
 
   /** Verified near-dup pairs (a, b, jaccard), a < b. Pairs inside a
     * bucket over `maxBucket` are star-approximated — see the recall
     * note on [[cappedBucketPairs]]; `maxBucket = Int.MaxValue` disables
     * the cap.
+    *
+    * SIGNATURE-ESTIMATE PREFILTER (r5 — the 10× scale-point finding):
+    * the exact-verify join attaches the full distinct-shingle array
+    * (~len(text)·8 bytes per doc) to every candidate pair, so its
+    * intermediate (pair, shingle-bag) rows shuffle candidatePairs ×
+    * shingleBytes — measured ~57 GB at 100 k synthetic-corpus docs
+    * (9.8 M candidates × ~720 shingles) and an OOM-killing ~0.5 TB at
+    * 1 M docs. The signatures the banding already computed are an
+    * unbiased Jaccard estimator (match fraction; σ = √(j(1−j)/P)), so
+    * pairs whose SIGNATURE agreement is below `threshold − estMargin`
+    * are discarded before shingles are attached: the prefilter join
+    * ships numPerms·8 bytes per doc (~25× less than the shingle bag)
+    * and the exact verify then touches only plausible pairs. The
+    * margin is ≥3σ at 32 perms, the decision is a deterministic
+    * integer cut (`matches ≥ ⌈(threshold−estMargin)·numPerms⌉`) on
+    * deterministic hashes — engine-replayable, no rng — and a true
+    * pair at j ≥ threshold needs a ≥3σ downward estimate excursion to
+    * be lost (compare: plain LSH banding ITSELF misses such pairs at
+    * far higher probability). `estMargin = 1.0` disables the
+    * prefilter.
     */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.7,
                       numPerms: Int = 32, bands: Int = 8, k: Int = 5,
                       textCol: String = "text", maxBucket: Int = 1000,
-                      hotSubBuckets: Int = 1): DataFrame = {
-    val cands = minHashCandidates(docs, numPerms, bands, k, textCol, maxBucket,
-      hotSubBuckets)
+                      hotSubBuckets: Int = 1,
+                      estMargin: Double = 0.25): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      minHashSignature(col(textCol), numPerms, k).as("sig"))
+      .localCheckpoint(false)
+    val cands = cappedBucketPairs(bandedEntries(sig, numPerms, bands),
+      maxBucket, hotSubBuckets)
+    val cut = math.ceil((threshold - estMargin) * numPerms).toLong
+    val promising =
+      if (cut <= 0L) cands
+      else cands
+        .join(sig.select(col("doc_id").as("a"), col("sig").as("sigA")), Seq("a"))
+        .join(sig.select(col("doc_id").as("b"), col("sig").as("sigB")), Seq("b"))
+        .filter(aggregate(
+          zip_with(col("sigA"), col("sigB"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, m) => acc + m) >= cut)
+        .select(col("a"), col("b"))
     val sh = docs.select(col("doc_id"), shingleHashes(col(textCol), k).as("sh"))
-    cands
+    promising
       .join(sh.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
       .withColumn("jaccard",
