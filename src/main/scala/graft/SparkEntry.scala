@@ -203,8 +203,13 @@ object SparkEntry {
     }),
 
     "j6_similarity_join_indel" -> ((s, d) => {
-      // rapidfuzz-parity fuzzy join via the native indel_ratio expression
-      val names = s.read.parquet(t(d, "part")).select(col("p_name")).distinct().limit(200)
+      // rapidfuzz-parity fuzzy join via the native indel_ratio
+      // expression. orderBy before limit (r5): a bare distinct+limit
+      // is an arbitrary 200-name subset, which made this surface
+      // nondeterministic AND unverifiable; with a deterministic pair
+      // universe the recursive-CTE LCS twin replays the exact ratios
+      val names = s.read.parquet(t(d, "part")).select(col("p_name"))
+        .distinct().orderBy(col("p_name")).limit(200)
       names.as("a").crossJoin(broadcast(names.as("b")))
         .filter(col("a.p_name") < col("b.p_name"))
         .select(col("a.p_name").as("a"), col("b.p_name").as("b"),
@@ -7968,6 +7973,48 @@ object SparkEntry {
     //    the same arithmetic FixState. NOT IN/NOT EXISTS choices mirror
     //    Spark's left_anti null semantics (null keys never match, so
     //    null-chunk_id rows survive the mentioned-chunk guard) ──
+    // The realistic fuzzy join, replayed EXACTLY: normalized-indel
+    // ratio = 200·LCS/(|a|+|b|), with LCS computed in DuckDB by a
+    // recursive CTE over the DP rows — one (pair, j) step per b-char,
+    // the dp row carried as a LIST, and the classic cur[i] =
+    // max(t[i], cur[i-1]) carry realized as a window prefix-max over
+    // the unnested row (t[i] = match ? prev[i-1]+1 : prev[i]; taking
+    // the match is provably optimal, and cur is then the running max
+    // of t). 19,900 pairs × ~30 chars ≈ 0.4 s.
+    "j6_similarity_join_indel" ->
+      """WITH RECURSIVE names AS (
+           SELECT p_name FROM (SELECT DISTINCT p_name FROM part)
+           ORDER BY p_name LIMIT 200),
+         pairs AS (
+           SELECT row_number() OVER (ORDER BY a.p_name, b.p_name) AS pid,
+                  a.p_name AS a, b.p_name AS b
+           FROM names a JOIN names b ON a.p_name < b.p_name),
+         rec(pid, j, dp) AS (
+           SELECT pid, 0, list_transform(range(0, length(a)+1), x -> 0)
+           FROM pairs
+           UNION ALL
+           SELECT pid, j+1, newdp FROM (
+             SELECT r.pid, r.j,
+               (SELECT list(mx ORDER BY i) FROM (
+                  SELECT i, max(t) OVER (ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+                  FROM (
+                    SELECT i,
+                      CASE WHEN substr(p.a, CAST(i AS INT), 1)
+                                = substr(p.b, r.j + 1, 1)
+                           THEN r.dp[CAST(i AS INT)] + 1
+                           ELSE r.dp[CAST(i AS INT) + 1] END AS t
+                    FROM unnest(range(1, length(p.a)+1)) u(i)))) AS tail
+             FROM rec r JOIN pairs p USING (pid)
+             WHERE r.j < length(p.b)
+           ) s CROSS JOIN LATERAL (SELECT list_prepend(0, s.tail) AS newdp) l)
+         SELECT p.a, p.b,
+           round(200.0 * r.dp[length(p.a)+1] / (length(p.a)+length(p.b)), 4)
+             AS ratio
+         FROM rec r JOIN pairs p USING (pid)
+         WHERE r.j = length(p.b)
+           AND 200.0 * r.dp[length(p.a)+1] / (length(p.a)+length(p.b)) >= 75.0""",
+
     "j6_indel_sql" ->
       """WITH p AS (SELECT i AS id,
              'component ' || (i % 37) || ' of subsystem ' || (i % 11) AS a,

@@ -10,7 +10,11 @@ import graft.functions.indel_ratio
   *
   * Definitions are a small dimension (a glossary) → broadcast; concepts
   * stream. Exact lower-case match wins; otherwise best fuzzy match with
-  * indel_ratio ≥ 85 (rapidfuzz parity), tie-break on term order.
+  * indel_ratio ≥ 85 (rapidfuzz parity). Score ties break on the MIN
+  * concept id — deterministic, but a documented divergence from
+  * rapidfuzz process.extractOne's first-candidate-in-iteration-order
+  * rule (glossary_linker.py:88-99), whose Python-set iteration order
+  * is itself unstable across runs.
   */
 object GlossaryLinker {
 
