@@ -2224,6 +2224,7 @@ object SparkEntry {
 
     // ── glossary linking (J-5/J-6 surface) ──
     "glossary_links" -> ((s, d) => {
+      oracle.NormalizeReplay.ensureDump(s, d)
       val defs = Extractor.definitions(corpusFor(s, d))
       GlossaryLinker.linkDefinitions(defs, snapshotFor(s, d).entities)
         .select(col("term"), col("concept_name"), round(col("score"), 4).as("score"),
@@ -2231,6 +2232,7 @@ object SparkEntry {
     }),
 
     "j5_definition_backfill" -> ((s, d) => {
+      oracle.NormalizeReplay.ensureDump(s, d)
       val snap = snapshotFor(s, d)
       val defs = Extractor.definitions(corpusFor(s, d))
       GlossaryLinker.backfillDefinitions(snap.entities, defs)
@@ -6712,6 +6714,8 @@ object SparkEntry {
     "val_article_coverage" -> oracle.NormalizeReplay.valArticleCoverageSql,
     "val_entity_stats" -> oracle.NormalizeReplay.valEntityStatsSql,
     "val_orphan_entities" -> oracle.NormalizeReplay.valOrphanSql,
+    "j5_definition_backfill" -> oracle.NormalizeReplay.j5Sql,
+    "glossary_links" -> oracle.NormalizeReplay.glossaryLinksSql,
 
     "s3_label_scan" ->
       """SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'

@@ -155,26 +155,30 @@ mention0 AS (
   SELECT path,
          regexp_extract(m, '$entRe', 2) AS name,
          regexp_extract(m, '$entRe', 1) AS label,
-         nullif(regexp_extract(m, '$entRe', 4), '') AS alias
+         nullif(regexp_extract(m, '$entRe', 4), '') AS alias,
+         false AS hasdef
   FROM markers WHERE m LIKE 'ent[%'
   UNION ALL
   SELECT path,
          regexp_extract(m, '$defRe', 2),
          regexp_extract(m, '$defRe', 1),
-         NULL
+         NULL, true
   FROM markers WHERE m LIKE 'def[%'
   UNION ALL
-  SELECT path, regexp_extract(m, '$relRe', 3), regexp_extract(m, '$relRe', 2), NULL
+  SELECT path, regexp_extract(m, '$relRe', 3), regexp_extract(m, '$relRe', 2),
+         NULL, false
   FROM markers WHERE m LIKE 'rel[%'
   UNION ALL
-  SELECT path, regexp_extract(m, '$relRe', 5), regexp_extract(m, '$relRe', 4), NULL
+  SELECT path, regexp_extract(m, '$relRe', 5), regexp_extract(m, '$relRe', 4),
+         NULL, false
   FROM markers WHERE m LIKE 'rel[%'
 ),
 e0 AS (  -- raw-surface grain, Extractor.entities semantics
   SELECT name, label,
          COALESCE(list_sort(list_distinct(list(alias) FILTER (WHERE alias IS NOT NULL))),
                   CAST([] AS VARCHAR[]))[1:$cap] AS aliases,
-         COALESCE(list_sort(list_distinct(list(path))), CAST([] AS VARCHAR[]))[1:$cap] AS spans
+         COALESCE(list_sort(list_distinct(list(path))), CAST([] AS VARCHAR[]))[1:$cap] AS spans,
+         bool_or(hasdef) AS hasdef
   FROM mention0 WHERE name <> ''
   GROUP BY name, label
 ),
@@ -192,7 +196,7 @@ e1 AS (  -- M-1 name normalization (normalizer.py:20-53)
   SELECT name || chr(1) || label AS k,
          regexp_replace(regexp_replace(lower(trim(name)), '\\s+', ' ', 'g'),
                         '^[^a-zA-Z0-9_]+|[^a-zA-Z0-9_]+$$', '', 'g') AS name,
-         label, aliases, spans
+         label, aliases, spans, hasdef
   FROM e0
 ),
 stdmap(std_name, ind_name) AS (VALUES $stdMapVals),
@@ -206,10 +210,10 @@ new_inds AS (  -- backfill-created Industry nodes (mentioned_in_backfill.py:106-
   WHERE ind_name NOT IN (SELECT name FROM ind1)
 ),
 e1b AS (
-  SELECT k, name, label, aliases, spans FROM e1
+  SELECT k, name, label, aliases, spans, hasdef FROM e1
   UNION ALL
   SELECT name || chr(1) || 'Industry' || chr(2) AS k, name, 'Industry',
-         CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])
+         CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), false
   FROM new_inds
 ),
 edges1 AS (
@@ -225,11 +229,12 @@ edges1 AS (
 g2 AS (  -- M-2 same-label dedup (normalizer.py:207-323)
   SELECT label, name, min(k) AS ck,
          COALESCE(list_sort(list_distinct(flatten(list(aliases)))), CAST([] AS VARCHAR[]))[1:$cap] AS aliases,
-         COALESCE(list_sort(list_distinct(flatten(list(spans)))), CAST([] AS VARCHAR[]))[1:$cap] AS spans
+         COALESCE(list_sort(list_distinct(flatten(list(spans)))), CAST([] AS VARCHAR[]))[1:$cap] AS spans,
+         bool_or(hasdef) AS hasdef
   FROM e1b GROUP BY label, name
 ),
 map2 AS (SELECT e.k, g.ck FROM e1b e JOIN g2 g ON e.label = g.label AND e.name = g.name),
-e2 AS (SELECT ck AS k, name, label, aliases, spans FROM g2),
+e2 AS (SELECT ck AS k, name, label, aliases, spans, hasdef FROM g2),
 edges2 AS (
   SELECT DISTINCT m1.ck AS sk, m2.ck AS dk, relType
   FROM edges1 e JOIN map2 m1 ON e.sk = m1.k JOIN map2 m2 ON e.dk = m2.k
@@ -242,11 +247,12 @@ g3 AS (  -- M-3 cross-label dedup by LABEL_PRIORITY (normalizer.py:354-577)
          arg_min(k, lpad(rank::VARCHAR, 2, '0') || k) AS ck,
          arg_min(label, lpad(rank::VARCHAR, 2, '0') || k) AS label,
          COALESCE(list_sort(list_distinct(flatten(list(aliases)))), CAST([] AS VARCHAR[]))[1:$cap] AS aliases,
-         COALESCE(list_sort(list_distinct(flatten(list(spans)))), CAST([] AS VARCHAR[]))[1:$cap] AS spans
+         COALESCE(list_sort(list_distinct(flatten(list(spans)))), CAST([] AS VARCHAR[]))[1:$cap] AS spans,
+         bool_or(hasdef) AS hasdef
   FROM e2r GROUP BY name
 ),
 map3 AS (SELECT e.k, g.ck FROM e2r e JOIN g3 g ON e.name = g.name),
-e3 AS (SELECT ck AS k, name, label, aliases, spans FROM g3),
+e3 AS (SELECT ck AS k, name, label, aliases, spans, hasdef FROM g3),
 edges3 AS (
   SELECT DISTINCT m1.ck AS sk, m2.ck AS dk, relType
   FROM edges2 e JOIN map3 m1 ON e.sk = m1.k JOIN map3 m2 ON e.dk = m2.k
@@ -289,14 +295,14 @@ cls AS (  -- M-6 classify_industry_term (industry_taxonomy.py:246-320)
   WHERE e.label = 'Industry'
 ),
 e6a AS (
-  SELECT k, name, label, aliases, spans FROM e5 WHERE label <> 'Industry'
+  SELECT k, name, label, aliases, spans, hasdef FROM e5 WHERE label <> 'Industry'
   UNION ALL
   SELECT k,
          CASE WHEN action IN ('keep_exact', 'keep_fuzzy') THEN new_name ELSE name END AS name,
          CASE action WHEN 'reclassify' THEN 'Concept'
                      WHEN 'reclassify_org' THEN 'Organization'
                      ELSE label END AS label,
-         aliases, spans
+         aliases, spans, hasdef
   FROM cls WHERE action <> 'delete'
 ),
 edges6a AS (
@@ -306,11 +312,12 @@ edges6a AS (
 g6 AS (  -- M-6 merge-if-exists (industry_taxonomy.py:558-654)
   SELECT label, name, min(k) AS ck,
          COALESCE(list_sort(list_distinct(flatten(list(aliases)))), CAST([] AS VARCHAR[]))[1:$cap] AS aliases,
-         COALESCE(list_sort(list_distinct(flatten(list(spans)))), CAST([] AS VARCHAR[]))[1:$cap] AS spans
+         COALESCE(list_sort(list_distinct(flatten(list(spans)))), CAST([] AS VARCHAR[]))[1:$cap] AS spans,
+         bool_or(hasdef) AS hasdef
   FROM e6a GROUP BY label, name
 ),
 map6 AS (SELECT e.k, g.ck FROM e6a e JOIN g6 g ON e.label = g.label AND e.name = g.name),
-e6 AS (SELECT ck AS k, name, label, aliases, spans FROM g6),
+e6 AS (SELECT ck AS k, name, label, aliases, spans, hasdef FROM g6),
 edges6 AS (
   SELECT DISTINCT m1.ck AS sk, m2.ck AS dk, relType
   FROM edges6a e JOIN map6 m1 ON e.sk = m1.k JOIN map6 m2 ON e.dk = m2.k
@@ -321,7 +328,7 @@ e7 AS (  -- M-7 mislabeled-Challenge relabel (validation/fixes.py:233-315)
                    AND split_part(lower(trim(name)), ' ', 1) IN ${inList(Vocab.PositiveOutcomeWords)}
                    AND name NOT IN (SELECT DISTINCT name FROM e6 WHERE label = 'Concept')
               THEN 'Concept' ELSE label END AS label,
-         aliases, spans
+         aliases, spans, hasdef
   FROM e6
 ),
 edges7 AS (SELECT * FROM edges6)
@@ -495,6 +502,90 @@ WITH corpus AS (SELECT * FROM read_parquet('$DumpPath/*.parquet'))
 SELECT CAST(count(*) AS BIGINT) AS total_articles,
        CAST(count(DISTINCT repo) AS BIGINT) AS chapters_with_articles
 FROM corpus"""
+
+  /** j5_definition_backfill: per-label counts of entities with a
+    * non-null definition after glossary backfill (fixes.py:412-423).
+    * Definition CONTENT merges are id-order-dependent (first non-null
+    * in hash order) but definition NULLNESS is not: non-null after the
+    * chain ⟺ some raw (name,label) member carried a def marker
+    * (tracked as `hasdef` through every merge) ∨ a glossary term
+    * matches lower(name). The corpus emits no empty definitions, so
+    * nullness is exactly the backfilled-definition predicate.
+    */
+  lazy val j5Sql: String = {
+    val defRe = """^def\[([^:]+):([^|]*)\|(.*)\]$"""
+    chain + s"""
+, gloss AS (
+  SELECT DISTINCT lower(regexp_extract(m, '$defRe', 2)) AS t
+  FROM markers WHERE m LIKE 'def[%'
+    AND regexp_extract(m, '$defRe', 2) <> ''
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_defined
+FROM e7
+WHERE hasdef OR lower(name) IN (SELECT t FROM gloss)
+GROUP BY label"""
+  }
+
+  /** glossary_links: exact-then-fuzzy(≥85) definition→concept links
+    * (glossary_linker.py:43-102). Terms are the RAW lowered def-marker
+    * surfaces (unpadded only by lower()); fuzzy = normalized indel =
+    * 200·LCS/(|a|+|b|), computed here by the recursive-CTE LCS (DP row
+    * as a LIST; the cur[i−1] carry realized as a window prefix-max —
+    * same construction as the j6 oracle). Argmax ties break to
+    * min(concept_name) where Spark breaks to min concept id — the
+    * sf-corpus data is tie-free (a tie would fail the driver hash
+    * loudly, not silently).
+    */
+  lazy val glossaryLinksSql: String = {
+    val defRe = """^def\[([^:]+):([^|]*)\|(.*)\]$"""
+    chain.replaceFirst("\\s*WITH ", "WITH RECURSIVE ") + s"""
+, terms AS (
+  SELECT DISTINCT lower(regexp_extract(m, '$defRe', 2)) AS term
+  FROM markers WHERE m LIKE 'def[%'
+    AND regexp_extract(m, '$defRe', 2) <> ''
+),
+concepts AS (SELECT name FROM e7 WHERE label = 'Concept'),
+gpairs AS (
+  SELECT row_number() OVER (ORDER BY t.term, c.name) AS pid,
+         t.term AS a, c.name AS b
+  FROM terms t CROSS JOIN concepts c
+),
+grec(pid, j, dp) AS (
+  SELECT pid, 0, list_transform(range(0, length(a)+1), x -> 0) FROM gpairs
+  UNION ALL
+  SELECT pid, j+1, newdp FROM (
+    SELECT r.pid, r.j,
+      (SELECT list(mx ORDER BY i) FROM (
+         SELECT i, max(t) OVER (ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+         FROM (
+           SELECT i,
+             CASE WHEN substr(p.a, CAST(i AS INT), 1)
+                       = substr(p.b, r.j + 1, 1)
+                  THEN r.dp[CAST(i AS INT)] + 1
+                  ELSE r.dp[CAST(i AS INT) + 1] END AS t
+           FROM unnest(range(1, length(p.a)+1)) u(i)))) AS tail
+    FROM grec r JOIN gpairs p USING (pid)
+    WHERE r.j < length(p.b)
+  ) s CROSS JOIN LATERAL (SELECT list_prepend(0, s.tail) AS newdp) l),
+scored AS (
+  SELECT p.a AS term, p.b AS concept_name,
+         CASE WHEN p.a = p.b THEN 200.0
+              ELSE 200.0 * r.dp[length(p.a)+1] / (length(p.a)+length(p.b))
+         END AS rawscore
+  FROM grec r JOIN gpairs p USING (pid) WHERE r.j = length(p.b)
+),
+best AS (
+  SELECT term, max(rawscore) AS mx FROM scored GROUP BY term
+)
+SELECT s.term,
+       min(s.concept_name) AS concept_name,
+       round(least(b.mx, 100.0), 4) AS score,
+       b.mx >= 200.0 AS exact
+FROM scored s JOIN best b ON s.term = b.term AND s.rawscore = b.mx
+WHERE b.mx >= 85.0
+GROUP BY s.term, b.mx"""
+  }
 
   /** val_entity_stats: per-label totals + already-normalized counts
     * (validation/queries.py entity stats).
