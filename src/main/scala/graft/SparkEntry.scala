@@ -530,6 +530,9 @@ object SparkEntry {
     }),
 
     "g4_pagerank" -> ((s, d) => {
+      // oracle-backed since r5: the frozen-unrolled DuckDB recurrence
+      // reproduces the exact convergence iterate (NormalizeReplay)
+      oracle.NormalizeReplay.ensureDump(s, d)
       val g = graphFor(s, d)
       PageRank.run(s, GraphOps.symmetrize(g.edges), parts(s, d))
         .ranks.join(g.vertices, Seq("id"))
@@ -539,6 +542,7 @@ object SparkEntry {
     "g4_pagerank_weighted" -> ((s, d) => {
       // weighted variant: contributions split by the semantic-edge
       // weight (distinct relType count) instead of uniformly
+      oracle.NormalizeReplay.ensureDump(s, d)
       val g = graphFor(s, d)
       PageRank.run(s, GraphOps.symmetrizeWeighted(g.edges), parts(s, d),
         weighted = true)
@@ -547,9 +551,19 @@ object SparkEntry {
     }),
 
     "g5_connected_components" -> ((s, d) => {
+      // component labels canonicalized to the MIN NAME per component
+      // (r5): exact up-to-relabeling semantics unchanged, but the
+      // label becomes engine-independent (the previous min-hash-id
+      // label is a value no external oracle can recompute), which is
+      // what lets the DuckDB min-propagation twin drive a hash check
+      oracle.NormalizeReplay.ensureDump(s, d)
       val g = graphFor(s, d)
-      ConnectedComponents.run(s, g.edges, Some(g.vertices), parts(s, d))
-        .join(g.vertices, Seq("id")).select(col("name"), col("component"))
+      val cc = ConnectedComponents.run(s, g.edges, Some(g.vertices), parts(s, d))
+        .join(g.vertices, Seq("id"))
+      val canon = cc.groupBy(col("component"))
+        .agg(min(col("name")).as("comp_name"))
+      cc.join(canon, Seq("component"))
+        .select(col("name"), col("comp_name").as("component"))
     }),
 
     "g6_triangle_count" -> ((s, d) => {
@@ -6716,6 +6730,9 @@ object SparkEntry {
     "val_orphan_entities" -> oracle.NormalizeReplay.valOrphanSql,
     "j5_definition_backfill" -> oracle.NormalizeReplay.j5Sql,
     "glossary_links" -> oracle.NormalizeReplay.glossaryLinksSql,
+    "g4_pagerank" -> oracle.NormalizeReplay.g4Sql,
+    "g4_pagerank_weighted" -> oracle.NormalizeReplay.g4WeightedSql,
+    "g5_connected_components" -> oracle.NormalizeReplay.g5Sql,
 
     "s3_label_scan" ->
       """SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'

@@ -46,7 +46,11 @@ import graft.normalize.Vocab
   */
 object NormalizeReplay {
 
-  val DumpPath = "/tmp/graft_oracle_corpus"
+  // Under the repo's (gitignored) build dir, NOT /tmp: a /tmp dump was
+  // observed disappearing minutes after a Verify run in this sandbox,
+  // which would turn every replay oracle into an IO error at the
+  // driver's compare step.
+  val DumpPath = "/root/repo/target/graft_oracle_corpus"
 
   @volatile private var dumpedDir: String = null
 
@@ -585,6 +589,105 @@ SELECT s.term,
 FROM scored s JOIN best b ON s.term = b.term AND s.rawscore = b.mx
 WHERE b.mx >= 85.0
 GROUP BY s.term, b.mx"""
+  }
+
+  // ── iterative algorithms over the replayed semantic graph ──────────
+  //
+  // DuckDB 1.0's recursive CTEs mis-evaluate correlated aggregate
+  // subqueries over outer CTEs (observed: a bare UNION deduplicating
+  // CTE loses its dedup and per-iteration updates lag one step), so
+  // the iterative twins below are STATICALLY UNROLLED instead, with
+  // freeze-after-convergence semantics: once max|r_k − r_{k−1}| < tol
+  // every later step copies r_k verbatim, so any unroll depth ≥ the
+  // actual stopping iteration reproduces Spark's exact final iterate —
+  // not the deeper fixpoint. CTEs are AS MATERIALIZED throughout
+  // (un-materialized, each reference re-evaluates the whole chain).
+
+  /** Shared name-keyed semantic-graph CTEs (dense integer vids):
+    * `vmap`, `ge` (+w), `odg`, `c`, `r0`, `d0`.
+    */
+  private def semGraphCtes(weighted: Boolean): String = {
+    val rels = inList(model.SemanticRelTypes)
+    val base =
+      if (weighted) s"""
+, wsem AS MATERIALIZED (
+  SELECT es.name AS a, ed.name AS b,
+         CAST(count(DISTINCT e.relType) AS DOUBLE) AS w
+  FROM (SELECT * FROM edges7 WHERE relType IN $rels) e
+  JOIN e7 es ON e.sk = es.k JOIN e7 ed ON e.dk = ed.k
+  WHERE es.name <> ed.name
+  GROUP BY es.name, ed.name
+),
+symg AS MATERIALIZED (
+  SELECT a, b, max(w) AS w FROM
+    (SELECT a, b, w FROM wsem UNION ALL SELECT b, a, w FROM wsem)
+  GROUP BY a, b)"""
+      else s"""
+, semp AS MATERIALIZED (
+  SELECT DISTINCT es.name AS a, ed.name AS b
+  FROM (SELECT * FROM edges7 WHERE relType IN $rels) e
+  JOIN e7 es ON e.sk = es.k JOIN e7 ed ON e.dk = ed.k
+  WHERE es.name <> ed.name
+),
+symg AS MATERIALIZED (SELECT DISTINCT a, b, 1.0 AS w FROM
+  (SELECT a, b FROM semp UNION ALL SELECT b, a FROM semp))"""
+    base + s"""
+, vmap AS MATERIALIZED (
+  SELECT name, CAST(row_number() OVER (ORDER BY name) AS INT) AS vid
+  FROM (SELECT DISTINCT a AS name FROM symg)),
+ge AS MATERIALIZED (
+  SELECT s.vid AS svid, d.vid AS dvid, e.w
+  FROM symg e JOIN vmap s ON e.a = s.name JOIN vmap d ON e.b = d.name),
+odg AS MATERIALIZED (SELECT svid, sum(w) AS outdeg FROM ge GROUP BY svid),
+c AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM vmap),
+r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM c) AS rank FROM vmap),
+d0 AS (SELECT 1.0 AS delta)"""
+  }
+
+  /** g4_pagerank / g4_pagerank_weighted: dangling-free PageRank to
+    * 1e-6 max-delta convergence, `steps` frozen-unrolled iterations
+    * (PageRank.scala semantics: damping 0.85, uniform 1/n init,
+    * contrib = rank/outDeg·w).
+    */
+  private def pagerankSql(weighted: Boolean, steps: Int): String = {
+    val body = (1 to steps).map { k => s""",
+r$k AS MATERIALIZED (
+  SELECT v.vid,
+    CASE WHEN (SELECT delta FROM d${k - 1}) < 1e-6 THEN r.rank
+         ELSE (1.0 - 0.85) / (SELECT n FROM c) + 0.85 * coalesce(cb.contrib, 0.0)
+    END AS rank
+  FROM vmap v JOIN r${k - 1} r ON r.vid = v.vid
+  LEFT JOIN (SELECT g.dvid AS vid, sum(r2.rank / o.outdeg * g.w) AS contrib
+             FROM ge g JOIN r${k - 1} r2 ON r2.vid = g.svid
+             JOIN odg o ON o.svid = g.svid GROUP BY g.dvid) cb ON cb.vid = v.vid),
+d$k AS MATERIALIZED (SELECT max(abs(a.rank - b.rank)) AS delta
+        FROM r$k a JOIN r${k - 1} b ON a.vid = b.vid)"""
+    }.mkString
+    chain + semGraphCtes(weighted) + body + s"""
+SELECT v.name, round(r.rank, 6) AS rank
+FROM r$steps r JOIN vmap v ON v.vid = r.vid"""
+  }
+
+  lazy val g4Sql: String = pagerankSql(weighted = false, steps = 60)
+  lazy val g4WeightedSql: String = pagerankSql(weighted = true, steps = 60)
+
+  /** g5_connected_components with min-NAME canonical labels:
+    * `rounds` unrolled min-propagation steps (idempotent at the
+    * fixpoint, so extra rounds are harmless; `rounds` must cover the
+    * graph diameter — 30 ≫ the co-mention graph's ≤ ~10).
+    */
+  lazy val g5Sql: String = {
+    val rounds = (1 to 30).map { k => s""",
+m$k AS MATERIALIZED (
+  SELECT v.name, least(v.comp, coalesce(nb.m, v.comp)) AS comp
+  FROM m${k - 1} v LEFT JOIN (
+    SELECT e.b AS name, min(v2.comp) AS m
+    FROM symg e JOIN m${k - 1} v2 ON v2.name = e.a GROUP BY e.b) nb
+  ON nb.name = v.name)"""
+    }.mkString
+    chain + semGraphCtes(weighted = false) + s""",
+m0 AS MATERIALIZED (SELECT DISTINCT a AS name, a AS comp FROM symg)$rounds
+SELECT name, comp AS component FROM m30"""
   }
 
   /** val_entity_stats: per-label totals + already-normalized counts
