@@ -65,19 +65,37 @@ object PageRank {
       "warm-start init is exclusive with personalization and checkpoint/resume")
 
     val wCol = if (weighted) col("weight").cast("double") else lit(1.0)
-    val eAll = edges.select(col("src"), col("dst"), wCol.as("w"))
-      .repartition(numPartitions, col("src"))
+    // r6: the raw edge table is persisted UNSHUFFLED and LAZILY — the
+    // degree pass below is the action that fills the cache, so the
+    // input is still scanned exactly once. The old form repartitioned
+    // the raw table by src up front, but whenever the hot split fires
+    // the split sides are repartitioned again anyway, so on every
+    // skewed graph the upfront exchange shuffled every edge once for
+    // nothing AND the pre-split copy stayed pinned in storage for the
+    // whole loop. Now: no-hot graphs pay exactly what they used to
+    // (one input scan, one cache write, one cache read, one edge
+    // exchange), hot graphs save one full-edge exchange, and the raw
+    // copy is always freed before the loop.
+    val eRaw = edges.select(col("src"), col("dst"), wCol.as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = eAll.count()
 
     // vertex set + out-degrees in ONE edge-scale shuffle (vs the naive
     // distinct-union + groupBy + join = three): every endpoint emits a
     // skinny (id, w|0) row; sum gives the (weighted) out-degree,
-    // dst-only vertices get 0
-    val degAll = eAll.select(col("src").as("id"), col("w").as("od"))
-      .unionAll(eAll.select(col("dst").as("id"), lit(0.0).as("od")))
-      .groupBy(col("id")).agg(sum(col("od")).as("outDeg"))
+    // dst-only vertices get 0. Source rows additionally carry a row
+    // counter so the edge count falls out of the same pass (the old
+    // upfront eAll.count() action is gone with the upfront shuffle).
+    val degAll = eRaw.select(col("src").as("id"), col("w").as("od"),
+        lit(1L).as("rows"))
+      .unionAll(eRaw.select(col("dst").as("id"), lit(0.0).as("od"),
+        lit(0L).as("rows")))
+      .groupBy(col("id")).agg(sum(col("od")).as("outDeg"),
+        sum(col("rows")).as("srcRows"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = {
+      val r = degAll.agg(sum(col("srcRows"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
 
     // ── skew split ──
     // A source vertex whose out-degree exceeds a partition's fair share
@@ -92,15 +110,38 @@ object PageRank {
       .orderBy(col("outDeg").desc).limit(4096)
       .select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
     val hasHot = hotIds.count() > 0
-    val e = if (!hasHot) eAll else
-      eAll.join(hotIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-        .repartition(numPartitions, col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    val eHot = if (!hasHot) null else
-      eAll.join(hotIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    // broadcast() hints (r6): the split joins run with AQE off, so the
+    // ≤4096-row hot set must be pinned to a broadcast build explicitly
+    // rather than trusting the static size estimate of a cached limit
+    val coldPlan = {
+      val cold = if (!hasHot) eRaw else
+        eRaw.join(broadcast(hotIds.withColumnRenamed("id", "src")),
+          Seq("src"), "left_anti")
+      cold.repartition(numPartitions, col("src"))
+    }
+    val hotPlan = if (!hasHot) null else
+      eRaw.join(broadcast(hotIds.withColumnRenamed("id", "src")),
+        Seq("src"), "left_semi")
         .repartition(numPartitions, col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    if (hasHot) { e.count(); eHot.count() }
+    // diagnostic-only (r6 plan evidence): dump the split-stage plans
+    // when the plan-capture env is set; a no-op in every normal run
+    sys.env.get("GRAFT_PLAN_DIR").filter(_.nonEmpty).foreach { dir =>
+      val sfx = sys.env.getOrElse("GRAFT_PLAN_SUFFIX", "before")
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      def dump(name: String, df: DataFrame): Unit =
+        java.nio.file.Files.write(p.resolve(s"${name}_$sfx.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      dump("pagerank_split_cold", coldPlan)
+      if (hasHot) dump("pagerank_split_hot", hotPlan)
+    }
+    val e = coldPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    val eHot = if (!hasHot) null else
+      hotPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    if (hasHot) eHot.count()
+    eRaw.unpersist()
 
     val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
 
@@ -222,10 +263,10 @@ object PageRank {
       }
     }
 
-    eAll.unpersist()
     degAll.unpersist()
     hotIds.unpersist()
-    if (hasHot) { e.unpersist(); eHot.unpersist() }
+    e.unpersist()
+    if (hasHot) eHot.unpersist()
     gc.close()
     Result(state.select(col("id"), col("rank")), step, converged, edgeCount)
   }

@@ -133,9 +133,20 @@ object Normalize {
     // fullChain checkpoints every stage boundary, so the window form
     // is the right default at both scales.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"), col("name"))
+    // r6: the tagged frame feeds THREE consumers (singles, merged,
+    // mapping) and Spark does NOT reuse the window's exchange across
+    // them (the pruned subtrees differ by projection, so the canonical
+    // forms never match — same failure mode as the KnnGraph r5 fix):
+    // the executed plan ran the exchange+sort+window over the wide
+    // array-carrying entity rows once per consumer. One lazy
+    // checkpoint makes it one pass; the consumers scan the stored
+    // rows. (The bench frees pinned blocks per entry; fullChain
+    // already creates per-stage checkpoints, so this adds nothing new
+    // in lifecycle terms.)
     val tagged = s.entities
       .withColumn("canonId", min(col("id")).over(w))
       .withColumn("cnt", count(lit(1)).over(w))
+      .localCheckpoint(false)
 
     val singles = tagged.filter(col("cnt") === 1).select(entityCols: _*)
     val merged = tagged.filter(col("cnt") > 1)
@@ -178,6 +189,9 @@ object Normalize {
       // primary: "first node bearing the winning label"
       .withColumn("canon", min(struct(col("rank"), col("id"))).over(w))
       .withColumn("canonId", col("canon").getField("id"))
+      // r6: same triple-consumer exchange duplication as M-2 — one
+      // lazy checkpoint, one window pass (see m2SameLabelDedup)
+      .localCheckpoint(false)
 
     val groups = tagged.filter(col("cnt") > 1)
     val mergedGroups = groups
@@ -407,9 +421,23 @@ object Normalize {
       .select(col("src"), coalesce(col("realDst"), col("dst")).as("dst"),
         lit("APPLIES_TO").as("relType"))
 
+    // r6: MERGE set-semantics without re-shuffling the whole edge
+    // table. The old form union'd ≤21 well-known pairs onto the full
+    // edge set and then dropDuplicates'd EVERYTHING — a full-table
+    // exchange to dedupe a handful of rows. `s.edges` is duplicate-free
+    // here by construction (extractor output and every chain stage emit
+    // distinct edges), so only the new rows need set semantics: dedupe
+    // the tiny new set, drop the ones already present via a
+    // broadcast-build semi join (the big side streams, zero exchange),
+    // and append what is genuinely new.
+    val newDistinct = newEdges.dropDuplicates("src", "dst", "relType")
+    val alreadyThere = s.edges.join(broadcast(newDistinct),
+      Seq("src", "dst", "relType"), "left_semi")
+    val freshEdges = newDistinct.join(broadcast(alreadyThere),
+      Seq("src", "dst", "relType"), "left_anti")
     Snapshot(
       s.entities.unionByName(newIndustries),
-      s.edges.unionByName(newEdges).dropDuplicates("src", "dst", "relType"))
+      s.edges.unionByName(freshEdges))
   }
 
   /** Materialize a stage boundary. Every stage references its input

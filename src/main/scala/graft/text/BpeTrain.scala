@@ -102,7 +102,7 @@ object BpeTrain {
     */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
             minPairCount: Long = 2L, checkpointEvery: Int = 8,
-            maxLocalWords: Long = 50000000L): Result = {
+            maxLocalWords: Long = 10000000L): Result = {
     val spark = docs.sparkSession
     val wc = wordCounts(docs, textCol).localCheckpoint(true)
     val nWords = wc.count()
@@ -211,7 +211,16 @@ object BpeTrain {
     val freqs = wordFreq.map(_._2)
 
     val pairCount = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // occurrence-proportional posting lists (r6, ADVICE r5): a BitSet
+    // keyed by word index allocates maxIndex/8 bytes per pair — a rare
+    // pair whose one occurrence sits near word 5·10⁷ cost ~6 MB, and
+    // 10⁵-10⁶ live pairs made the old structure index-max-proportional
+    // (tens of GB) instead of data-proportional. A growable int buffer
+    // with last-entry dedup is exact here: bump() is called with a
+    // constant wi for one word's whole scan, so duplicates of the same
+    // word arrive consecutively, and the merge loop's lazy `has`
+    // re-check already tolerates any residual duplicate/stale entry.
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
 
     // heap prefers larger count, then smaller left, then smaller right
     implicit val ord: Ordering[(Long, String, String)] =
@@ -226,7 +235,10 @@ object BpeTrain {
     def bump(p: (String, String), delta: Long, wi: Int): Unit = {
       val c = pairCount.getOrElse(p, 0L) + delta
       if (c <= 0L) pairCount.remove(p) else pairCount(p) = c
-      if (delta > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      if (delta > 0) {
+        val buf = pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+        if (buf.isEmpty || buf.last != wi) buf += wi
+      }
       // enqueue the LIVE count on every change, including decrements —
       // freq-sized jumps mean a post-decrement value may never have
       // been enqueued on the way up, and a pair with no matching heap
@@ -257,7 +269,8 @@ object BpeTrain {
         val (c, l, r) = top
         merges += Merge(rank, l, r, l + r, c)
         val p = (l, r)
-        val affected = pairWords.remove(p).getOrElse(mutable.BitSet.empty)
+        val affected = pairWords.remove(p)
+          .getOrElse(mutable.ArrayBuffer.empty[Int])
         for (w <- affected) {
           val old = words(w)
           // lazy membership: the set may contain words whose pair was
