@@ -65,18 +65,17 @@ object PageRank {
       "warm-start init is exclusive with personalization and checkpoint/resume")
 
     val wCol = if (weighted) col("weight").cast("double") else lit(1.0)
-    // r6: the raw edge table is persisted UNSHUFFLED and LAZILY — the
-    // degree pass below is the action that fills the cache, so the
-    // input is still scanned exactly once. The old form repartitioned
-    // the raw table by src up front, but whenever the hot split fires
-    // the split sides are repartitioned again anyway, so on every
-    // skewed graph the upfront exchange shuffled every edge once for
-    // nothing AND the pre-split copy stayed pinned in storage for the
-    // whole loop. Now: no-hot graphs pay exactly what they used to
-    // (one input scan, one cache write, one cache read, one edge
-    // exchange), hot graphs save one full-edge exchange, and the raw
-    // copy is always freed before the loop.
-    val eRaw = edges.select(col("src"), col("dst"), wCol.as("w"))
+    // r6: pre-partitioned LAZY persist. The degree pass below is the
+    // action that materializes it (one input scan, one src exchange,
+    // one cache write — callers may pass arbitrarily expensive edge
+    // queries, e.g. an uncheckpointed symmetrize, so the input must be
+    // evaluated exactly once inside run()). When no hub crosses the
+    // skew threshold — the common case — this frame IS the loop's
+    // edge table and nothing else is built; when hubs exist the two
+    // split sides read this cache and the pre-split copy is freed
+    // before the loop (the r5 form kept it pinned for the whole run).
+    val ePre = edges.select(col("src"), col("dst"), wCol.as("w"))
+      .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // vertex set + out-degrees in ONE edge-scale shuffle (vs the naive
@@ -84,10 +83,10 @@ object PageRank {
     // skinny (id, w|0) row; sum gives the (weighted) out-degree,
     // dst-only vertices get 0. Source rows additionally carry a row
     // counter so the edge count falls out of the same pass (the old
-    // upfront eAll.count() action is gone with the upfront shuffle).
-    val degAll = eRaw.select(col("src").as("id"), col("w").as("od"),
+    // standalone edge-scale count() action is gone).
+    val degAll = ePre.select(col("src").as("id"), col("w").as("od"),
         lit(1L).as("rows"))
-      .unionAll(eRaw.select(col("dst").as("id"), lit(0.0).as("od"),
+      .unionAll(ePre.select(col("dst").as("id"), lit(0.0).as("od"),
         lit(0L).as("rows")))
       .groupBy(col("id")).agg(sum(col("od")).as("outDeg"),
         sum(col("rows")).as("srcRows"))
@@ -113,14 +112,12 @@ object PageRank {
     // broadcast() hints (r6): the split joins run with AQE off, so the
     // ≤4096-row hot set must be pinned to a broadcast build explicitly
     // rather than trusting the static size estimate of a cached limit
-    val coldPlan = {
-      val cold = if (!hasHot) eRaw else
-        eRaw.join(broadcast(hotIds.withColumnRenamed("id", "src")),
+    val coldPlan = if (!hasHot) null else
+      ePre.join(broadcast(hotIds.withColumnRenamed("id", "src")),
           Seq("src"), "left_anti")
-      cold.repartition(numPartitions, col("src"))
-    }
+        .repartition(numPartitions, col("src"))
     val hotPlan = if (!hasHot) null else
-      eRaw.join(broadcast(hotIds.withColumnRenamed("id", "src")),
+      ePre.join(broadcast(hotIds.withColumnRenamed("id", "src")),
         Seq("src"), "left_semi")
         .repartition(numPartitions, col("dst"))
     // diagnostic-only (r6 plan evidence): dump the split-stage plans
@@ -133,15 +130,15 @@ object PageRank {
         java.nio.file.Files.write(p.resolve(s"${name}_$sfx.txt"),
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
-      dump("pagerank_split_cold", coldPlan)
-      if (hasHot) dump("pagerank_split_hot", hotPlan)
+      if (hasHot) { dump("pagerank_split_cold", coldPlan)
+        dump("pagerank_split_hot", hotPlan) }
+      else dump("pagerank_split_cold", ePre)
     }
-    val e = coldPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = if (!hasHot) ePre else
+      coldPlan.persist(StorageLevel.MEMORY_AND_DISK)
     val eHot = if (!hasHot) null else
       hotPlan.persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
-    if (hasHot) eHot.count()
-    eRaw.unpersist()
+    if (hasHot) { e.count(); eHot.count(); ePre.unpersist() }
 
     val resumed = ckpt.flatMap(c => c.latest().map(step => (step, c.load(step))))
 
